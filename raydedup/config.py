@@ -1,0 +1,74 @@
+"""Frozen pipeline configuration.
+
+Analog of the reference's typed config-key system (Panako
+``util/Key.java:43-439``: 85+ keys with defaults, overridable per run).
+Here it is one frozen dataclass: every stage receives the same immutable
+``DedupConfig`` so a run is fully reproducible from (input, config, seed).
+
+Fixed by the north-star spec (BASELINE.json): 5-gram shingles, 128-perm
+MinHash, 16 bands x 8 rows LSH, 64-bit SimHash.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling (analog of fingerprint packing, OlafEventPointProcessor.java:316-370)
+    shingle_k: int = 5  # tokens per word shingle
+    shingle_mode: str = "word"  # "word" | "char"
+    char_shingle_k: int = 9  # chars per char shingle (when shingle_mode == "char")
+
+    # --- MinHash (analog of the 64-bit fingerprint hash, OlafFingerprint.java:154-196)
+    n_perms: int = 128
+    minhash_seed: int = 0x5EED_0001
+
+    # --- LSH banding (replaces the LMDB hash->postings store,
+    # PanakoStorageKV.java:204-228; +/-2 near-hash range scan -> band collision)
+    n_bands: int = 16
+    rows_per_band: int = 8  # n_bands * rows_per_band == n_perms
+
+    # --- SimHash (secondary near-hash family; Hamming verify via util/Hamming.java:74-83)
+    simhash_bits: int = 64
+    simhash_max_hamming: int = 3
+
+    # --- verification (analog of min-hit + geometric verification gates,
+    # OlafStrategy.java:331-453; here: exact Jaccard >= tau)
+    jaccard_tau: float = 0.80
+    min_band_collisions: int = 1  # analog of MIN_HITS_UNFILTERED (Key.java:187)
+
+    # --- skew handling (north-rule requirement; reference has none --
+    # a hot LMDB key is just a long duplicate chain, PanakoStorageKV.java:335-370)
+    max_band_postings: int = 1000  # bands with more postings are dropped + logged
+    salt_band_postings: int = 200  # bands above this are salted into sub-groups
+
+    # --- containment / suffix pass (analog of monitor windowing,
+    # OlafStrategy.java:561-573: 25 s windows, 5 s overlap)
+    containment_window: int = 40  # chars per rolling-hash window
+    containment_stride: int = 16  # winnowing stride on the probe side
+    containment_min_coverage: float = 0.20  # analog of percentOfSecondsWithMatches >= 0.2 (Key.java:205)
+
+    # --- clustering (graft extension; reference emits pairs only)
+    cluster_backend: str = "driver"  # "driver" | "actors"
+    n_cluster_shards: int = 8
+
+    # --- execution
+    batch_size: int = 4096
+    target_block_rows: int = 65536
+    signature_concurrency: int | None = None  # None -> stateless tasks
+
+    # --- corpus / ids
+    id_seed: int = 0x5EED_0002
+
+    def __post_init__(self) -> None:
+        if self.n_bands * self.rows_per_band != self.n_perms:
+            raise ValueError("n_bands * rows_per_band must equal n_perms")
+
+    def with_overrides(self, **kw: Any) -> "DedupConfig":
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = DedupConfig()

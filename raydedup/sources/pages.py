@@ -1,0 +1,44 @@
+"""Sources: page/document tables -> canonical docs Dataset.
+
+Analog of the reference's file-list expansion + decode front-end
+(``cli/Application.java:110-150``, ffmpeg pipe ``util/Key.java:85``).
+Reads prune columns at the Parquet scan (only what the stage needs
+leaves storage).
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data as rd
+from ray.data import Dataset
+
+from raydedup.stages.extract import docs_identity_batch, extract_batch
+
+
+def read_pages(path: str, *, lang: str | None = None) -> Dataset:
+    """pages parquet (url, warc_ts, html, text, lang) -> raw Dataset."""
+    cols = ["url", "html", "lang"]
+    ds = rd.read_parquet(path, columns=cols)
+    if lang is not None:
+        import pyarrow.compute as pc
+
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.equal(t["lang"], lang)), batch_format="pyarrow"
+        )
+    return ds
+
+
+def pages_to_docs(pages: Dataset) -> Dataset:
+    """Stateless extraction stage: html -> text, + doc_id, text_sha256."""
+    return pages.map_batches(extract_batch, batch_format="pyarrow")
+
+
+def read_docs(sf_dir_or_path: str) -> Dataset:
+    """Read an already-extracted documents table (testdata ``documents``:
+    doc_id, text, lang, source, n_chars) and attach identity columns."""
+    path = sf_dir_or_path
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "documents.parquet")):
+        path = os.path.join(path, "documents.parquet")
+    ds = rd.read_parquet(path)
+    return ds.map_batches(docs_identity_batch, batch_format="pyarrow")

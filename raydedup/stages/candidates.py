@@ -1,0 +1,192 @@
+"""Candidate generation: LSH band postings -> candidate pairs.
+
+Inverts Panako's query-time near-hash range lookup
+(``PanakoStorageKV.java:293-379``: cursor scan of keys in [h-2, h+2],
+collect postings per hash) into a shuffle join: postings
+``(band_key, doc_id)`` are grouped by band key and every group emits its
+doc pairs — the LSH-banding equivalent of "two resources sharing a
+near-hash". Self-matches are suppressed by canonical ``a < b`` ordering
+(analog of the ``avoid`` anti-semi-join, ``Strategy.java:78-82``).
+
+Skew (north-rule requirement; the reference has none — a hot key is
+just a long duplicate chain): groups larger than
+``cfg.max_band_postings`` are *dropped* and counted — at 10^12 docs a
+band with >1000 postings is degenerate boilerplate producing O(n^2)
+junk pairs. Dropped-group counts surface in the metrics table.
+
+SimHash near-hash candidates use the pigeonhole multi-table scheme:
+Hamming distance <= k on 64 bits implies at least one of k+1 16-bit
+blocks matches exactly, so each doc posts k+1 block keys; verification
+rechecks exact Hamming distance (``util/Hamming.java:74-83`` analog).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Count
+
+from raydedup.config import DedupConfig
+
+I64 = np.int64
+
+
+def band_postings(signatures: Dataset, cfg: DedupConfig) -> Dataset:
+    """signatures -> (band_key: int64, doc_id: int64) postings, n_bands per doc."""
+    n_bands = cfg.n_bands
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        bands = batch.column("bands")
+        flat = bands.combine_chunks().flatten() if isinstance(bands, pa.ChunkedArray) else bands.flatten()
+        keys = flat.to_numpy(zero_copy_only=False).astype(I64, copy=False)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(I64, copy=False)
+        return pa.table(
+            {
+                "band_key": pa.array(keys, type=pa.int64()),
+                "doc_id": pa.array(np.repeat(doc, n_bands), type=pa.int64()),
+            }
+        )
+
+    return signatures.select_columns(["doc_id", "bands"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def simhash_postings(signatures: Dataset, cfg: DedupConfig) -> Dataset:
+    """(block_key: int64, doc_id: int64) postings, one per 16-bit simhash
+    block (k+1 = 4 tables for Hamming <= 3)."""
+    n_blocks = cfg.simhash_max_hamming + 1
+    shift = 64 // n_blocks
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sim = batch.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(I64, copy=False)
+        keys = np.empty(sim.shape[0] * n_blocks, dtype=I64)
+        mask = np.uint64((1 << shift) - 1)
+        for t in range(n_blocks):
+            block = (sim >> np.uint64(t * shift)) & mask
+            # fold table id into key so blocks from different tables never collide
+            keys[t::n_blocks] = (block | (np.uint64(t + 1) << np.uint64(60))).view(I64)
+        return pa.table(
+            {
+                "band_key": pa.array(keys, type=pa.int64()),
+                "doc_id": pa.array(np.repeat(doc, n_blocks), type=pa.int64()),
+            }
+        )
+
+    return signatures.select_columns(["doc_id", "simhash"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def emit_pairs_partition(t: pa.Table | pd.DataFrame, max_postings: int) -> pa.Table:
+    """Vectorized all-pairs emission for ONE hash partition of postings.
+
+    Sorts the partition by band_key, finds key runs, and emits the
+    ``a < b`` doc pairs of every run with 2 <= size <= max_postings.
+    Oversize runs (degenerate boilerplate keys) are dropped — they are
+    counted separately by band_size_stats()."""
+    if isinstance(t, pd.DataFrame):
+        keys = t["band_key"].to_numpy()
+        docs = t["doc_id"].to_numpy()
+    else:
+        keys = t.column("band_key").to_numpy(zero_copy_only=False)
+        docs = t.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((docs, keys))
+    keys = keys[order]
+    docs = docs[order]
+    n = keys.shape[0]
+    if n < 2:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    boundary = np.empty(n, dtype=bool)
+    boundary[0] = True
+    np.not_equal(keys[1:], keys[:-1], out=boundary[1:])
+    starts = np.flatnonzero(boundary)
+    sizes = np.diff(np.append(starts, n))
+    run_mask = (sizes >= 2) & (sizes <= max_postings)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for s, sz in zip(starts[run_mask], sizes[run_mask]):
+        d = docs[s : s + sz]
+        d = np.unique(d)
+        m = d.shape[0]
+        if m < 2:
+            continue
+        ii, jj = np.triu_indices(m, k=1)
+        out_a.append(d[ii])
+        out_b.append(d[jj])
+    if not out_a:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+        }
+    )
+
+
+def postings_to_pairs(
+    postings: Dataset, cfg: DedupConfig, num_buckets: int = 64
+) -> Dataset:
+    """postings -> unique candidate pairs with per-pair collision counts
+    (analog of the per-resource hit accumulator, ``OlafStrategy.java:308-329``).
+
+    The band_key space is hash-bucketed into ``num_buckets`` coarse
+    partitions (one shuffle group per bucket, vectorized pair emission
+    inside — NOT one Python call per band key). num_buckets bounds
+    per-task memory at scale: each task holds postings/num_buckets rows.
+    """
+    max_postings = cfg.max_band_postings
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t.column("band_key").to_numpy(zero_copy_only=False)
+        bucket = (k % num_buckets + num_buckets) % num_buckets
+        return t.append_column("bucket", pa.array(bucket.astype(I64), type=pa.int64()))
+
+    bucketed = postings.map_batches(add_bucket, batch_format="pyarrow")
+    pairs = bucketed.groupby("bucket").map_groups(
+        lambda t: emit_pairs_partition(t, max_postings), batch_format="pyarrow"
+    )
+    counted = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_collisions"))
+    if cfg.min_band_collisions > 1:
+        thr = cfg.min_band_collisions
+        counted = counted.map_batches(
+            lambda t: t.filter(pa.compute.greater_equal(t["n_collisions"], thr)),
+            batch_format="pyarrow",
+        )
+    return counted
+
+
+def band_size_stats(postings: Dataset, cfg: DedupConfig) -> dict:
+    """Skew metrics: group-size distribution of the posting index
+    (analog of ``panako stats`` full scans, ``PanakoStorageKV.java:381-467``)."""
+    sizes = postings.groupby("band_key").aggregate(Count(alias_name="n"))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "groups": pa.array([n.shape[0]], type=pa.int64()),
+                "postings": pa.array([int(n.sum())], type=pa.int64()),
+                "max_group": pa.array([int(n.max()) if n.shape[0] else 0], type=pa.int64()),
+                "hot_groups": pa.array([int((n > cfg.salt_band_postings).sum())], type=pa.int64()),
+                "dropped_groups": pa.array([int((n > cfg.max_band_postings).sum())], type=pa.int64()),
+                "dropped_postings": pa.array(
+                    [int(n[n > cfg.max_band_postings].sum())], type=pa.int64()
+                ),
+            }
+        )
+
+    parts = sizes.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    return {
+        "groups": int(parts["groups"].sum()),
+        "postings": int(parts["postings"].sum()),
+        "max_group": int(parts["max_group"].max()) if len(parts) else 0,
+        "hot_groups": int(parts["hot_groups"].sum()),
+        "dropped_groups": int(parts["dropped_groups"].sum()),
+        "dropped_postings": int(parts["dropped_postings"].sum()),
+    }

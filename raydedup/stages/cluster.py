@@ -1,0 +1,219 @@
+"""Clustering: verified pairs -> connected components (cluster ids).
+
+Graft extension — the reference emits match pairs only
+(``cli/Deduplication.java:90-108`` prints matches per file); clustering
+is the union-find stage the north rule adds. Cluster id is the minimum
+doc_id of the component (deterministic, order-insensitive).
+
+Two backends:
+- ``driver``: streaming path-compressed union-find on the driver;
+  correct whenever the *pair* set fits driver memory (pairs are the
+  small post-verification side; this is NOT a full-data materialize).
+- ``actors``: sharded union-find actor pool for the scale path — edges
+  are hash-routed to shards by min endpoint, each shard contracts its
+  edges to spanning (root, member) edges, and the reduced edge set is
+  re-routed until it fits one shard (alternating contraction; cf. BTS
+  load-balanced distributed union-find, PAPERS.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+class UnionFind:
+    """Path-halving union-by-attachment-to-min union-find over int64 keys."""
+
+    __slots__ = ("parent",)
+
+    def __init__(self) -> None:
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        r = p.setdefault(x, x)
+        while r != p[r]:
+            p[r] = p[p[r]]
+            r = p[r]
+        # path compression
+        while p[x] != r:
+            p[x], x = r, p[x]
+        return r
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        # attach larger root under smaller -> root is the min id seen
+        if ra < rb:
+            self.parent[rb] = ra
+        else:
+            self.parent[ra] = rb
+
+    def components(self) -> dict[int, int]:
+        return {x: self.find(x) for x in list(self.parent)}
+
+
+def cluster_pairs_driver(pairs: Dataset | pd.DataFrame) -> dict[int, int]:
+    """Streaming union-find: consumes (a, b) batches, returns
+    {doc_id -> cluster_id(min member)} for every doc appearing in a pair."""
+    uf = UnionFind()
+    if isinstance(pairs, pd.DataFrame):
+        batches = [pairs]
+    else:
+        batches = pairs.select_columns(["a", "b"]).iter_batches(
+            batch_size=65536, batch_format="pandas"
+        )
+    for b in batches:
+        av = b["a"].to_numpy()
+        bv = b["b"].to_numpy()
+        for i in range(len(av)):
+            uf.union(int(av[i]), int(bv[i]))
+    return uf.components()
+
+
+@ray.remote
+class UnionFindShard:
+    """One shard of the distributed union-find actor pool."""
+
+    def __init__(self, shard_id: int, n_shards: int) -> None:
+        self.shard_id = shard_id
+        self.n_shards = n_shards
+        self.uf = UnionFind()
+
+    def add_edges(self, a: np.ndarray, b: np.ndarray) -> int:
+        for i in range(a.shape[0]):
+            self.uf.union(int(a[i]), int(b[i]))
+        return a.shape[0]
+
+    def contract(self) -> tuple[np.ndarray, np.ndarray]:
+        """Spanning edges (root, member) of all local components; resets state."""
+        comp = self.uf.components()
+        a = np.fromiter((v for k, v in comp.items() if k != v), dtype=np.int64)
+        b = np.fromiter((k for k, v in comp.items() if k != v), dtype=np.int64)
+        self.uf = UnionFind()
+        return a, b
+
+    def snapshot(self) -> dict[int, int]:
+        return self.uf.components()
+
+
+def _route_edges(shards, a: np.ndarray, b: np.ndarray, key: np.ndarray) -> None:
+    n_shards = len(shards)
+    dest = (key % n_shards + n_shards) % n_shards
+    pending = []
+    for s in range(n_shards):
+        m = dest == s
+        if m.any():
+            pending.append(shards[s].add_edges.remote(a[m], b[m]))
+    ray.get(pending)
+
+
+def cluster_pairs_actors(
+    pairs: Dataset | pd.DataFrame, n_shards: int = 8, final_threshold: int = 0
+) -> dict[int, int]:
+    """Distributed union-find via edge contraction on an actor pool.
+
+    Round 1 routes each edge to ``shard = min(a,b) % n_shards``; every
+    shard union-finds its edge stream and contracts it to spanning
+    (root, member) edges — this collapses the pair volume from |pairs|
+    down to ~|dup docs| (pairs are quadratic in group size, spanning
+    edges linear). Round 2 re-routes the spanning edges by *member* so
+    bridge nodes merge their roots. The remaining forest (one edge per
+    dup doc, possibly chained) is resolved by a final driver union-find —
+    O(|dup docs|) driver memory, the same as the returned component map.
+    Deterministic (min-root convention, order-insensitive unions).
+    """
+    if isinstance(pairs, pd.DataFrame):
+        edge_batches = [pairs]
+    else:
+        edge_batches = pairs.select_columns(["a", "b"]).iter_batches(
+            batch_size=262144, batch_format="pandas"
+        )
+
+    shards = [UnionFindShard.remote(i, n_shards) for i in range(n_shards)]
+    pending = []
+    for bt in edge_batches:
+        a = bt["a"].to_numpy().astype(np.int64)
+        bb = bt["b"].to_numpy().astype(np.int64)
+        lo = np.minimum(a, bb)
+        hi = np.maximum(a, bb)
+        _route_edges(shards, lo, hi, lo)
+    parts = ray.get([s.contract.remote() for s in shards])
+    a = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+    b = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
+
+    if a.shape[0] > final_threshold:
+        # second contraction: route by member so shared members merge roots
+        _route_edges(shards, a, b, b)
+        parts = ray.get([s.contract.remote() for s in shards])
+        a = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        b = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
+
+    uf = UnionFind()
+    for i in range(a.shape[0]):
+        uf.union(int(a[i]), int(b[i]))
+    components = uf.components()
+    for s in shards:
+        ray.kill(s)
+    return components
+
+
+def label_propagation_components(pairs: Dataset, max_rounds: int = 32) -> pd.DataFrame:
+    """Pure-Dataset connected components via iterated min-label exchange
+    (cross-check backend; hash-to-min style). Returns (doc_id, cluster_id)."""
+    edges = pairs.select_columns(["a", "b"]).to_pandas()
+    # symmetric edge list incl. self loops
+    fwd = edges.rename(columns={"a": "node", "b": "peer"})
+    rev = edges.rename(columns={"b": "node", "a": "peer"})
+    adj = pd.concat([fwd, rev], ignore_index=True)
+    labels = pd.DataFrame({"node": pd.unique(adj["node"])})
+    labels["label"] = labels["node"]
+    for _ in range(max_rounds):
+        m = adj.merge(labels.rename(columns={"node": "peer", "label": "peer_label"}), on="peer")
+        new = (
+            pd.concat(
+                [
+                    m.groupby("node")["peer_label"].min().rename("label").reset_index(),
+                    labels,
+                ]
+            )
+            .groupby("node")["label"]
+            .min()
+            .reset_index()
+        )
+        if new.sort_values("node").reset_index(drop=True).equals(
+            labels.sort_values("node").reset_index(drop=True)
+        ):
+            break
+        labels = new
+    return labels.rename(columns={"node": "doc_id", "label": "cluster_id"})
+
+
+def assignments_table(
+    docs: Dataset, components: dict[int, int], id_col: str = "doc_id"
+) -> Dataset:
+    """Full (doc_id, cluster_id, is_representative) assignment: docs not in
+    any component are singleton clusters of themselves. The component map
+    (dup docs only — small side) is broadcast via ray.put and applied in a
+    stateless map_batches, no shuffle."""
+    comp_ref = ray.put(components)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        comp = ray.get(comp_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        out = np.fromiter((comp.get(int(i), int(i)) for i in ids), dtype=np.int64, count=ids.shape[0])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "cluster_id": pa.array(out, type=pa.int64()),
+                "is_representative": pa.array(ids == out),
+            }
+        )
+
+    return docs.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")

@@ -1,0 +1,73 @@
+"""Determinism unit tests with pinned constants (analog of the
+reference's pinned content-hash test, ``UtilsTest.java:33-43``:
+"same on each platform")."""
+
+import numpy as np
+import pytest
+
+from raydedup.hashing import (
+    fnv1a64,
+    hash_pair_u64,
+    hash_strings_u64,
+    mix64,
+    rolling_hash_u64,
+)
+
+# pinned vectors: regenerating these constants means the on-disk index
+# format changed — bump corpus/_CORPUS_VERSION and checkpoint versions.
+PINNED_FNV = {
+    "": 0xCBF29CE484222325,
+    "a": 0xAF63DC4C8601EC8C,
+    "abc": 0xE71FA2190541574B,
+    "hello world": 0x779A65E7023CD2E7,
+}
+
+
+def test_fnv1a64_pinned():
+    for s, want in PINNED_FNV.items():
+        assert fnv1a64(s.encode()) == want, s
+
+
+def test_hash_strings_matches_scalar_fnv():
+    strs = ["", "a", "abc", "hello world", "x" * 100, "url/with/slash?q=1"]
+    got = hash_strings_u64(strs, mixed=False)
+    want = np.array([fnv1a64(s.encode()) for s in strs], dtype=np.uint64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_hash_strings_batch_layout_independent():
+    # same string must hash identically regardless of batch padding width
+    a = hash_strings_u64(["abc", "a-very-long-string-to-widen-the-matrix" * 3])[0]
+    b = hash_strings_u64(["abc"])[0]
+    assert a == b
+
+
+def test_hash_strings_non_ascii_fallback():
+    got = hash_strings_u64(["héllo", "wörld"], mixed=False)
+    want = np.array(
+        [fnv1a64("héllo".encode("utf-8")), fnv1a64("wörld".encode("utf-8"))],
+        dtype=np.uint64,
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mix64_bijective_sample():
+    xs = np.arange(1000, dtype=np.uint64)
+    assert len(set(mix64(xs).tolist())) == 1000
+
+
+def test_rolling_hash_window_semantics():
+    data = np.array([1, 2, 3, 4, 5], dtype=np.uint64)
+    h = rolling_hash_u64(data, 3)
+    assert h.shape == (3,)
+    # identical windows hash identically
+    h2 = rolling_hash_u64(np.array([9, 1, 2, 3, 9], dtype=np.uint64), 3)
+    assert h[0] == h2[1]
+    # short input -> empty
+    assert rolling_hash_u64(data[:2], 3).shape == (0,)
+
+
+def test_hash_pair_order_sensitive():
+    a = np.array([1], dtype=np.uint64)
+    b = np.array([2], dtype=np.uint64)
+    assert hash_pair_u64(a, b)[0] != hash_pair_u64(b, a)[0]
