@@ -29,7 +29,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-_CORPUS_VERSION = 3  # bump to invalidate /tmp caches when generation changes
+_CORPUS_VERSION = 5  # bump to invalidate /tmp caches when generation changes
 
 _LANGS = ["en", "de", "fr", "es", "it", "nl"]
 
@@ -79,19 +79,23 @@ def _substitute(
     return out
 
 
-def _true_jaccard(a: np.ndarray, b: np.ndarray, k: int) -> float:
-    """Exact word-k-gram shingle-set Jaccard over token-id sequences."""
+def _shingle_set(t: np.ndarray, k: int) -> set[tuple[int, ...]]:
+    if t.shape[0] < k:
+        return {tuple(t.tolist())}
+    view = np.lib.stride_tricks.sliding_window_view(t, k)
+    return set(map(tuple, view.tolist()))
 
-    def sh(t: np.ndarray) -> set[tuple[int, ...]]:
-        if t.shape[0] < k:
-            return {tuple(t.tolist())}
-        view = np.lib.stride_tricks.sliding_window_view(t, k)
-        return set(map(tuple, view.tolist()))
 
-    sa, sb = sh(a), sh(b)
+def _true_jaccard(a: np.ndarray, b: np.ndarray, k: int) -> tuple[float, float]:
+    """(jaccard, containment) of word-k-gram shingle sets over token-id
+    sequences; containment = |inter| / min(|a|, |b|) (the coverage the
+    suffix/winnowing pass scores against)."""
+    sa, sb = _shingle_set(a, k), _shingle_set(b, k)
     inter = len(sa & sb)
     union = len(sa) + len(sb) - inter
-    return inter / union if union else 1.0
+    jac = inter / union if union else 1.0
+    cont = inter / max(1, min(len(sa), len(sb)))
+    return jac, cont
 
 
 def build_corpus(spec: CorpusSpec) -> dict[str, pa.Table]:
@@ -121,6 +125,14 @@ def build_corpus(spec: CorpusSpec) -> dict[str, pa.Table]:
     def new_doclen() -> int:
         return int(rng.integers(spec.min_words, spec.max_words + 1))
 
+    # SITE-WIDE boilerplate pool: few blocks reused by MANY twin groups, so
+    # each block's containment fingerprints exceed the hot-key cap and get
+    # dropped (the designed skew mechanism) instead of linking twins.
+    n_bp_blocks = max(2, spec.n_docs // 1000)
+    bp_pool = [
+        _sample_tokens(rng, cdf, int(rng.integers(60, 140))) for _ in range(n_bp_blocks)
+    ]
+
     def add_doc(toks: np.ndarray, g: int, variant: str) -> None:
         doc_tokens.append(toks)
         groups.append(g)
@@ -149,9 +161,9 @@ def build_corpus(spec: CorpusSpec) -> dict[str, pa.Table]:
         size = int(rng.integers(2, 6))
         base = _sample_tokens(rng, cdf, new_doclen())
         if cls == "boilerplate-twin":
-            # shared boilerplate block (~45% of doc) + unique bodies.
+            # shared SITE-WIDE boilerplate block + unique bodies.
             # Must NOT cluster: stresses hot containment-fingerprint keys.
-            block = _sample_tokens(rng, cdf, max(30, new_doclen() // 2))
+            block = bp_pool[int(rng.integers(0, n_bp_blocks))]
             for _ in range(size):
                 body = _sample_tokens(rng, cdf, new_doclen())
                 cut = int(rng.integers(0, body.shape[0] + 1))
@@ -206,7 +218,9 @@ def build_corpus(spec: CorpusSpec) -> dict[str, pa.Table]:
         }
     )
 
-    pa_rows: dict[str, list] = {"a_url": [], "b_url": [], "kind": [], "jaccard_true": []}
+    pa_rows: dict[str, list] = {
+        "a_url": [], "b_url": [], "kind": [], "jaccard_true": [], "containment_true": []
+    }
     for g, members in group_members.items():
         if len(members) < 2:
             continue
@@ -223,17 +237,19 @@ def build_corpus(spec: CorpusSpec) -> dict[str, pa.Table]:
                     kind = "exact"
                 else:
                     kind = "near"
-                jt = _true_jaccard(doc_tokens[a], doc_tokens[b], spec.shingle_k)
+                jt, ct = _true_jaccard(doc_tokens[a], doc_tokens[b], spec.shingle_k)
                 pa_rows["a_url"].append(urls[a])
                 pa_rows["b_url"].append(urls[b])
                 pa_rows["kind"].append(kind)
                 pa_rows["jaccard_true"].append(jt)
+                pa_rows["containment_true"].append(ct)
     oracle_pairs = pa.table(
         {
             "a_url": pa.array(pa_rows["a_url"], type=pa.string()),
             "b_url": pa.array(pa_rows["b_url"], type=pa.string()),
             "kind": pa.array(pa_rows["kind"], type=pa.string()),
             "jaccard_true": pa.array(pa_rows["jaccard_true"], type=pa.float32()),
+            "containment_true": pa.array(pa_rows["containment_true"], type=pa.float32()),
         }
     )
     return {"pages": pages, "oracle_clusters": oracle_clusters, "oracle_pairs": oracle_pairs}

@@ -40,6 +40,7 @@ from raydedup.stages.candidates import (
     postings_to_pairs,
     simhash_postings,
 )
+from raydedup.stages.containment import containment_pairs
 from raydedup.stages.cluster import (
     assignments_table,
     cluster_pairs_actors,
@@ -211,9 +212,22 @@ def run_dedup(
     metrics["t_candidates_verify"] = t2 - t1
     metrics["verified_pairs"] = verified_tbl.num_rows
 
+    # --- containment pass (W1 monitor-window analog) ----------------------
+    containment_tbl = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    )
+    if containment:
+        cont = containment_pairs(uniq_docs if exact_members else docs, cfg)
+        cont_schema = pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()),
+             ("shared", pa.int64()), ("coverage", pa.float64())]
+        )
+        containment_tbl = to_arrow_table(cont, empty_schema=cont_schema).select(["a", "b"])
+        metrics["containment_pairs"] = containment_tbl.num_rows
+
     # --- clustering (union-find) ------------------------------------------
     all_edges = pa.concat_tables(
-        [verified_tbl.select(["a", "b"]), exact_edges.select(["a", "b"])]
+        [verified_tbl.select(["a", "b"]), exact_edges.select(["a", "b"]), containment_tbl]
     )
     edges_df = all_edges.to_pandas()
     if cfg.cluster_backend == "actors":

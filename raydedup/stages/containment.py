@@ -1,0 +1,201 @@
+"""Containment pass: winnowed substring fingerprints over all docs.
+
+Transplant of Panako's monitor windowing + time-stretch-robust partial
+matching (``OlafStrategy.java:561-573``: chop the query into 25 s
+windows with 5 s overlap, query each window against the index; coverage
+gate ``percentOfSecondsWithMatches >= 0.2``, ``OlafStrategy.java:437-453``).
+
+Text analog: every doc is fingerprinted by the *winnowed* set of its
+length-w character rolling hashes (winnowing window s: the minimum hash
+of every s consecutive windows — the standard winnowing guarantee says
+any shared substring of length >= w + s - 1 yields at least one shared
+selected fingerprint). Docs sharing fingerprints become candidate
+(a, b) pairs; the per-pair shared-fingerprint count over the smaller
+doc's fingerprint count is the coverage score.
+
+Skew: a fingerprint key shared by more than ``containment_max_postings``
+docs is site-wide boilerplate, not containment — it is dropped and
+counted (the north-rule hot-key mechanism; the reference walks the long
+duplicate chain instead, ``PanakoStorageKV.java:335-370``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min
+
+from raydedup.config import DedupConfig
+from raydedup.hashing import U64, rolling_hash_u64
+
+I64 = np.int64
+
+
+def winnowed_fingerprints(text: str, w: int, s: int) -> np.ndarray:
+    """Sorted unique winnowed fingerprint set of a doc (uint64).
+
+    Rolling polynomial hash of every length-``w`` char window, then the
+    minimum of every ``s`` consecutive hashes (robust winnowing by value;
+    ties collapse via unique). Short docs (< w chars) hash whole-text.
+    """
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if data.shape[0] == 0:
+        return np.empty(0, dtype=U64)
+    if data.shape[0] < w:
+        return rolling_hash_u64(data, data.shape[0])  # whole-text single window
+    h = rolling_hash_u64(data, w)
+    if h.shape[0] <= s:
+        return np.unique(h.min(keepdims=True))
+    mins = np.lib.stride_tricks.sliding_window_view(h, s).min(axis=1)
+    return np.unique(mins)
+
+
+def fingerprint_postings(docs: Dataset, cfg: DedupConfig) -> Dataset:
+    """docs -> (fp_key: int64, doc_id: int64, n_fp: int32) postings."""
+    w, s = cfg.containment_window, cfg.containment_stride
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(I64)
+        sets = [winnowed_fingerprints(t or "", w, s) for t in texts]
+        lens = np.fromiter((x.shape[0] for x in sets), dtype=np.int64, count=len(sets))
+        keys = (np.concatenate(sets) if sets else np.empty(0, U64)).view(I64)
+        return pa.table(
+            {
+                "fp_key": pa.array(keys, type=pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, lens), type=pa.int64()),
+                "n_fp": pa.array(
+                    np.repeat(lens.astype(np.int32), lens), type=pa.int32()
+                ),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def _emit_fp_pairs(t: pa.Table, max_postings: int) -> pa.Table:
+    """Vectorized per-bucket pair emission carrying both docs' n_fp."""
+    keys = t.column("fp_key").to_numpy(zero_copy_only=False)
+    docs = t.column("doc_id").to_numpy(zero_copy_only=False)
+    nfp = t.column("n_fp").to_numpy(zero_copy_only=False)
+    order = np.lexsort((docs, keys))
+    keys, docs, nfp = keys[order], docs[order], nfp[order]
+    n = keys.shape[0]
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "n_fp_a": pa.array([], pa.int32()),
+            "n_fp_b": pa.array([], pa.int32()),
+        }
+    )
+    if n < 2:
+        return empty
+    boundary = np.empty(n, dtype=bool)
+    boundary[0] = True
+    np.not_equal(keys[1:], keys[:-1], out=boundary[1:])
+    starts = np.flatnonzero(boundary)
+    sizes = np.diff(np.append(starts, n))
+    run_mask = (sizes >= 2) & (sizes <= max_postings)
+    out = {"a": [], "b": [], "n_fp_a": [], "n_fp_b": []}
+    for st, sz in zip(starts[run_mask], sizes[run_mask]):
+        d = docs[st : st + sz]
+        f = nfp[st : st + sz]
+        uniq, idx = np.unique(d, return_index=True)
+        if uniq.shape[0] < 2:
+            continue
+        f = f[idx]
+        ii, jj = np.triu_indices(uniq.shape[0], k=1)
+        out["a"].append(uniq[ii])
+        out["b"].append(uniq[jj])
+        out["n_fp_a"].append(f[ii])
+        out["n_fp_b"].append(f[jj])
+    if not out["a"]:
+        return empty
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out["a"]), type=pa.int64()),
+            "b": pa.array(np.concatenate(out["b"]), type=pa.int64()),
+            "n_fp_a": pa.array(np.concatenate(out["n_fp_a"]), type=pa.int32()),
+            "n_fp_b": pa.array(np.concatenate(out["n_fp_b"]), type=pa.int32()),
+        }
+    )
+
+
+def containment_pairs(
+    docs: Dataset, cfg: DedupConfig, num_buckets: int = 64
+) -> Dataset:
+    """docs -> (a, b, shared, coverage) containment candidate pairs.
+
+    coverage = shared fingerprints / min(|fp_a|, |fp_b|) — the fraction
+    of the smaller doc's windows found in the other (A4
+    percentOfSecondsWithMatches analog). Pairs below
+    ``cfg.containment_min_coverage`` are filtered out.
+    """
+    postings = fingerprint_postings(docs, cfg)
+    cap = cfg.containment_max_postings
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t.column("fp_key").to_numpy(zero_copy_only=False)
+        bucket = (k % num_buckets + num_buckets) % num_buckets
+        return t.append_column("bucket", pa.array(bucket.astype(I64), type=pa.int64()))
+
+    bucketed = postings.map_batches(add_bucket, batch_format="pyarrow")
+    pairs = bucketed.groupby("bucket").map_groups(
+        lambda t: _emit_fp_pairs(t, cap), batch_format="pyarrow"
+    )
+    agg = pairs.groupby(["a", "b"]).aggregate(
+        Count(alias_name="shared"),
+        Min("n_fp_a", alias_name="n_fp_a"),
+        Min("n_fp_b", alias_name="n_fp_b"),
+    )
+    min_cov = cfg.containment_min_coverage
+
+    def score(t: pa.Table) -> pa.Table:
+        shared = t.column("shared").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t.column("n_fp_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t.column("n_fp_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        denom = np.maximum(np.minimum(na, nb), 1.0)
+        cov = shared / denom
+        keep = cov >= min_cov
+        return pa.table(
+            {
+                "a": t.column("a"),
+                "b": t.column("b"),
+                "shared": t.column("shared"),
+                "coverage": pa.array(cov, type=pa.float64()),
+            }
+        ).filter(pa.array(keep))
+
+    return agg.map_batches(score, batch_format="pyarrow")
+
+
+def containment_stats(docs: Dataset, cfg: DedupConfig) -> dict:
+    """Hot-fingerprint skew metrics (dropped boilerplate keys)."""
+    postings = fingerprint_postings(docs, cfg)
+    sizes = postings.groupby("fp_key").aggregate(Count(alias_name="n"))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        hot = n > cfg.containment_max_postings
+        return pa.table(
+            {
+                "keys": pa.array([n.shape[0]], type=pa.int64()),
+                "postings": pa.array([int(n.sum())], type=pa.int64()),
+                "dropped_keys": pa.array([int(hot.sum())], type=pa.int64()),
+                "dropped_postings": pa.array([int(n[hot].sum())], type=pa.int64()),
+            }
+        )
+
+    parts = sizes.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    return {
+        "keys": int(parts["keys"].sum()),
+        "postings": int(parts["postings"].sum()),
+        "dropped_keys": int(parts["dropped_keys"].sum()),
+        "dropped_postings": int(parts["dropped_postings"].sum()),
+    }
