@@ -1,0 +1,177 @@
+"""Text-analysis operators over document tables.
+
+These are the training-data-pipeline operators the engine adds beyond
+the reference's own surface (BASELINE.md graft targets): language ID,
+quality scoring, token counting, rolling-hash document fingerprints.
+All are stateless vectorized ``map_batches`` stages; the lang-ID stage
+is a callable class (actor pool) because it compiles its stopword
+tables once (the ST1 reusable-state pattern,
+``PanakoStorageKV.java:82-131`` analog).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from raydedup.hashing import U64, rolling_hash_u64, fnv1a64
+
+# small built-in stopword profiles (n-gram heuristic, no external data)
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "was", "on"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu", "den"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pas", "pour", "que", "dans"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "no", "por", "que", "para"},
+    "it": {"il", "la", "le", "e", "è", "un", "una", "non", "per", "che", "con", "di"},
+    "nl": {"de", "het", "een", "en", "is", "niet", "van", "op", "dat", "voor", "met"},
+}
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count + BPE-ish subword estimate per doc.
+
+    ``n_tokens``: whitespace tokens. ``n_subwords``: a regex-free
+    deterministic estimate (~chars/4 per token, min 1) matching typical
+    BPE token rates on ASCII text.
+    """
+    texts = batch.column(text_col)
+    # vectorized whitespace-token count via Arrow kernels
+    trimmed = pc.utf8_trim_whitespace(texts)
+    n_tokens = pc.list_value_length(pc.utf8_split_whitespace(trimmed))
+    n_tokens = pc.if_else(pc.equal(pc.utf8_length(trimmed), 0), 0, n_tokens)
+    n_chars = pc.utf8_length(texts)
+    toks = n_tokens.to_numpy(zero_copy_only=False).astype(np.float64)
+    chars = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
+    subwords = np.where(
+        toks > 0, np.maximum(toks, np.ceil((chars - toks + 1) / 4.0)), 0
+    ).astype(np.int64)
+    return batch.append_column(
+        "n_tokens", pc.cast(n_tokens, pa.int64())
+    ).append_column("n_subwords", pa.array(subwords, type=pa.int64()))
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality heuristics: mean word length, punctuation ratio, digit
+    ratio, uppercase ratio, and a composite [0,1] quality score."""
+    texts = batch.column(text_col)
+    n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.float64)
+    trimmed = pc.utf8_trim_whitespace(texts)
+    n_tok = pc.list_value_length(pc.utf8_split_whitespace(trimmed))
+    n_tok = pc.if_else(pc.equal(pc.utf8_length(trimmed), 0), 0, n_tok)
+    n_tok = n_tok.to_numpy(zero_copy_only=False).astype(np.float64)
+
+    def count_matching(pattern: str) -> np.ndarray:
+        return (
+            pc.count_substring_regex(texts, pattern)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+
+    n_punct = count_matching(r"[\.,;:!\?]")
+    n_digit = count_matching(r"[0-9]")
+    n_upper = count_matching(r"[A-Z]")
+    denom = np.maximum(n_chars, 1.0)
+    mean_word_len = np.where(n_tok > 0, (n_chars - np.maximum(n_tok - 1, 0)) / np.maximum(n_tok, 1), 0.0)
+    punct_ratio = n_punct / denom
+    digit_ratio = n_digit / denom
+    upper_ratio = n_upper / denom
+    # composite: long-enough docs with word-like structure score high
+    score = np.clip(
+        np.minimum(n_tok / 50.0, 1.0)
+        * np.clip(1.0 - 2.0 * digit_ratio, 0.0, 1.0)
+        * np.clip(1.0 - 2.0 * np.maximum(punct_ratio - 0.15, 0.0), 0.0, 1.0)
+        * np.where((mean_word_len >= 2.0) & (mean_word_len <= 12.0), 1.0, 0.5),
+        0.0,
+        1.0,
+    )
+    out = batch
+    for name, arr in [
+        ("mean_word_len", mean_word_len),
+        ("punct_ratio", punct_ratio),
+        ("digit_ratio", digit_ratio),
+        ("upper_ratio", upper_ratio),
+        ("quality", score),
+    ]:
+        out = out.append_column(name, pa.array(arr, type=pa.float64()))
+    return out
+
+
+class LangIdKernel:
+    """Actor-pool language ID: stopword-profile voting + CJK char ratio.
+
+    Stopword tables are frozen sets built once per actor; per batch the
+    work is one pandas str.split + set intersections per row.
+    """
+
+    def __init__(self) -> None:
+        self.profiles = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs = []
+        confs = []
+        for t in texts:
+            t = t or ""
+            # CJK shortcut: any run of CJK chars dominates
+            cjk = sum(1 for ch in t[:400] if "一" <= ch <= "鿿")
+            if cjk > max(4, len(t[:400]) * 0.2):
+                langs.append("zh")
+                confs.append(min(1.0, cjk / max(len(t[:400]), 1)))
+                continue
+            words = t.lower().split()[:200]
+            if not words:
+                langs.append("und")
+                confs.append(0.0)
+                continue
+            ws = set(words)
+            best, best_hits = "und", 0
+            for lang, prof in self.profiles.items():
+                hits = len(ws & prof)
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            langs.append(best if best_hits >= 2 else "und")
+            confs.append(best_hits / 12.0)
+        return batch.append_column(
+            "lang_pred", pa.array(langs, type=pa.string())
+        ).append_column("lang_conf", pa.array(confs, type=pa.float64()))
+
+
+def doc_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit rolling-hash document fingerprint (first winnowed-min of
+    the whole doc) + FNV whole-text hash — the ``panako resolve`` /
+    content-hash analog (``util/FileUtils.java:483-510``)."""
+    texts = batch.column(text_col).to_pylist()
+    full = np.fromiter(
+        (fnv1a64((t or "").encode("utf-8")) for t in texts),
+        dtype=U64,
+        count=len(texts),
+    )
+    roll = np.empty(len(texts), dtype=U64)
+    for i, t in enumerate(texts):
+        data = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+        h = rolling_hash_u64(data, min(32, max(1, data.shape[0])))
+        roll[i] = h.min() if h.shape[0] else 0
+    return batch.append_column(
+        "text_hash", pa.array(full.view(np.int64), type=pa.int64())
+    ).append_column("rolling_fp", pa.array(roll.view(np.int64), type=pa.int64()))
+
+
+def doc_stats(docs: Dataset, by: str = "lang") -> Dataset:
+    """Grouped corpus statistics (A6 ``panako stats`` analog:
+    ``PanakoStorageKV.java:381-467``)."""
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    with_len = docs.map_batches(
+        lambda t: t.append_column("text_len", pc.cast(pc.utf8_length(t["text"]), pa.int64())),
+        batch_format="pyarrow",
+    )
+    return with_len.groupby(by).aggregate(
+        Count(alias_name="n_docs"),
+        Mean("text_len", alias_name="avg_len"),
+        Min("text_len", alias_name="min_len"),
+        Max("text_len", alias_name="max_len"),
+    )
