@@ -48,7 +48,7 @@ class DedupConfig:
     # --- containment / suffix pass (analog of monitor windowing,
     # OlafStrategy.java:561-573: 25 s windows, 5 s overlap)
     containment_window: int = 40  # chars per rolling-hash window
-    containment_stride: int = 16  # winnowing stride on the probe side
+    containment_stride: int = 32  # winnowing stride on the probe side
     containment_min_coverage: float = 0.20  # analog of percentOfSecondsWithMatches >= 0.2 (Key.java:205)
     containment_max_postings: int = 10  # fp keys shared by more docs are site-wide boilerplate -> dropped
 

@@ -47,7 +47,7 @@ from raydedup.stages.cluster import (
     cluster_pairs_driver,
 )
 from raydedup.stages.signatures import SignatureKernel
-from raydedup.stages.verify import verify_pairs
+from raydedup.stages.verify import verify_pairs, verify_pairs_small
 from raydedup.util import to_arrow_table
 
 
@@ -77,10 +77,8 @@ def exact_dedup_edges(docs: Dataset, num_buckets: int = 64) -> Dataset:
             if digests
             else np.empty(0, dtype=np.int64)
         ).astype(np.int64)
-        bucket = (key % num_buckets + num_buckets) % num_buckets
         return pa.table(
             {
-                "bucket": pa.array(bucket, type=pa.int64()),
                 "sha_key": pa.array(key, type=pa.int64()),
                 "doc_id": t.column("doc_id"),
                 "text_sha256": t.column("text_sha256"),
@@ -91,24 +89,30 @@ def exact_dedup_edges(docs: Dataset, num_buckets: int = 64) -> Dataset:
         add_key, batch_format="pyarrow"
     )
 
-    def emit(part: pd.DataFrame) -> pd.DataFrame:
-        # vectorized duplicate-group detection within one bucket
+    def emit(t: pa.Table) -> pa.Table:
+        # vectorized duplicate-group detection within one hash bucket
+        part = t.to_pandas()
         part = part.sort_values(["sha_key", "doc_id"], kind="mergesort")
         dup_keys = part["sha_key"].duplicated(keep=False)
         cand = part[dup_keys]
         if cand.empty:
-            return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
         grp = cand.groupby("text_sha256", sort=False)["doc_id"]
         rep = grp.transform("min")
         mask = cand["doc_id"].to_numpy() != rep.to_numpy()
-        return pd.DataFrame(
+        return pa.table(
             {
-                "a": rep.to_numpy()[mask].astype(np.int64),
-                "b": cand["doc_id"].to_numpy()[mask].astype(np.int64),
+                "a": pa.array(rep.to_numpy()[mask].astype(np.int64), type=pa.int64()),
+                "b": pa.array(cand["doc_id"].to_numpy()[mask].astype(np.int64), type=pa.int64()),
             }
         )
 
-    return keyed.groupby("bucket").map_groups(emit, batch_format="pandas")
+    import ray.data as rd
+
+    from raydedup.stages.exchange import hash_exchange_apply
+
+    edges = hash_exchange_apply(keyed, "sha_key", emit, num_buckets=num_buckets)
+    return rd.from_arrow(edges)
 
 
 _KERNELS: dict[Any, SignatureKernel] = {}
@@ -158,47 +162,79 @@ def run_dedup(
     cfg = cfg or DedupConfig()
     t0 = time.perf_counter()
     metrics: dict[str, Any] = {}
+    import ray
 
-    # --- exact dedup pre-pass (D1) ---------------------------------------
-    exact_edges = to_arrow_table(exact_dedup_edges(docs))
-    exact_members = set(exact_edges.column("b").to_pylist())
-    metrics["exact_edges"] = exact_edges.num_rows
-    t1 = time.perf_counter()
-    metrics["t_exact"] = t1 - t0
+    # Pin the extracted docs table once (it feeds the exact pass, the
+    # signature pass AND the containment pass — re-running extraction per
+    # consumer triples the read) and split it into enough blocks that
+    # every downstream map stage parallelizes across the cluster.
+    docs = docs.materialize()
+    n_docs = docs.count()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    target_blocks = int(min(max(2 * cpus, 8), max(1, n_docs // 512)))
+    if docs.num_blocks() < target_blocks:
+        docs = docs.repartition(target_blocks).materialize()
+    metrics["n_docs"] = n_docs
 
-    # --- signatures over unique-text docs (M1-M5) ------------------------
-    if exact_members:
-        import ray
+    # --- exact dedup pre-pass (D1), concurrent with the LSH path ----------
+    # The exact (sha256) exchange and the signature+LSH pipeline are
+    # independent until verification; running the exact pass on a side
+    # thread overlaps its (latency-dominated) exchange with the
+    # (compute-dominated) signature kernel.
+    import threading
 
-        members_ref = ray.put(np.array(sorted(exact_members), dtype=np.int64))
+    exact_result: dict[str, Any] = {}
 
-        def drop_members(t: pa.Table) -> pa.Table:
-            members = ray.get(members_ref)
-            ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            keep = ~np.isin(ids, members)
-            return t.filter(pa.array(keep))
+    def _exact_pass() -> None:
+        tbl = to_arrow_table(exact_dedup_edges(docs))
+        exact_result["edges"] = tbl
 
-        uniq_docs = docs.map_batches(drop_members, batch_format="pyarrow")
-    else:
-        uniq_docs = docs
-    # Materialized once: consumed by postings, band stats AND both sides of
-    # the verification join. In the checkpointed scale path this is the
-    # per-partition signatures Parquet write (analog of the .tdb
-    # fingerprint cache, OlafStorageFile.java:176-191); here it pins the
-    # compact signature table in the object store (spillable).
-    signatures = compute_signatures(uniq_docs, cfg).materialize()
+    exact_thread = threading.Thread(target=_exact_pass)
+    exact_thread.start()
 
-    # --- candidates (J1): minhash bands (+ simhash blocks) ----------------
+    # --- signatures (M1-M5) + candidates (J1) -----------------------------
+    # NOTE: exact-dup members are NOT dropped before signatures anymore —
+    # identical texts produce identical signatures and collapse into the
+    # same bands; the per-band doc dedup in pair emission plus the sha
+    # edges keep the result identical, while removing a blocking
+    # dependency on the exact pass. The signature lineage stays LAZY: its
+    # only consumer is the posting exchange, so blocks stream straight
+    # from kernel to split tasks without a materialize barrier.
+    signatures = compute_signatures(docs, cfg, keep_shingles=False)
     postings = band_postings(signatures, cfg)
     if use_simhash:
         postings = postings.union(simhash_postings(signatures, cfg))
     if collect_metrics:
-        metrics["band_stats"] = band_size_stats(band_postings(signatures, cfg), cfg)
-    # candidate pairs are post-LSH small; materializing avoids re-running
-    # the groupby lineage inside the verification join's shuffle
+        metrics["band_stats"] = band_size_stats(postings, cfg)
     candidates = postings_to_pairs(postings, cfg).materialize()
     n_candidates = candidates.count()
     metrics["candidate_pairs"] = n_candidates
+
+    exact_thread.join()
+    exact_edges = exact_result["edges"]
+    metrics["exact_edges"] = exact_edges.num_rows
+    t1 = time.perf_counter()
+    metrics["t_exact"] = t1 - t0
+
+    # Drop candidate pairs touching an exact-dup *member*: the member's
+    # representative has a byte-identical text, hence an identical
+    # signature and identical band candidates, so every dropped pair is
+    # mirrored by a rep pair — connectivity is preserved while the
+    # verification workload shrinks by the exact-dup share.
+    exact_members_arr = np.sort(
+        exact_edges.column("b").to_numpy(zero_copy_only=False)
+    )
+    if exact_members_arr.shape[0] and n_candidates:
+        import ray.data as rd
+
+        cand_tbl = to_arrow_table(candidates)
+        ca = cand_tbl.column("a").to_numpy(zero_copy_only=False)
+        cb = cand_tbl.column("b").to_numpy(zero_copy_only=False)
+        keep = ~(np.isin(ca, exact_members_arr) | np.isin(cb, exact_members_arr))
+        cand_tbl = cand_tbl.filter(pa.array(keep))
+        candidates = rd.from_arrow(cand_tbl)
+        n_candidates = cand_tbl.num_rows
+        metrics["candidate_pairs"] = n_candidates
     # --- verification (A1-A4 analog) --------------------------------------
     if n_candidates == 0:
         verified_tbl = pa.table(
@@ -206,40 +242,89 @@ def run_dedup(
              "jaccard": pa.array([], pa.float64())}
         )
     else:
-        verified = verify_pairs(candidates, signatures, cfg, num_partitions=num_partitions)
-        verified_tbl = to_arrow_table(verified)
+        # adaptive: small candidate-doc sets verify via broadcast lookup
+        # (no shuffle); big ones via the hash-partitioned join path
+        pair_tbl = to_arrow_table(candidates.select_columns(["a", "b"]))
+        pair_docs = np.unique(
+            np.concatenate(
+                [
+                    pair_tbl.column("a").to_numpy(zero_copy_only=False),
+                    pair_tbl.column("b").to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        if pair_docs.shape[0] <= 20_000:
+            verified_tbl = to_arrow_table(
+                verify_pairs_small(candidates, docs, cfg, pair_docs)
+            )
+        else:
+            from raydedup.stages.verify import verify_pairs_exchange
+
+            verified_tbl = verify_pairs_exchange(candidates, docs, cfg, pair_docs)
     t2 = time.perf_counter()
     metrics["t_candidates_verify"] = t2 - t1
     metrics["verified_pairs"] = verified_tbl.num_rows
 
-    # --- containment pass (W1 monitor-window analog) ----------------------
-    containment_tbl = pa.table(
-        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    # --- clustering round 1: exact + verified LSH edges -------------------
+    def _cluster(edges_df: pd.DataFrame) -> dict[int, int]:
+        if cfg.cluster_backend == "actors":
+            return cluster_pairs_actors(edges_df, n_shards=cfg.n_cluster_shards)
+        return cluster_pairs_driver(edges_df)
+
+    base_edges = pa.concat_tables(
+        [verified_tbl.select(["a", "b"]), exact_edges.select(["a", "b"])]
     )
+    components = _cluster(base_edges.to_pandas())
+    t3 = time.perf_counter()
+    metrics["t_cluster"] = t3 - t2
+
+    # --- containment pass (W1 monitor-window analog) ----------------------
+    # Runs over cluster REPRESENTATIVES + unclustered docs only (the
+    # SURVEY §3.3 sweep): near-dup members share ~every fingerprint with
+    # their representative, so sweeping all docs floods the fingerprint
+    # shuffle with redundant pair rows. Containment links found between
+    # reps/singletons are merged into the components in a second
+    # union-find round (transitivity re-attaches the members).
     if containment:
-        cont = containment_pairs(uniq_docs if exact_members else docs, cfg)
+        non_reps = np.array(
+            [k for k, v in components.items() if k != v], dtype=np.int64
+        )
+        if non_reps.shape[0]:
+            non_reps_ref = ray.put(np.sort(non_reps))
+
+            def drop_non_reps(t: pa.Table) -> pa.Table:
+                nr = ray.get(non_reps_ref)
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+                return t.filter(pa.array(~np.isin(ids, nr)))
+
+            cont_input = docs.map_batches(drop_non_reps, batch_format="pyarrow")
+        else:
+            cont_input = docs
+        cont = containment_pairs(cont_input, cfg)
         cont_schema = pa.schema(
             [("a", pa.int64()), ("b", pa.int64()),
              ("shared", pa.int64()), ("coverage", pa.float64())]
         )
-        containment_tbl = to_arrow_table(cont, empty_schema=cont_schema).select(["a", "b"])
+        containment_tbl = to_arrow_table(cont, empty_schema=cont_schema)
         metrics["containment_pairs"] = containment_tbl.num_rows
+        if containment_tbl.num_rows:
+            star = pd.DataFrame(
+                {
+                    "a": np.fromiter(components.values(), dtype=np.int64, count=len(components)),
+                    "b": np.fromiter(components.keys(), dtype=np.int64, count=len(components)),
+                }
+            )
+            merged = pd.concat(
+                [star, containment_tbl.select(["a", "b"]).to_pandas()],
+                ignore_index=True,
+            )
+            components = _cluster(merged)
+    metrics["t_containment"] = time.perf_counter() - t3
 
-    # --- clustering (union-find) ------------------------------------------
-    all_edges = pa.concat_tables(
-        [verified_tbl.select(["a", "b"]), exact_edges.select(["a", "b"]), containment_tbl]
-    )
-    edges_df = all_edges.to_pandas()
-    if cfg.cluster_backend == "actors":
-        components = cluster_pairs_actors(edges_df, n_shards=cfg.n_cluster_shards)
-    else:
-        components = cluster_pairs_driver(edges_df)
     metrics["n_dup_docs"] = len(components)
     metrics["n_clusters"] = len(set(components.values()))
     clusters = assignments_table(docs, components)
-    t3 = time.perf_counter()
-    metrics["t_cluster"] = t3 - t2
-    metrics["t_total"] = t3 - t0
+    metrics["t_total"] = time.perf_counter() - t0
 
     return DedupResult(
         clusters=clusters,

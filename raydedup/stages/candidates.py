@@ -101,7 +101,10 @@ def emit_pairs_partition(t: pa.Table | pd.DataFrame, max_postings: int) -> pa.Ta
     docs = docs[order]
     n = keys.shape[0]
     if n < 2:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "n_partial": pa.array([], pa.int64())}
+        )
     boundary = np.empty(n, dtype=bool)
     boundary[0] = True
     np.not_equal(keys[1:], keys[:-1], out=boundary[1:])
@@ -120,11 +123,28 @@ def emit_pairs_partition(t: pa.Table | pd.DataFrame, max_postings: int) -> pa.Ta
         out_a.append(d[ii])
         out_b.append(d[jj])
     if not out_a:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "n_partial": pa.array([], pa.int64())}
+        )
+    # partial (combiner) aggregation before the global (a, b) shuffle: a
+    # pair colliding in k bands of this bucket becomes one row with
+    # n_partial=k (pre-aggregate inside map, then a small groupby)
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    m = a.shape[0]
+    pb = np.empty(m, dtype=bool)
+    pb[0] = True
+    pb[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.flatnonzero(pb)
+    counts = np.diff(np.append(starts, m))
     return pa.table(
         {
-            "a": pa.array(np.concatenate(out_a), type=pa.int64()),
-            "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            "a": pa.array(a[starts], type=pa.int64()),
+            "b": pa.array(b[starts], type=pa.int64()),
+            "n_partial": pa.array(counts.astype(np.int64), type=pa.int64()),
         }
     )
 
@@ -140,25 +160,29 @@ def postings_to_pairs(
     inside — NOT one Python call per band key). num_buckets bounds
     per-task memory at scale: each task holds postings/num_buckets rows.
     """
+    import ray.data as rd
+
+    from raydedup.stages.exchange import hash_exchange_apply
+    from raydedup.stages.pair_agg import reduce_pair_table
+
     max_postings = cfg.max_band_postings
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        k = t.column("band_key").to_numpy(zero_copy_only=False)
-        bucket = (k % num_buckets + num_buckets) % num_buckets
-        return t.append_column("bucket", pa.array(bucket.astype(I64), type=pa.int64()))
-
-    bucketed = postings.map_batches(add_bucket, batch_format="pyarrow")
-    pairs = bucketed.groupby("bucket").map_groups(
-        lambda t: emit_pairs_partition(t, max_postings), batch_format="pyarrow"
+    partials = hash_exchange_apply(
+        postings,
+        "band_key",
+        lambda t: emit_pairs_partition(t, max_postings),
+        num_buckets=num_buckets,
     )
-    counted = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_collisions"))
+    # cross-bucket combine of the (already partially aggregated) pair
+    # rows — small by construction; at extreme scale this final combine
+    # would write per-bucket Parquet instead of returning to the driver
+    counted = reduce_pair_table(partials, sum_cols=["n_partial"]).rename_columns(
+        ["a", "b", "n_collisions"]
+    )
     if cfg.min_band_collisions > 1:
-        thr = cfg.min_band_collisions
-        counted = counted.map_batches(
-            lambda t: t.filter(pa.compute.greater_equal(t["n_collisions"], thr)),
-            batch_format="pyarrow",
+        counted = counted.filter(
+            pa.compute.greater_equal(counted["n_collisions"], cfg.min_band_collisions)
         )
-    return counted
+    return rd.from_arrow(counted)
 
 
 def band_size_stats(postings: Dataset, cfg: DedupConfig) -> dict:

@@ -90,6 +90,7 @@ def _emit_fp_pairs(t: pa.Table, max_postings: int) -> pa.Table:
         {
             "a": pa.array([], pa.int64()),
             "b": pa.array([], pa.int64()),
+            "shared_partial": pa.array([], pa.int64()),
             "n_fp_a": pa.array([], pa.int32()),
             "n_fp_b": pa.array([], pa.int32()),
         }
@@ -117,12 +118,29 @@ def _emit_fp_pairs(t: pa.Table, max_postings: int) -> pa.Table:
         out["n_fp_b"].append(f[jj])
     if not out["a"]:
         return empty
+    # partial (combiner) aggregation: a pair sharing m fingerprints in this
+    # bucket collapses to ONE row with shared=m before the global shuffle —
+    # near-dup pairs share hundreds of keys, so this cuts the exchanged
+    # rows by ~the per-bucket multiplicity (pre-aggregate-then-groupby)
+    a = np.concatenate(out["a"])
+    b = np.concatenate(out["b"])
+    fa = np.concatenate(out["n_fp_a"])
+    fb = np.concatenate(out["n_fp_b"])
+    order = np.lexsort((b, a))
+    a, b, fa, fb = a[order], b[order], fa[order], fb[order]
+    m = a.shape[0]
+    pb = np.empty(m, dtype=bool)
+    pb[0] = True
+    pb[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.flatnonzero(pb)
+    shared = np.diff(np.append(starts, m))
     return pa.table(
         {
-            "a": pa.array(np.concatenate(out["a"]), type=pa.int64()),
-            "b": pa.array(np.concatenate(out["b"]), type=pa.int64()),
-            "n_fp_a": pa.array(np.concatenate(out["n_fp_a"]), type=pa.int32()),
-            "n_fp_b": pa.array(np.concatenate(out["n_fp_b"]), type=pa.int32()),
+            "a": pa.array(a[starts], type=pa.int64()),
+            "b": pa.array(b[starts], type=pa.int64()),
+            "shared_partial": pa.array(shared.astype(np.int64), type=pa.int64()),
+            "n_fp_a": pa.array(fa[starts], type=pa.int32()),
+            "n_fp_b": pa.array(fb[starts], type=pa.int32()),
         }
     )
 
@@ -137,42 +155,47 @@ def containment_pairs(
     percentOfSecondsWithMatches analog). Pairs below
     ``cfg.containment_min_coverage`` are filtered out.
     """
+    import ray.data as rd
+
+    from raydedup.stages.exchange import hash_exchange_apply
+    from raydedup.stages.pair_agg import reduce_pair_table
+
     postings = fingerprint_postings(docs, cfg)
     cap = cfg.containment_max_postings
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        k = t.column("fp_key").to_numpy(zero_copy_only=False)
-        bucket = (k % num_buckets + num_buckets) % num_buckets
-        return t.append_column("bucket", pa.array(bucket.astype(I64), type=pa.int64()))
-
-    bucketed = postings.map_batches(add_bucket, batch_format="pyarrow")
-    pairs = bucketed.groupby("bucket").map_groups(
-        lambda t: _emit_fp_pairs(t, cap), batch_format="pyarrow"
-    )
-    agg = pairs.groupby(["a", "b"]).aggregate(
-        Count(alias_name="shared"),
-        Min("n_fp_a", alias_name="n_fp_a"),
-        Min("n_fp_b", alias_name="n_fp_b"),
+    # exchange 1: co-locate fp_key groups, emit per-bucket partial pairs
+    partial_refs = hash_exchange_apply(
+        postings,
+        "fp_key",
+        lambda t: _emit_fp_pairs(t, cap),
+        num_buckets=num_buckets,
+        collect=False,
     )
     min_cov = cfg.containment_min_coverage
 
-    def score(t: pa.Table) -> pa.Table:
-        shared = t.column("shared").to_numpy(zero_copy_only=False).astype(np.float64)
-        na = t.column("n_fp_a").to_numpy(zero_copy_only=False).astype(np.float64)
-        nb = t.column("n_fp_b").to_numpy(zero_copy_only=False).astype(np.float64)
-        denom = np.maximum(np.minimum(na, nb), 1.0)
-        cov = shared / denom
-        keep = cov >= min_cov
+    def combine_and_score(t: pa.Table) -> pa.Table:
+        agg = reduce_pair_table(
+            t, sum_cols=["shared_partial"], min_cols=["n_fp_a", "n_fp_b"]
+        ).rename_columns(["a", "b", "shared", "n_fp_a", "n_fp_b"])
+        shared = agg.column("shared").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = agg.column("n_fp_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = agg.column("n_fp_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        cov = shared / np.maximum(np.minimum(na, nb), 1.0)
         return pa.table(
             {
-                "a": t.column("a"),
-                "b": t.column("b"),
-                "shared": t.column("shared"),
+                "a": agg.column("a"),
+                "b": agg.column("b"),
+                "shared": agg.column("shared"),
                 "coverage": pa.array(cov, type=pa.float64()),
             }
-        ).filter(pa.array(keep))
+        ).filter(pa.array(cov >= min_cov))
 
-    return agg.map_batches(score, batch_format="pyarrow")
+    # exchange 2: cross-bucket combine keyed by `a` (a pair's partial
+    # rows always share `a`, so the reduce sees all of them); nothing
+    # heavier than the final pair list ever reaches the driver
+    out = hash_exchange_apply(
+        partial_refs, "a", combine_and_score, num_buckets=num_buckets
+    )
+    return rd.from_arrow(out)
 
 
 def containment_stats(docs: Dataset, cfg: DedupConfig) -> dict:

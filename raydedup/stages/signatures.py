@@ -115,14 +115,23 @@ def minhash_batch(
     offsets = np.zeros(n_docs, dtype=np.int64)
     np.cumsum(lens[:-1], out=offsets[1:])
     allsh = np.concatenate(shingle_sets) if n_docs > 1 else shingle_sets[0]
-    total = allsh.shape[0]
-    # chunk perms so total * chunk * 8 bytes stays bounded
-    chunk = max(1, min(n_perms, int(64e6 // max(8 * total, 1))))
-    for p0 in range(0, n_perms, chunk):
-        p1 = min(p0 + chunk, n_perms)
-        vals = allsh[:, None] * a[None, p0:p1] + b[None, p0:p1]  # u64 wraparound
-        mins = np.minimum.reduceat(vals, offsets, axis=0)
-        sig[:, p0:p1] = (mins >> U64(32)).astype(np.uint32)
+    # Process doc-groups whose (shingles x 128 perms x 8 B) intermediate
+    # fits in L2/L3 (~8 MB): the permuted-values matrix never touches
+    # DRAM, which keeps concurrent tasks from fighting over memory
+    # bandwidth (the kernel is traffic-bound, not FLOP-bound).
+    group_shingles = 2048  # 2 MB working set: stays cache-resident even with a full pool of concurrent tasks
+    ends = np.append(offsets[1:], allsh.shape[0])
+    d0 = 0
+    while d0 < n_docs:
+        d1 = d0 + 1
+        base = offsets[d0]
+        while d1 < n_docs and ends[d1 - 1] - base < group_shingles:
+            d1 += 1
+        seg = allsh[base : ends[d1 - 1]]
+        vals = seg[:, None] * a[None, :] + b[None, :]  # u64 wraparound
+        mins = np.minimum.reduceat(vals, offsets[d0:d1] - base, axis=0)
+        sig[d0:d1, :] = (mins >> U64(32)).astype(np.uint32)
+        d0 = d1
     return sig
 
 
@@ -185,8 +194,27 @@ class SignatureKernel:
         cfg = self.cfg
         texts = batch.column("text").to_pylist()
         doc_ids = batch.column("doc_id")
-        sets = [shingle_hashes(t if t is not None else "", cfg) for t in texts]
-        toks = [_token_hash_counts(t if t is not None else "") for t in texts]
+        # hash each doc's words ONCE; shingles and simhash tokens both
+        # derive from the same word-hash array
+        sets = []
+        toks = []
+        char_mode = cfg.shingle_mode == "char"
+        for t in texts:
+            t = t if t is not None else ""
+            words = tokenize(t)
+            wh = _WORD_CACHE.hash_words(words) if words else None
+            if char_mode:
+                sets.append(shingle_hashes(t, cfg))
+            else:
+                h = rolling_hash_u64(wh, cfg.shingle_k) if wh is not None else np.empty(0, U64)
+                if h.shape[0] == 0:
+                    h = np.array([fnv1a64(t.encode("utf-8"))], dtype=U64)
+                sets.append(np.unique(h))
+            if wh is None:
+                toks.append((np.array([fnv1a64(b"")], dtype=U64), np.ones(1, dtype=np.int64)))
+            else:
+                uniq, counts = np.unique(wh, return_counts=True)
+                toks.append((uniq, counts))
         sig = minhash_batch(sets, self.a, self.b)
         sim = simhash_batch(toks)
         bands = band_keys(sig, cfg)

@@ -67,6 +67,154 @@ def _auto_partitions() -> int:
     return max(2, min(64, cpus // 2))
 
 
+def verify_pairs_small(
+    pairs: Dataset,
+    docs: Dataset,
+    cfg: DedupConfig,
+    pair_doc_ids: np.ndarray,
+) -> Dataset:
+    """Broadcast-side verification for small candidate sets: the
+    candidate docs' TEXTS are semi-join-filtered from the docs table,
+    ray.put once, and shingle sets are recomputed inside the verify
+    tasks (cached per process) — shingle payloads are never
+    materialized or shuffled. The exchange path below is the scale path.
+    """
+    import ray
+
+    from raydedup.stages.signatures import shingle_hashes
+
+    ids_ref = ray.put(np.sort(pair_doc_ids))
+
+    def keep_candidates(t: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, wanted)))
+
+    subset = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(keep_candidates, batch_format="pyarrow")
+        .to_pandas()
+    )
+    text_map = dict(zip(subset["doc_id"].astype(int), subset["text"]))
+    map_ref = ray.put(text_map)
+    tau = cfg.jaccard_tau
+
+    def verify_batch(t: pa.Table) -> pa.Table:
+        tm = ray.get(map_ref)
+        cache: dict[int, np.ndarray] = {}
+
+        def sset(d: int) -> np.ndarray:
+            s = cache.get(d)
+            if s is None:
+                s = cache[d] = shingle_hashes(tm[d], cfg)
+            return s
+
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        jac = np.empty(a.shape[0], dtype=np.float64)
+        for i in range(a.shape[0]):
+            jac[i] = jaccard_sorted(sset(int(a[i])), sset(int(b[i])))
+        keep = jac >= tau
+        return pa.table(
+            {
+                "a": t.column("a"),
+                "b": t.column("b"),
+                "jaccard": pa.array(jac, type=pa.float64()),
+            }
+        ).filter(pa.array(keep))
+
+    return pairs.select_columns(["a", "b"]).map_batches(
+        verify_batch, batch_format="pyarrow"
+    )
+
+
+def verify_pairs_exchange(
+    pairs: Dataset,
+    docs: Dataset,
+    cfg: DedupConfig,
+    pair_doc_ids: np.ndarray,
+    num_buckets: int = 64,
+) -> pa.Table:
+    """Scale-path verification: two hash-exchange join rounds over the
+    candidate docs' TEXT.
+
+    Docs are semi-join-filtered to ids appearing in any pair (ids
+    broadcast — ids only, not payloads), then co-partitioned with the
+    pair table twice (on ``a``, then on ``b``); each bucket kernel
+    recomputes the shingle sets for its local docs once and verifies its
+    pairs. Shingle payloads are never materialized or shuffled — only
+    raw text moves, exactly twice, for candidate docs only.
+    """
+    import ray
+
+    from raydedup.stages.exchange import hash_exchange_join
+    from raydedup.stages.signatures import shingle_hashes
+
+    ids_ref = ray.put(np.sort(pair_doc_ids))
+
+    def keep_candidates(t: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, wanted)))
+
+    doc_subset = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(keep_candidates, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def attach_a(left: pa.Table, right: pa.Table) -> pa.Table:
+        texts = dict(
+            zip(right.column("doc_id").to_pylist(), right.column("text").to_pylist())
+        )
+        sets = {d: shingle_hashes(t, cfg) for d, t in texts.items()}
+        a = left.column("a").to_pylist()
+        return pa.table(
+            {
+                "a": left.column("a"),
+                "b": left.column("b"),
+                "shingles_a": pa.array(
+                    [sets[x].tobytes() for x in a], type=pa.large_binary()
+                ),
+            }
+        )
+
+    tau = cfg.jaccard_tau
+
+    def attach_b_and_verify(left: pa.Table, right: pa.Table) -> pa.Table:
+        texts = dict(
+            zip(right.column("doc_id").to_pylist(), right.column("text").to_pylist())
+        )
+        sets = {d: shingle_hashes(t, cfg) for d, t in texts.items()}
+        b = left.column("b").to_pylist()
+        sa = left.column("shingles_a").to_pylist()
+        jac = np.empty(len(b), dtype=np.float64)
+        for i in range(len(b)):
+            jac[i] = jaccard_sorted(np.frombuffer(sa[i], dtype=np.uint64), sets[b[i]])
+        keep = jac >= tau
+        return pa.table(
+            {
+                "a": left.column("a"),
+                "b": left.column("b"),
+                "jaccard": pa.array(jac, type=pa.float64()),
+            }
+        ).filter(pa.array(keep))
+
+    r1 = hash_exchange_join(
+        pairs.select_columns(["a", "b"]), doc_subset, "a", "doc_id", attach_a, num_buckets
+    )
+    r2 = hash_exchange_join(
+        r1, doc_subset, "b", "doc_id", attach_b_and_verify, num_buckets
+    )
+    parts = [t for t in ray.get(r2) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    return pa.concat_tables(parts)
+
+
 def verify_pairs(
     pairs: Dataset,
     signatures: Dataset,
