@@ -1,0 +1,197 @@
+"""CLI mirroring the reference's application surface.
+
+Verb map (Panako ``cli/*`` -> here):
+  store      build Parquet index from pages        (cli/Store.java)
+  query      match query pages against an index    (cli/Query.java)
+  monitor    windowed containment of one long text (cli/Monitor.java)
+  same       direct two-text similarity check      (cli/Same.java)
+  dedup      full self-join dedup + clustering     (cli/Deduplication.java)
+  stats      index/corpus statistics               (cli/Stats.java)
+  resolve    url -> doc_id                         (cli/Resolve.java)
+  clear      delete an index/checkpoint dir        (cli/Clear.java)
+
+Usage: python -m raydedup.cli <verb> [args...]  (run `<verb> -h` for
+flags). Owns its Ray session (the driver contract in __ray_entry__
+never calls ray.init; this CLI does, guarded).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import logging
+import os
+import shutil
+import sys
+
+
+def _init_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def _shutdown_ray() -> None:
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+def cmd_store(args: argparse.Namespace) -> int:
+    _init_ray()
+    from raydedup.pipelines.query import build_index
+
+    out = build_index(args.pages, args.index)
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    _init_ray()
+    import ray.data as rd
+
+    from raydedup.pipelines.query import query_index
+    from raydedup.sources.pages import pages_to_docs
+
+    q = pages_to_docs(rd.read_parquet(args.pages))
+    df = query_index(args.index, q, top_k=args.top_k)
+    print(df.to_csv(index=False))
+    return 0
+
+
+def cmd_monitor(args: argparse.Namespace) -> int:
+    _init_ray()
+    from raydedup.pipelines.query import monitor_text
+
+    text = open(args.textfile).read()
+    df = monitor_text(args.index, text)
+    print(df.to_csv(index=False))
+    return 0
+
+
+def cmd_same(args: argparse.Namespace) -> int:
+    from raydedup.stages.bruteforce import same_check
+
+    a = open(args.a).read()
+    b = open(args.b).read()
+    print(json.dumps(same_check(a, b)))
+    return 0
+
+
+def cmd_dedup(args: argparse.Namespace) -> int:
+    _init_ray()
+    from raydedup.config import DedupConfig
+    from raydedup.state.checkpoint import run_dedup_checkpointed
+
+    files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
+    out = run_dedup_checkpointed(
+        files, args.checkpoint, DedupConfig(), containment=not args.no_containment
+    )
+    print(json.dumps({"clusters": out["clusters_path"], **out["metrics"]}, default=str))
+    return 0
+
+
+def cmd_stats(args: argparse.Namespace) -> int:
+    _init_ray()
+    import ray.data as rd
+
+    from raydedup.config import DedupConfig
+    from raydedup.stages.candidates import band_postings, band_size_stats
+
+    sigs = rd.read_parquet(os.path.join(args.index, "signatures"))
+    docs = rd.read_parquet(os.path.join(args.index, "docs"))
+    cfg = DedupConfig()
+    stats = {
+        "n_docs": docs.count(),
+        "n_signatures": sigs.count(),
+        "band_index": band_size_stats(band_postings(sigs, cfg), cfg),
+    }
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_resolve(args: argparse.Namespace) -> int:
+    from raydedup.stages.extract import doc_ids_from_urls
+
+    for url in args.urls:
+        print(f"{url}\t{int(doc_ids_from_urls([url])[0])}")
+    return 0
+
+
+def cmd_clear(args: argparse.Namespace) -> int:
+    if os.path.exists(os.path.join(args.index, "manifest.json")):
+        shutil.rmtree(args.index)
+        print(f"cleared {args.index}")
+        return 0
+    print(f"refusing to delete {args.index}: no manifest.json (not an index dir)")
+    return 1
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="raydedup", description=__doc__)
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    s = sub.add_parser("store", help="build index from pages parquet")
+    s.add_argument("pages")
+    s.add_argument("index")
+    s.set_defaults(fn=cmd_store)
+
+    s = sub.add_parser("query", help="match query pages against index")
+    s.add_argument("index")
+    s.add_argument("pages")
+    s.add_argument("--top-k", type=int, default=10)
+    s.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("monitor", help="windowed containment of a text file")
+    s.add_argument("index")
+    s.add_argument("textfile")
+    s.set_defaults(fn=cmd_monitor)
+
+    s = sub.add_parser("same", help="direct two-file similarity check")
+    s.add_argument("a")
+    s.add_argument("b")
+    s.set_defaults(fn=cmd_same)
+
+    s = sub.add_parser("dedup", help="full dedup + clustering (resumable)")
+    s.add_argument("pages")
+    s.add_argument("checkpoint")
+    s.add_argument("--no-containment", action="store_true")
+    s.set_defaults(fn=cmd_dedup)
+
+    s = sub.add_parser("stats", help="index statistics")
+    s.add_argument("index")
+    s.set_defaults(fn=cmd_stats)
+
+    s = sub.add_parser("resolve", help="url -> doc_id")
+    s.add_argument("urls", nargs="+")
+    s.set_defaults(fn=cmd_resolve)
+
+    s = sub.add_parser("clear", help="delete an index/checkpoint dir")
+    s.add_argument("index")
+    s.set_defaults(fn=cmd_clear)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    finally:
+        _shutdown_ray()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

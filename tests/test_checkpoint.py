@@ -1,0 +1,77 @@
+"""Checkpoint/resume tests: kill-and-resume must reproduce the clusters
+of an uninterrupted run exactly (the north-rule resumability gate;
+analog of the .tdb cache + `panako load` path,
+``OlafStrategy.java:623-664``)."""
+
+import glob
+import json
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from raydedup.config import DedupConfig
+from raydedup.state.checkpoint import CheckpointManager, run_dedup_checkpointed
+
+
+def _pages_files(paths):
+    return sorted(glob.glob(os.path.join(paths["pages"], "*.parquet")))
+
+
+def _clusters_df(result) -> pd.DataFrame:
+    files = sorted(glob.glob(os.path.join(result["clusters_path"], "*.parquet")))
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return DedupConfig(batch_size=256)
+
+
+def test_uninterrupted_vs_killed_and_resumed(ray_session, small_corpus, tmp_path, cfg):
+    spec, paths = small_corpus
+    files = _pages_files(paths)
+    assert len(files) >= 4
+
+    # uninterrupted reference run
+    full = run_dedup_checkpointed(files, str(tmp_path / "full"), cfg)
+    assert full is not None
+    ref = _clusters_df(full)
+    assert len(ref) == spec.n_docs
+
+    # killed run: only 2 shards complete, then "crash"
+    kdir = str(tmp_path / "killed")
+    partial = run_dedup_checkpointed(files, kdir, cfg, max_shards=2)
+    assert partial is None
+    manifest = json.load(open(os.path.join(kdir, "manifest.json")))
+    assert sum(1 for s in manifest["shards"].values() if s["status"] == "done") == 2
+
+    # resume: remaining shards + global stages
+    resumed = run_dedup_checkpointed(files, kdir, cfg)
+    assert resumed is not None
+    assert resumed["metrics"]["resumed_shards"] == 2
+    got = _clusters_df(resumed)
+    pd.testing.assert_frame_equal(got, ref)
+
+
+def test_resume_skips_completed_stages(ray_session, small_corpus, tmp_path, cfg):
+    spec, paths = small_corpus
+    files = _pages_files(paths)
+    d = str(tmp_path / "rerun")
+    first = run_dedup_checkpointed(files, d, cfg)
+    m1 = json.load(open(os.path.join(d, "manifest.json")))
+    # second invocation must be a no-op (same manifest timestamps)
+    second = run_dedup_checkpointed(files, d, cfg)
+    m2 = json.load(open(os.path.join(d, "manifest.json")))
+    assert m1 == m2
+    pd.testing.assert_frame_equal(_clusters_df(first), _clusters_df(second))
+
+
+def test_config_change_invalidates_lineage(tmp_path, cfg):
+    mgr = CheckpointManager(str(tmp_path / "c"), cfg)
+    mgr.mark_shard("x:1", shard=0)
+    assert CheckpointManager(str(tmp_path / "c"), cfg).shard_done("x:1")
+    other = cfg.with_overrides(jaccard_tau=0.9)
+    assert not CheckpointManager(str(tmp_path / "c"), other).shard_done("x:1")

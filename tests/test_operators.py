@@ -1,0 +1,190 @@
+"""Unit tests for the secondary operators: exchange primitive, textstats,
+ANN, windows, multimodal plumbing, store/query lifecycle."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+# --- hash exchange primitive ------------------------------------------------
+
+
+def test_hash_exchange_groups_complete(rd):
+    from raydedup.stages.exchange import hash_exchange_apply
+
+    n = 10_000
+    rng = np.random.Generator(np.random.PCG64(1))
+    keys = rng.integers(-500, 500, size=n, dtype=np.int64)
+    vals = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    ).repartition(7)
+
+    def per_bucket_sum(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        b = np.empty(k.shape[0], dtype=bool)
+        b[0] = True
+        b[1:] = k[1:] != k[:-1]
+        st = np.flatnonzero(b)
+        return pa.table(
+            {
+                "k": pa.array(k[st], type=pa.int64()),
+                "s": pa.array(np.add.reduceat(v, st), type=pa.int64()),
+            }
+        )
+
+    got = hash_exchange_apply(ds, "k", per_bucket_sum, num_buckets=16).to_pandas()
+    want = pd.DataFrame({"k": keys, "s": vals}).groupby("k", as_index=False).sum()
+    got = got.sort_values("k").reset_index(drop=True)
+    want = want.sort_values("k").reset_index(drop=True).astype("int64")
+    pd.testing.assert_frame_equal(got.astype("int64"), want)
+
+
+# --- textstats --------------------------------------------------------------
+
+
+def test_token_counts_and_quality(rd):
+    from raydedup.stages.textstats import quality_score_batch, token_count_batch
+
+    t = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()), "text": ["a b  c", "", "Hello, World! 42"]}
+    )
+    tc = token_count_batch(t)
+    assert tc.column("n_tokens").to_pylist() == [3, 0, 3]
+    q = quality_score_batch(t)
+    assert q.column("punct_ratio").to_pylist()[1] == 0.0
+    assert q.column("digit_ratio").to_pylist()[2] == pytest.approx(2 / 16)
+
+
+def test_lang_id_kernel():
+    from raydedup.stages.textstats import LangIdKernel
+
+    k = LangIdKernel()
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "the cat and the dog sat on a mat for the day it was good",
+                "der hund und die katze ist ein tier mit den anderen nicht da",
+                "zzz qqq www",
+            ],
+        }
+    )
+    out = k(t)
+    assert out.column("lang_pred").to_pylist() == ["en", "de", "und"]
+
+
+# --- ANN --------------------------------------------------------------------
+
+
+def test_knn_and_ivf_agree_on_top1(rd):
+    from raydedup.stages.ann import knn_cosine_bruteforce, knn_cosine_ivf
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    vecs = rng.normal(size=(300, 16)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(300), type=pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+        }
+    )
+    ds = rd.from_arrow(t)
+    q = vecs[17]
+    bf = knn_cosine_bruteforce(ds, q, k=5)
+    assert bf["vec_id"].iloc[0] == 17 and bf["cosine"].iloc[0] == pytest.approx(1.0)
+    ivf = knn_cosine_ivf(ds, q, k=5, n_centroids=4, n_probe=4)  # all probes = exact
+    pd.testing.assert_frame_equal(bf, ivf)
+
+
+# --- windows ----------------------------------------------------------------
+
+
+def test_tumbling_window(rd):
+    from raydedup.stages.windows import tumbling_window_agg
+
+    ts = pa.array(
+        np.array([0, 10, 3600, 3660, 7200], dtype="int64") * 1_000_000
+    ).cast(pa.timestamp("us"))
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 1], pa.int64()),
+            "ts": ts,
+            "value": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    out = tumbling_window_agg(rd.from_arrow(t), window_s=3600).to_pandas()
+    out = out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    assert out["n_events"].tolist() == [2, 1, 1, 1]
+    assert out["sum_value"].tolist() == [3, 3, 5, 4]
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+def test_media_decode_stub_deterministic(rd):
+    from raydedup.stages.multimodal import decode_media, synthetic_media_table
+
+    ds = rd.from_arrow(synthetic_media_table(24))
+    out1 = decode_media(ds, concurrency=2, batch_size=8).to_pandas().sort_values("media_id")
+    out2 = decode_media(ds, concurrency=2, batch_size=8).to_pandas().sort_values("media_id")
+    assert out1.reset_index(drop=True).equals(out2.reset_index(drop=True))
+    assert set(out1.columns) == {"media_id", "kind", "mean_rgb", "brightness", "phash"}
+
+
+def test_media_real_decoder_is_stubbed():
+    from raydedup.stages.multimodal import MediaDecodeKernel
+
+    with pytest.raises(NotImplementedError):
+        MediaDecodeKernel(decoder="pil")
+
+
+def test_frame_sampling(rd):
+    from raydedup.stages.multimodal import frame_sample, synthetic_media_table
+
+    ds = rd.from_arrow(synthetic_media_table(12))
+    out = frame_sample(ds, every_n=10).to_pandas()
+    assert (out["frame_index"] % 10 == 0).all()
+    assert out.groupby("media_id").size().ge(1).all()
+
+
+# --- store / query lifecycle -----------------------------------------------
+
+
+def test_store_then_query_roundtrip(rd, small_corpus, tmp_path):
+    from raydedup.pipelines.query import build_index, query_index
+    from raydedup.sources.pages import pages_to_docs
+
+    spec, paths = small_corpus
+    idx = str(tmp_path / "idx")
+    out = build_index(paths["pages"], idx)
+    assert out["stored_shards"] >= 4
+
+    # querying the corpus's own first shard must match itself at 1.0
+    import glob
+
+    first = sorted(glob.glob(os.path.join(paths["pages"], "*.parquet")))[0]
+    q = pages_to_docs(rd.read_parquet(first))
+    df = query_index(idx, q, top_k=3)
+    # every query doc must have a perfect match (itself — or an exact
+    # copy of itself, which can legitimately outrank self within top-k)
+    best = df.groupby("query_doc_id")["jaccard"].max()
+    assert len(best) == q.count()
+    assert (best == 1.0).all()
+    assert (df[df.query_doc_id == df.match_doc_id]["jaccard"] == 1.0).all()
+
+    # store is resumable: second call skips all shards
+    out2 = build_index(paths["pages"], idx)
+    assert out2["stored_shards"] == 0 and out2["skipped_shards"] >= 4
