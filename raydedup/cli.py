@@ -8,6 +8,7 @@ Verb map (Panako ``cli/*`` -> here):
   dedup      full self-join dedup + clustering     (cli/Deduplication.java)
   stats      index/corpus statistics               (cli/Stats.java)
   resolve    url -> doc_id                         (cli/Resolve.java)
+  delete     remove docs from an index             (cli/Delete.java)
   clear      delete an index/checkpoint dir        (cli/Clear.java)
 
 Usage: python -m raydedup.cli <verb> [args...]  (run `<verb> -h` for
@@ -131,6 +132,13 @@ def cmd_resolve(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_delete(args: argparse.Namespace) -> int:
+    from raydedup.pipelines.query import delete_from_index
+
+    print(json.dumps(delete_from_index(args.index, args.urls)))
+    return 0
+
+
 def cmd_clear(args: argparse.Namespace) -> int:
     if os.path.exists(os.path.join(args.index, "manifest.json")):
         shutil.rmtree(args.index)
@@ -178,6 +186,11 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("resolve", help="url -> doc_id")
     s.add_argument("urls", nargs="+")
     s.set_defaults(fn=cmd_resolve)
+
+    s = sub.add_parser("delete", help="remove docs (by url) from an index")
+    s.add_argument("index")
+    s.add_argument("urls", nargs="+")
+    s.set_defaults(fn=cmd_delete)
 
     s = sub.add_parser("clear", help="delete an index/checkpoint dir")
     s.add_argument("index")

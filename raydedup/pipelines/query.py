@@ -256,3 +256,30 @@ def monitor_text(
     return pd.DataFrame(
         rows, columns=["win_start_token", "win_stop_token", "match_doc_id", "match_url", "coverage"]
     )
+
+
+def delete_from_index(index_dir: str, urls: list[str]) -> dict:
+    """``panako delete`` (D4 index subtraction, ``cli/Delete.java:66-130``):
+    remove docs by url from a stored index. Index-as-Parquet makes delete
+    a filter + rewrite of only the shards containing the victims; the
+    manifest keeps its lineage (shards stay marked done — their source
+    files have not changed, re-storing them would resurrect the docs,
+    which matches the reference's explicit-delete semantics)."""
+    from raydedup.stages.extract import doc_ids_from_urls
+    from raydedup.state.checkpoint import _atomic_write_table
+
+    victim_ids = set(int(x) for x in doc_ids_from_urls(urls))
+    removed = 0
+    touched = 0
+    for sub in ("docs", "signatures"):
+        for f in sorted(glob.glob(os.path.join(index_dir, sub, "*.parquet"))):
+            t = pq.read_table(f)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = np.fromiter((int(i) not in victim_ids for i in ids), dtype=bool, count=ids.shape[0])
+            if mask.all():
+                continue
+            if sub == "docs":
+                removed += int((~mask).sum())
+            _atomic_write_table(t.filter(pa.array(mask)), f)
+            touched += 1
+    return {"removed_docs": removed, "rewritten_shards": touched}
