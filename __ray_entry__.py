@@ -297,6 +297,104 @@ def _q_dedup_rate(sf_dir: str):
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 
 
+def _q_lineitem_agg(sf_dir: str):
+    """Relational surface (A6/K): grouped lineitem aggregate with a
+    date filter — filter + groupby + exact integer aggregates."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    li = _read(sf_dir, "lineitem")
+    cutoff = np.datetime64("1998-09-01T00:00:00", "us").astype("int64")
+
+    def prep(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = ship <= cutoff
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": pa.array(np.rint(qty).astype(np.int64), type=pa.int64()),
+                "price_cents": pa.array(
+                    np.rint(price * 100).astype(np.int64), type=pa.int64()
+                ),
+            }
+        ).filter(pa.array(keep))
+
+    df = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Max("qty", alias_name="max_qty"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def _q_orders_by_segment(sf_dir: str):
+    """Relational join (J2 analog): orders x customer grouped by market
+    segment — Dataset.join + groupby with exact integer sums."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "price_cents": pa.array(np.rint(v * 100).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    orders = orders.map_batches(cents, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=4, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    df = (
+        joined.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="sum_price_cents"))
+        .to_pandas()
+    )
+    return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def _q_top_customers(sf_dir: str):
+    """K3 top-k over a join: top-10 customers by total order value."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "price_cents": pa.array(np.rint(v * 100).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    totals = (
+        orders.map_batches(cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("price_cents", alias_name="sum_price_cents"))
+        .to_pandas()
+    )
+    totals = totals.sort_values(
+        ["sum_price_cents", "o_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_name"]).to_pandas()
+    out = totals.merge(cust, left_on="o_custkey", right_on="c_custkey")[
+        ["o_custkey", "c_name", "sum_price_cents"]
+    ]
+    return out.reset_index(drop=True)
+
+
 def _q_minhash_signatures(sf_dir: str):
     """M1-M5: signature table (doc_id, simhash, n_shingles)."""
     from raydedup.config import DedupConfig
@@ -424,6 +522,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_stats": _q_events_type_stats,
         "top_users_by_value": _q_top_users_by_value,
         "dedup_rate": _q_dedup_rate,
+        "lineitem_agg": _q_lineitem_agg,
+        "orders_by_segment": _q_orders_by_segment,
+        "top_customers": _q_top_customers,
         # rows-only
         "minhash_signatures": _q_minhash_signatures,
         "lsh_candidates": _q_lsh_candidates,
@@ -568,6 +669,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events GROUP BY user_id
             ORDER BY sum_cents DESC, user_id ASC LIMIT 10
+        """,
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   CAST(max(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS max_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "orders_by_segment": """
+            SELECT c.c_mktsegment,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                     AS sum_price_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+        """,
+        "top_customers": """
+            SELECT o.o_custkey,
+                   any_value(c.c_name) AS c_name,
+                   CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                     AS sum_price_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY o.o_custkey
+            ORDER BY sum_price_cents DESC, o.o_custkey ASC LIMIT 10
         """,
         "dedup_rate": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs,

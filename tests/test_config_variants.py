@@ -1,0 +1,64 @@
+"""Degraded/alternate-config e2e runs (the "over the air" analog:
+``OlafStorageKVTest.java:128-137`` runs the same harness under altered
+config). Char-shingle mode and actor clustering must still clear the
+recall gate on the planted corpus."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from raydedup.config import DedupConfig
+from raydedup.pipelines.dedup import run_dedup
+from raydedup.sources.pages import pages_to_docs, read_pages
+from raydedup.stages.extract import doc_ids_from_urls
+
+
+def _recall(paths, cl, kinds=("exact", "near"), tau=0.8):
+    oc = pq.read_table(paths["oracle_clusters"]).to_pandas()
+    op = pq.read_table(paths["oracle_pairs"]).to_pandas()
+    url2id = dict(zip(oc.url, doc_ids_from_urls(oc.url.tolist())))
+    cmap = dict(zip(cl.doc_id, cl.cluster_id))
+    incl = op[(op.kind.isin(kinds)) & (op.jaccard_true >= tau)]
+    hits = sum(cmap[url2id[a]] == cmap[url2id[b]] for a, b in zip(incl.a_url, incl.b_url))
+    bp = op[op.kind == "boilerplate-twin"]
+    merges = sum(cmap[url2id[a]] == cmap[url2id[b]] for a, b in zip(bp.a_url, bp.b_url))
+    return hits / max(len(incl), 1), merges
+
+
+def test_char_shingle_mode(ray_session, small_corpus):
+    """char 9-gram shingles instead of word 5-grams: different feature
+    space, same acceptance gates (word-level jaccard_true >= 0.8 pairs
+    have char-level similarity well above tau too)."""
+    spec, paths = small_corpus
+    docs = pages_to_docs(read_pages(paths["pages"]))
+    cfg = DedupConfig(batch_size=256, shingle_mode="char", jaccard_tau=0.6)
+    res = run_dedup(docs, cfg)
+    cl = res.clusters.to_pandas()
+    recall, merges = _recall(paths, cl)
+    assert recall >= 0.99
+    assert merges == 0
+
+
+def test_actor_cluster_backend_e2e(ray_session, small_corpus):
+    spec, paths = small_corpus
+    docs = pages_to_docs(read_pages(paths["pages"]))
+    cfg = DedupConfig(batch_size=256, cluster_backend="actors", n_cluster_shards=3)
+    res = run_dedup(docs, cfg)
+    cl = res.clusters.to_pandas()
+    recall, merges = _recall(paths, cl)
+    assert recall >= 0.99
+    assert merges == 0
+
+
+def test_stricter_tau_rejects_near_pairs(ray_session, small_corpus):
+    """tau=0.99 keeps exact dups together but splits near-dups —
+    verification threshold actually gates the output."""
+    spec, paths = small_corpus
+    docs = pages_to_docs(read_pages(paths["pages"]))
+    res = run_dedup(docs, DedupConfig(batch_size=256, jaccard_tau=0.999))
+    cl = res.clusters.to_pandas()
+    recall_exact, merges = _recall(paths, cl, kinds=("exact",), tau=0.0)
+    assert recall_exact == 1.0
+    recall_near, _ = _recall(paths, cl, kinds=("near",), tau=0.8)
+    assert recall_near < 0.7
+    assert merges == 0

@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis) for the core kernels — the
+determinism/"same on each platform" style the reference pins with
+constants (``UtilsTest.java:33-43``), generalized to random inputs."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from raydedup.config import DedupConfig
+from raydedup.hashing import hash_strings_u64, mix64, rolling_hash_u64
+from raydedup.stages.cluster import UnionFind
+from raydedup.stages.containment import winnowed_fingerprints
+from raydedup.stages.signatures import hamming64, shingle_hashes
+from raydedup.stages.verify import jaccard_sorted
+
+CFG = DedupConfig()
+
+
+@given(st.lists(st.text(min_size=0, max_size=30), min_size=1, max_size=50))
+@settings(max_examples=50, deadline=None)
+def test_string_hash_injective_enough_and_stable(strs):
+    h1 = hash_strings_u64(strs)
+    h2 = hash_strings_u64(strs)
+    np.testing.assert_array_equal(h1, h2)
+    # equal strings hash equal; the map is a pure function
+    for i, a in enumerate(strs):
+        for j, b in enumerate(strs):
+            if a == b:
+                assert h1[i] == h1[j]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=200),
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=200),
+)
+@settings(max_examples=50, deadline=None)
+def test_jaccard_matches_set_reference(xs, ys):
+    a = np.unique(np.array(xs, dtype=np.uint64))
+    b = np.unique(np.array(ys, dtype=np.uint64))
+    got = jaccard_sorted(a, b)
+    sa, sb = set(a.tolist()), set(b.tolist())
+    want = len(sa & sb) / len(sa | sb)
+    assert got == want
+
+
+@given(st.data())
+@settings(max_examples=30, deadline=None)
+def test_winnowing_guarantee_property(data):
+    """Any shared substring of length >= w + s - 1 yields >= 1 shared
+    selected fingerprint (the winnowing theorem)."""
+    w, s = 16, 8
+    alpha = st.text(alphabet="abcdefg ", min_size=w + s - 1, max_size=60)
+    shared = data.draw(alpha)
+    pre = data.draw(st.text(alphabet="xyzuvw ", min_size=0, max_size=40))
+    post = data.draw(st.text(alphabet="qrstmn ", min_size=0, max_size=40))
+    t1 = pre + shared + post
+    t2 = "KKK " + shared + " JJJ"
+    f1 = winnowed_fingerprints(t1, w, s)
+    f2 = winnowed_fingerprints(t2, w, s)
+    assert np.intersect1d(f1, f2).shape[0] >= 1
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_shingles_always_nonempty_sorted_unique(text):
+    s = shingle_hashes(text, CFG)
+    assert s.shape[0] >= 1
+    assert np.all(np.diff(s.astype(object)) > 0)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.integers(min_value=0, max_value=60),
+        ),
+        min_size=0,
+        max_size=200,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_unionfind_roots_are_component_minima(edges):
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    comp = uf.components()
+    # build reference components by BFS
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen = set()
+    for start in adj:
+        if start in seen:
+            continue
+        stack, members = [start], set()
+        while stack:
+            x = stack.pop()
+            if x in members:
+                continue
+            members.add(x)
+            stack.extend(adj[x] - members)
+        seen |= members
+        root = min(members)
+        for m in members:
+            assert comp[m] == root
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=64))
+@settings(max_examples=50, deadline=None)
+def test_hamming_symmetry_and_identity(vals):
+    a = np.array(vals, dtype=np.uint64)
+    assert (hamming64(a, a) == 0).all()
+    b = np.roll(a, 1)
+    np.testing.assert_array_equal(hamming64(a, b), hamming64(b, a))
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=3, max_size=100))
+@settings(max_examples=30, deadline=None)
+def test_rolling_hash_locality(vals):
+    """Equal windows hash equal regardless of position."""
+    arr = np.array(vals, dtype=np.uint64)
+    k = 3
+    h = rolling_hash_u64(arr, k)
+    twice = np.concatenate([arr, arr])
+    h2 = rolling_hash_u64(twice, k)
+    np.testing.assert_array_equal(h, h2[: h.shape[0]])
+    np.testing.assert_array_equal(h, h2[arr.shape[0] :])
