@@ -42,8 +42,15 @@ class DedupConfig:
 
     # --- skew handling (north-rule requirement; reference has none --
     # a hot LMDB key is just a long duplicate chain, PanakoStorageKV.java:335-370)
-    max_band_postings: int = 1000  # bands with more postings are dropped + logged
-    salt_band_postings: int = 200  # bands above this are salted into sub-groups
+    # Hot-key policy: runs above max_band_postings are degenerate
+    # boilerplate -> dropped + counted (a 1000-posting band would emit
+    # 500k junk pairs). Runs between salt_band_postings and the cap are
+    # "hot": they stay correct because pair emission is a vectorized
+    # kernel over a hash BUCKET (~1/64th of the keyspace), so one hot
+    # run costs one numpy triu, not a straggler task; the count of such
+    # runs is surfaced in band_size_stats()/containment_stats() metrics.
+    max_band_postings: int = 1000
+    salt_band_postings: int = 200
 
     # --- containment / suffix pass (analog of monitor windowing,
     # OlafStrategy.java:561-573: 25 s windows, 5 s overlap)
