@@ -51,7 +51,9 @@ def run_bench() -> dict:
     # --- headline: full dedup (incl. containment) over the synthetic
     # pages corpus at bench scale ---------------------------------------
     spec = CorpusSpec(n_docs=BENCH_DOCS, seed=42)
-    paths = materialize_corpus(BENCH_DIR, spec, n_files=32)
+    # n_files must match any pre-generated cache or the corpus regenerates
+    n_files = 32 if BENCH_DOCS < 500_000 else 64
+    paths = materialize_corpus(BENCH_DIR, spec, n_files=n_files)
     cfg = DedupConfig(batch_size=2048)
 
     # warm the page cache (untimed read) so we measure compute + shuffle
