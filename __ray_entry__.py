@@ -476,6 +476,50 @@ def _q_knn_cosine_ivf(sf_dir: str):
     return knn_cosine_ivf(emb, q, k=10, n_centroids=8, n_probe=4)[["vec_id", "cosine"]]
 
 
+def _q_knn_cosine_lsh(sf_dir: str):
+    """ANN scale path 2: random-hyperplane LSH buckets (approximate)."""
+    from raydedup.stages.ann import knn_cosine_lsh
+
+    emb = _read(sf_dir, "embeddings")
+    q = np.asarray(emb.limit(1).to_pandas()["embedding"][0], dtype=np.float32)
+    return knn_cosine_lsh(emb, q, k=10)[["vec_id", "cosine"]]
+
+
+def _q_store_query(sf_dir: str):
+    """S3/J1-J2 store+query lifecycle: index the documents table, query
+    the first 50 docs against it; every query doc must find a perfect
+    match (itself)."""
+    import glob
+    import tempfile
+
+    import ray.data as rd
+
+    from raydedup.pipelines.query import query_index
+    from raydedup.pipelines.dedup import compute_signatures
+    from raydedup.config import DedupConfig
+    from raydedup.state.checkpoint import CheckpointManager, _atomic_write_table
+    from raydedup.util import to_arrow_table
+
+    cfg = DedupConfig(batch_size=1024)
+    idx = os.path.join(tempfile.gettempdir(), f"rayentry_idx_{abs(hash(sf_dir)) % 10**8}")
+    mgr = CheckpointManager(idx, cfg)
+    if not mgr.shard_done("docs:0"):
+        docs = _docs(sf_dir).materialize()
+        sig = compute_signatures(docs, cfg, keep_shingles=False)
+        _atomic_write_table(
+            to_arrow_table(docs.map_batches(
+                lambda t: t.append_column("url", t.column("source")) if "url" not in t.column_names else t,
+                batch_format="pyarrow")),
+            mgr.path("docs", "shard=00000.parquet"),
+        )
+        _atomic_write_table(to_arrow_table(sig), mgr.path("signatures", "shard=00000.parquet"))
+        mgr.mark_shard("docs:0", shard=0)
+    q = _docs(sf_dir).limit(50)
+    df = query_index(idx, q, top_k=3)
+    df = df[["query_doc_id", "match_doc_id", "n_collisions", "rank"]]
+    return df.sort_values(["query_doc_id", "rank"]).reset_index(drop=True)
+
+
 def _q_containment_winnowed(sf_dir: str):
     """W1 scale path: winnowed containment candidates with coverage."""
     from raydedup.config import DedupConfig
@@ -532,6 +576,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
         "knn_cosine_ivf": _q_knn_cosine_ivf,
+        "knn_cosine_lsh": _q_knn_cosine_lsh,
+        "store_query": _q_store_query,
         "embedding_neardup_bucketed": _q_embedding_neardup_bucketed,
         "containment_winnowed": _q_containment_winnowed,
         "sliding_windows": _q_sliding_windows,

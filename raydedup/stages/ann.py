@@ -194,6 +194,63 @@ def embedding_neardup_pairs(
     return out.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def knn_cosine_lsh(
+    embeddings: Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 0x5EED_11A5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Random-hyperplane (sign) LSH top-k: vectors sharing the query's
+    sign-pattern bucket in ANY of ``n_tables`` tables are scanned
+    exactly. Alternative scale path to IVF (no training pass; buckets
+    are data-independent)."""
+    dim = np.asarray(query).shape[-1]
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.normal(size=(n_tables, n_planes, dim))
+    qn = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))
+    q_codes = np.array(
+        [int((planes[t] @ qn.ravel() > 0).astype(np.uint64) @ (1 << np.arange(n_planes, dtype=np.uint64))) for t in range(n_tables)],
+        dtype=np.uint64,
+    )
+    planes_ref = ray.put(planes)
+    qcodes_ref = ray.put(q_codes)
+    q_ref = ray.put(qn)
+
+    def topk_batch(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        qc = ray.get(qcodes_ref)
+        q = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        powers = 1 << np.arange(pl.shape[1], dtype=np.uint64)
+        mask = np.zeros(m.shape[0], dtype=bool)
+        for t in range(pl.shape[0]):
+            codes = ((m @ pl[t].T) > 0).astype(np.uint64) @ powers
+            mask |= codes == qc[t]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[mask]
+        sims = (m[mask] @ q.T).ravel()
+        take = min(k, sims.shape[0])
+        if take == 0:
+            return pa.table({id_col: pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
+        idx = np.argpartition(-sims, take - 1)[:take]
+        return pa.table(
+            {
+                id_col: pa.array(ids[idx]),
+                "cosine": pa.array(sims[idx].astype(np.float64), type=pa.float64()),
+            }
+        )
+
+    local = embeddings.select_columns([id_col, vec_col]).map_batches(
+        topk_batch, batch_format="pyarrow"
+    )
+    df = local.to_pandas()
+    df = df.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort")
+    return df.head(k).reset_index(drop=True)
+
+
 def embedding_neardup_bruteforce(
     embeddings: Dataset,
     threshold: float = 0.4,
