@@ -545,6 +545,7 @@ def _q_sliding_windows(sf_dir: str):
 
     ev = ev.map_batches(to_cents, batch_format="pyarrow")
     df = sliding_window_agg(ev, window_s=3600, step_s=900).to_pandas()
+    df = df[["user_id", "window_start", "n_events", "sum_value"]]
     return df.sort_values(["user_id", "window_start"]).reset_index(drop=True)
 
 
@@ -743,6 +744,21 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY o.o_custkey
             ORDER BY sum_price_cents DESC, o.o_custkey ASC LIMIT 10
+        """,
+        "sliding_windows": """
+            WITH cents AS (
+              SELECT user_id, ts, CAST(round(value*100,0) AS BIGINT) AS v FROM events
+            ), win AS (
+              SELECT c.user_id,
+                     to_timestamp((floor(epoch(c.ts)/900) - g.g) * 900)::TIMESTAMP AS window_start,
+                     c.v
+              FROM cents c CROSS JOIN (SELECT unnest(range(0, 4)) AS g) g
+              WHERE epoch(c.ts) < (floor(epoch(c.ts)/900) - g.g) * 900 + 3600
+            )
+            SELECT user_id, window_start,
+                   count(*) AS n_events,
+                   CAST(sum(v) AS BIGINT) AS sum_value
+            FROM win GROUP BY 1, 2 ORDER BY user_id, window_start
         """,
         "dedup_rate": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs,

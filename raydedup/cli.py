@@ -101,7 +101,7 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     out = run_dedup_checkpointed(
         files, args.checkpoint, DedupConfig(), containment=not args.no_containment
     )
-    print(json.dumps({"clusters": out["clusters_path"], **out["metrics"]}, default=str))
+    print(json.dumps({"clusters_dir": out["clusters_path"], **out["metrics"]}, default=str))
     return 0
 
 

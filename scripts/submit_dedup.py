@@ -21,6 +21,10 @@ import glob
 import json
 import logging
 import os
+import sys
+
+# repo root on sys.path so `ray job submit --working-dir .` finds the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
@@ -50,7 +54,7 @@ def main() -> int:
     out = run_dedup_checkpointed(
         files, args.checkpoint, DedupConfig(), containment=not args.no_containment
     )
-    print(json.dumps({"clusters": out["clusters_path"], **out["metrics"]}, default=str))
+    print(json.dumps({"clusters_dir": out["clusters_path"], **out["metrics"]}, default=str))
     ray.shutdown()
     return 0
 
