@@ -1,0 +1,187 @@
+"""Driver-light distributed clustering: edges never touch the driver.
+
+The scale companion to ``stages/cluster.py``: edge tables stay as
+object-store refs; remote ROUTER tasks read each table and push its
+edges to the union-find shard actors; contraction rounds emit spanning
+forests as tables (refs); pointer-jumping exchanges collapse
+cross-shard chains; the final (doc_id, cluster_id) map is a Dataset of
+refs, never a driver dict. Driver memory is O(num_buckets + num_shards)
+regardless of corpus size — the requirement a 10^12-doc corpus imposes
+(cf. BTS load-balanced distributed union-find, PAPERS.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from raydedup.stages.cluster import UnionFind, UnionFindShard
+
+
+@ray.remote
+def _route_table(shards: list, n_shards: int, table: pa.Table) -> int:
+    """Read one edge table and push its edges to the owning shards
+    (called as a task — edges go object store -> task -> actor, not
+    through the driver)."""
+    if table.num_rows == 0:
+        return 0
+    a = table.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = table.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    dest = (lo % n_shards + n_shards) % n_shards
+    futs = []
+    for s in range(n_shards):
+        m = dest == s
+        if m.any():
+            futs.append(shards[s].add_edges.remote(lo[m], hi[m]))
+    ray.get(futs)
+    return int(a.shape[0])
+
+
+@ray.remote
+def _contract_to_table(shard) -> pa.Table:
+    a, b = ray.get(shard.contract.remote())
+    return pa.table(
+        {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
+    )
+
+
+def _pointer_jump(forest_refs: list, num_buckets: int, max_rounds: int = 48) -> list:
+    """Collapse parent chains (m -> p, p -> r  =>  m -> r) without the
+    driver: each round exchange-joins the forest with itself on
+    (parent == member). Roots are strictly decreasing, so depth shrinks
+    geometrically (depth 2^rounds), so 48 rounds covers any physical
+    chain; convergence = zero changed rows (a per-bucket count, the only
+    thing the driver sees) exits far earlier in practice."""
+    from raydedup.stages.exchange import hash_exchange_join
+
+    for _ in range(max_rounds):
+        changed_refs = []
+
+        def jump(left: pa.Table, right: pa.Table) -> pa.Table:
+            # left: edges keyed by parent a; right: edges keyed by member b
+            # (same forest) -> replace left's parent with its grandparent
+            parent_of = dict(
+                zip(
+                    right.column("b").to_pylist(),
+                    right.column("a").to_pylist(),
+                )
+            )
+            a = left.column("a").to_pylist()
+            new_a = [parent_of.get(x, x) for x in a]
+            n_changed = sum(1 for x, y in zip(a, new_a) if x != y)
+            out = pa.table(
+                {
+                    "a": pa.array(new_a, type=pa.int64()),
+                    "b": left.column("b"),
+                    "_changed": pa.array([n_changed] * len(a) if a else [], type=pa.int64()),
+                }
+            )
+            return out
+
+        joined = hash_exchange_join(
+            forest_refs, forest_refs, "a", "b", jump, num_buckets=num_buckets
+        )
+
+        @ray.remote
+        def strip(t: pa.Table):
+            ch = t.column("_changed")
+            n = int(ch[0].as_py()) if t.num_rows else 0
+            return t.drop_columns(["_changed"]), n
+
+        stripped = [strip.options(num_returns=2).remote(r) for r in joined]
+        forest_refs = [s[0] for s in stripped]
+        changed = sum(ray.get([s[1] for s in stripped]))
+        if changed == 0:
+            break
+    return forest_refs
+
+
+@ray.remote
+def _route_by_member(shards: list, n_shards: int, table: pa.Table) -> int:
+    if table.num_rows == 0:
+        return 0
+    a = table.column("a").to_numpy(zero_copy_only=False)
+    b = table.column("b").to_numpy(zero_copy_only=False)
+    dest = (b % n_shards + n_shards) % n_shards
+    futs = []
+    for s in range(n_shards):
+        m = dest == s
+        if m.any():
+            futs.append(shards[s].add_edges.remote(a[m], b[m]))
+    ray.get(futs)
+    return int(a.shape[0])
+
+
+@ray.remote
+def _edge_sig(table: pa.Table) -> tuple[int, int]:
+    """Order-insensitive (count, xor-of-mixed-pair-hash) signature."""
+    from raydedup.hashing import U64, hash_pair_u64
+
+    if table.num_rows == 0:
+        return (0, 0)
+    a = table.column("a").to_numpy(zero_copy_only=False).view(U64)
+    b = table.column("b").to_numpy(zero_copy_only=False).view(U64)
+    h = hash_pair_u64(a, b)
+    return (int(table.num_rows), int(np.bitwise_xor.reduce(h)))
+
+
+def cluster_edge_refs(
+    edge_refs: list, n_shards: int = 8, num_buckets: int = 32, max_rounds: int = 32
+) -> list:
+    """Edge table refs -> component forest refs (a=root, b=member).
+
+    Round 0 routes raw edges by min endpoint; every later round routes
+    the contracted spanning edges by MEMBER, so a member with parents in
+    several shards gets them merged (multi-parent conflicts co-locate at
+    shard(member)). Rounds repeat until the edge multiset is stable
+    (checked with per-shard order-insensitive signatures — bytes to the
+    driver, never edges); at stability every member has a unique parent
+    and only cross-shard CHAINS remain, which pointer jumping collapses.
+    """
+    shards = [UnionFindShard.remote(i, n_shards) for i in range(n_shards)]
+    ray.get([_route_table.remote(shards, n_shards, r) for r in edge_refs])
+    prev_sig = None
+    tables: list = []
+    for _ in range(max_rounds):
+        tables = [_contract_to_table.remote(s) for s in shards]
+        sig = tuple(ray.get([_edge_sig.remote(t) for t in tables]))
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+        ray.get([_route_by_member.remote(shards, n_shards, t) for t in tables])
+    for s in shards:
+        ray.kill(s)
+    return _pointer_jump(tables, num_buckets)
+
+
+def assignments_exchange(docs, forest_refs: list, num_buckets: int = 32):
+    """docs x forest -> (doc_id, cluster_id, is_representative) Dataset,
+    via a left exchange join (docs without a parent are their own
+    cluster). No broadcast dict — works when the dup-doc map itself is
+    too large for any single node."""
+    import ray.data as rd
+
+    from raydedup.stages.exchange import hash_exchange_join
+
+    def assign(left: pa.Table, right: pa.Table) -> pa.Table:
+        root_of = dict(
+            zip(right.column("b").to_pylist(), right.column("a").to_pylist())
+        )
+        ids = left.column("doc_id").to_pylist()
+        roots = [root_of.get(x, x) for x in ids]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "cluster_id": pa.array(roots, type=pa.int64()),
+                "is_representative": pa.array([i == r for i, r in zip(ids, roots)]),
+            }
+        )
+
+    refs = hash_exchange_join(
+        docs.select_columns(["doc_id"]), forest_refs, "doc_id", "b", assign, num_buckets
+    )
+    return rd.from_arrow_refs(refs)

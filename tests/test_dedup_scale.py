@@ -1,0 +1,68 @@
+"""Driver-light pipeline (run_dedup_scale): same acceptance gates as
+run_dedup with nothing corpus-proportional on the driver."""
+
+import pandas as pd
+import pytest
+
+from raydedup.config import DedupConfig
+from raydedup.metrics import evaluate_against_oracle
+from raydedup.pipelines.dedup import run_dedup
+from raydedup.pipelines.dedup_scale import run_dedup_scale
+from raydedup.sources.pages import pages_to_docs, read_pages
+
+
+@pytest.fixture(scope="module")
+def both_runs(ray_session, small_corpus):
+    spec, paths = small_corpus
+    cfg = DedupConfig(batch_size=256)
+    docs = pages_to_docs(read_pages(paths["pages"]))
+    scale = run_dedup_scale(docs, cfg, containment=True, num_buckets=16, n_shards=3)
+    std = run_dedup(pages_to_docs(read_pages(paths["pages"])), cfg, containment=True)
+    return paths, scale, std
+
+
+def test_scale_pipeline_oracle_gates(both_runs):
+    paths, scale, std = both_runs
+    cl = scale.clusters.to_pandas()
+    rep = evaluate_against_oracle(cl, paths["oracle_clusters"], paths["oracle_pairs"])
+    assert rep["recall"] >= 0.99
+    assert rep["boilerplate_false_merges"] == 0
+    assert rep["broken_singletons"] == 0
+
+
+def test_scale_assignment_is_total_and_consistent(both_runs):
+    paths, scale, std = both_runs
+    cl = scale.clusters.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert cl.doc_id.is_unique
+    # root convention: every cluster_id is itself assigned to that cluster
+    roots = set(cl[cl.doc_id == cl.cluster_id].doc_id)
+    assert set(cl.cluster_id).issubset(roots)
+    # representative flag matches the id equality
+    assert ((cl.doc_id == cl.cluster_id) == cl.is_representative).all()
+
+
+def test_scale_matches_standard_on_exact_and_near(both_runs):
+    """Same co-membership for pairs the standard pipeline links through
+    exact + LSH edges (the two paths may differ only on containment
+    scope, which the oracle gate already covers)."""
+    paths, scale, std = both_runs
+    s = scale.clusters.to_pandas()
+    smap = dict(zip(s.doc_id, s.cluster_id))
+    vp = std.verified_pairs.to_pandas()
+    agree = sum(smap[a] == smap[b] for a, b in zip(vp.a, vp.b))
+    assert agree == len(vp)
+    ee = std.exact_edges.to_pandas()
+    agree = sum(smap[a] == smap[b] for a, b in zip(ee.a, ee.b))
+    assert agree == len(ee)
+
+
+def test_scale_determinism(ray_session, small_corpus):
+    spec, paths = small_corpus
+    cfg = DedupConfig(batch_size=256)
+    a = run_dedup_scale(
+        pages_to_docs(read_pages(paths["pages"])), cfg, num_buckets=16, n_shards=3
+    ).clusters.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = run_dedup_scale(
+        pages_to_docs(read_pages(paths["pages"])), cfg, num_buckets=8, n_shards=5
+    ).clusters.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
