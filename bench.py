@@ -75,6 +75,23 @@ def run_bench() -> dict:
         fn()
         queries[name] = time.perf_counter() - t
 
+    if os.environ.get("GRAFT_HEADLINE_ONLY"):
+        out = {
+            "metric": "dedup pipeline wall time (synthetic pages corpus, containment on)",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in queries.items()},
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "bench_docs": BENCH_DOCS,
+            "docs_per_s": round(BENCH_DOCS / headline, 1),
+            "docs_assigned": int(n_assigned),
+            "verified_pairs": int(res.metrics.get("verified_pairs", 0)),
+            "n_clusters": int(res.metrics.get("n_clusters", 0)),
+        }
+        ray.shutdown()
+        return out
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as E
 
@@ -119,6 +136,7 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_DOCS=str(SCALING_DOCS),
             GRAFT_BENCH_DIR=f"/tmp/raydedup_bench_{SCALING_DOCS}",
+            GRAFT_HEADLINE_ONLY="1",
         )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -137,8 +155,16 @@ def run_scaling() -> dict:
     # emulate. Both pairs are reported in BASELINE.md.
     lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
-    r_lo = one(lo)
-    r_hi = one(hi)
+    # the host VM's speed drifts +-30% over minutes (hypervisor noise):
+    # interleave lo/hi runs and take the per-level MINIMUM (the least-
+    # interference estimate) so drift cancels instead of biasing one side
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
         "metric": f"scaling efficiency (num_cpus {lo} -> {hi}, same input, fresh processes)",
@@ -148,6 +174,8 @@ def run_scaling() -> dict:
         f"sec_{hi}": r_hi["value"],
         f"docs_per_s_{lo}": r_lo["docs_per_s"],
         f"docs_per_s_{hi}": r_hi["docs_per_s"],
+        f"all_sec_{lo}": [r["value"] for r in runs_lo],
+        f"all_sec_{hi}": [r["value"] for r in runs_hi],
         "bench_docs": r_lo["bench_docs"],
         "sf": SF_DIR,
     }

@@ -95,8 +95,7 @@ def run_dedup_scale(
         )
 
     def sha_emit(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
+        
         part = t.to_pandas().sort_values(["sha_key", "doc_id"], kind="mergesort")
         cand = part[part["sha_key"].duplicated(keep=False)]
         if cand.empty:

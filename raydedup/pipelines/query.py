@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Any
 
 import numpy as np
 import pandas as pd
@@ -34,8 +33,6 @@ from raydedup.util import to_arrow_table
 def build_index(pages_path: str, index_dir: str, cfg: DedupConfig | None = None) -> dict:
     """``panako store``: extract + fingerprint every page into a
     Parquet index (docs + signatures, sharded per input file)."""
-    from raydedup.state.checkpoint import run_dedup_checkpointed, CheckpointManager
-
     cfg = cfg or DedupConfig()
     files = sorted(glob.glob(os.path.join(pages_path, "*.parquet")))
     if not files:

@@ -26,7 +26,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count
 
 from raydedup.config import DedupConfig
 from raydedup.hashing import U64, rolling_hash_u64

@@ -12,7 +12,6 @@ tables once (the ST1 reusable-state pattern,
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
