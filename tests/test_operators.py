@@ -188,3 +188,33 @@ def test_store_then_query_roundtrip(rd, small_corpus, tmp_path):
     # store is resumable: second call skips all shards
     out2 = build_index(paths["pages"], idx)
     assert out2["stored_shards"] == 0 and out2["skipped_shards"] >= 4
+
+
+def test_delete_from_index(rd, small_corpus, tmp_path):
+    """D4 index subtraction: delete removes docs from both index tables
+    and only rewrites affected shards; queries no longer match them."""
+    import glob
+
+    from raydedup.pipelines.query import build_index, delete_from_index
+    from raydedup.stages.extract import doc_ids_from_urls
+    import pyarrow.parquet as pq_
+
+    spec, paths = small_corpus
+    idx = str(tmp_path / "delidx")
+    build_index(paths["pages"], idx)
+    first = sorted(glob.glob(os.path.join(paths["pages"], "*.parquet")))[0]
+    urls = pq_.read_table(first, columns=["url"]).column("url").to_pylist()[:3]
+    victim_ids = set(int(x) for x in doc_ids_from_urls(urls))
+
+    out = delete_from_index(idx, urls)
+    assert out["removed_docs"] == 3
+    remaining = set()
+    for f in glob.glob(os.path.join(idx, "docs", "*.parquet")):
+        remaining |= set(pq_.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist())
+    assert not (victim_ids & remaining)
+    for f in glob.glob(os.path.join(idx, "signatures", "*.parquet")):
+        sids = set(pq_.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist())
+        assert not (victim_ids & sids)
+    # idempotent
+    out2 = delete_from_index(idx, urls)
+    assert out2["removed_docs"] == 0
