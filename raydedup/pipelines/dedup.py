@@ -60,7 +60,7 @@ class DedupResult:
     metrics: dict[str, Any] = field(default_factory=dict)
 
 
-def exact_dedup_edges(docs: Dataset, num_buckets: int = 64) -> Dataset:
+def exact_dedup_edges(docs: Dataset, num_buckets: int | None = None) -> Dataset:
     """sha256 groupby -> (a=group min doc_id, b=member) edges for groups >= 2.
 
     Shuffles on a coarse hash bucket of the 64-bit sha prefix (one group

@@ -150,7 +150,7 @@ def emit_pairs_partition(t: pa.Table | pd.DataFrame, max_postings: int) -> pa.Ta
 
 
 def postings_to_pairs(
-    postings: Dataset, cfg: DedupConfig, num_buckets: int = 64
+    postings: Dataset, cfg: DedupConfig, num_buckets: int | None = None
 ) -> Dataset:
     """postings -> unique candidate pairs with per-pair collision counts
     (analog of the per-resource hit accumulator, ``OlafStrategy.java:308-329``).

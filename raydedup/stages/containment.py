@@ -146,7 +146,7 @@ def _emit_fp_pairs(t: pa.Table, max_postings: int) -> pa.Table:
 
 
 def containment_pairs(
-    docs: Dataset, cfg: DedupConfig, num_buckets: int = 64
+    docs: Dataset, cfg: DedupConfig, num_buckets: int | None = None
 ) -> Dataset:
     """docs -> (a, b, shared, coverage) containment candidate pairs.
 

@@ -29,6 +29,17 @@ from ray.data import Dataset
 I64 = np.int64
 
 
+def default_buckets() -> int:
+    """Bucket count sized to the cluster: ~2 reduce tasks per CPU keeps
+    one task wave per exchange instead of several, while still bounding
+    per-task memory. Callers pass num_buckets=None to use this."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return int(min(64, max(16, 2 * cpus)))
+
+
 @ray.remote
 def _split_blocks(key_col: str, num_buckets: int, *blocks: pa.Table) -> list[pa.Table]:
     # several input blocks per split task: the object count is
@@ -78,7 +89,7 @@ def hash_exchange_join(
     left_key: str,
     right_key: str,
     kernel: Callable[[pa.Table, pa.Table], pa.Table],
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> list:
     """Two-sided hash exchange: co-partition ``left`` and ``right`` on
     their key columns and apply ``kernel(left_bucket, right_bucket)``
@@ -86,6 +97,9 @@ def hash_exchange_join(
     ray.get / concat as needed). The explicit partitioned hash join from
     the Ray guide, on raw tasks."""
     import math
+
+    if num_buckets is None:
+        num_buckets = default_buckets()
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
 
@@ -116,7 +130,7 @@ def hash_exchange_apply(
     ds: Dataset | list,
     key_col: str,
     kernel: Callable[[pa.Table], pa.Table],
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     collect: bool = True,
 ):
     """Hash-partition ``ds`` on ``key_col`` into ``num_buckets`` groups
@@ -127,6 +141,9 @@ def hash_exchange_apply(
     num_buckets bounds reduce-task memory to ~|ds| / num_buckets rows.
     """
     import math
+
+    if num_buckets is None:
+        num_buckets = default_buckets()
 
     # NOTE: a streaming variant (split tasks launched per ref bundle via
     # iter_internal_ref_bundles) was measured 30-45% SLOWER end-to-end:

@@ -133,7 +133,7 @@ def verify_pairs_exchange(
     docs: Dataset,
     cfg: DedupConfig,
     pair_doc_ids: np.ndarray,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> pa.Table:
     """Scale-path verification: two hash-exchange join rounds over the
     candidate docs' TEXT.
