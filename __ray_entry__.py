@@ -501,7 +501,12 @@ def _q_store_query(sf_dir: str):
     from raydedup.util import to_arrow_table
 
     cfg = DedupConfig(batch_size=1024)
-    idx = os.path.join(tempfile.gettempdir(), f"rayentry_idx_{abs(hash(sf_dir)) % 10**8}")
+    import hashlib
+
+    # stable digest (NOT the salted builtin hash): the same sf_dir must
+    # map to the same index dir across processes so shard_done reuse works
+    sf_tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    idx = os.path.join(tempfile.gettempdir(), f"rayentry_idx_{sf_tag}")
     mgr = CheckpointManager(idx, cfg)
     if not mgr.shard_done("docs:0"):
         docs = _docs(sf_dir).materialize()

@@ -52,9 +52,13 @@ def hash_strings_u64(strings, *, mixed: bool = True) -> np.ndarray:
     try:
         s = np.asarray(strings, dtype=np.bytes_)
     except (UnicodeEncodeError, ValueError):
-        return np.fromiter(
+        # Non-ASCII fallback must stay bit-identical to the fast path for
+        # ASCII members (same FNV core + same finalizer), otherwise a
+        # string's hash would depend on its batch neighbours.
+        out = np.fromiter(
             (fnv1a64(x.encode("utf-8")) for x in strings), dtype=U64, count=n
         )
+        return mix64(out) if mixed else out
     width = s.dtype.itemsize
     if width == 0:
         return np.full(n, mix64(FNV_OFFSET) if mixed else FNV_OFFSET, dtype=U64)

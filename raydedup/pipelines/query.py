@@ -40,22 +40,28 @@ def build_index(pages_path: str, index_dir: str, cfg: DedupConfig | None = None)
     # phase 1 of the checkpointed pipeline IS the store operation
     from raydedup.pipelines.dedup import compute_signatures
     from raydedup.sources.pages import pages_to_docs
-    from raydedup.state.checkpoint import CheckpointManager, _atomic_write_table, _shard_key
+    from raydedup.state.checkpoint import (
+        CheckpointManager,
+        _atomic_write_table,
+        _shard_key,
+        shard_file_tag,
+    )
 
     mgr = CheckpointManager(index_dir, cfg)
     stored = skipped = 0
-    for i, f in enumerate(files):
+    for f in files:
         key = _shard_key(f)
         if mgr.shard_done(key):
             skipped += 1
             continue
+        tag = shard_file_tag(key)
         docs = pages_to_docs(rd.read_parquet(f)).materialize()
         sig = compute_signatures(docs, cfg, keep_shingles=False)
         docs_tbl = to_arrow_table(docs)
         sig_tbl = to_arrow_table(sig)
-        _atomic_write_table(docs_tbl, mgr.path("docs", f"shard={i:05d}.parquet"))
-        _atomic_write_table(sig_tbl, mgr.path("signatures", f"shard={i:05d}.parquet"))
-        mgr.mark_shard(key, shard=i, n_docs=docs_tbl.num_rows, source=f)
+        _atomic_write_table(docs_tbl, mgr.path("docs", f"shard={tag}.parquet"))
+        _atomic_write_table(sig_tbl, mgr.path("signatures", f"shard={tag}.parquet"))
+        mgr.mark_shard(key, shard=tag, n_docs=docs_tbl.num_rows, source=f)
         stored += 1
     return {"stored_shards": stored, "skipped_shards": skipped, "index_dir": index_dir}
 

@@ -9,10 +9,17 @@ near-hash". Self-matches are suppressed by canonical ``a < b`` ordering
 (analog of the ``avoid`` anti-semi-join, ``Strategy.java:78-82``).
 
 Skew (north-rule requirement; the reference has none — a hot key is
-just a long duplicate chain): groups larger than
-``cfg.max_band_postings`` are *dropped* and counted — at 10^12 docs a
-band with >1000 postings is degenerate boilerplate producing O(n^2)
-junk pairs. Dropped-group counts surface in the metrics table.
+just a long duplicate chain): groups with more than
+``cfg.max_band_postings`` *distinct signatures* are dropped and counted
+— at 10^12 docs a band with >1000 distinct near-dup variants is
+degenerate boilerplate producing O(n^2) junk pairs. The cap is applied
+to distinct-signature counts, NOT raw posting counts: byte-identical
+copies share every band, so a popular page with 10^5 exact copies is
+ONE signature per band run and must not evict its genuine near-dup
+neighbours (ADVICE r1). Within a signature group only star edges
+(group-min doc -> member) are emitted — identical signatures need no
+quadratic pair set for connectivity. Dropped-group counts surface in
+the metrics table.
 
 SimHash near-hash candidates use the pigeonhole multi-table scheme:
 Hamming distance <= k on 64 bits implies at least one of k+1 16-bit
@@ -27,7 +34,6 @@ import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
-from ray.data.aggregate import Count
 
 from raydedup.config import DedupConfig
 
@@ -35,19 +41,32 @@ I64 = np.int64
 
 
 def band_postings(signatures: Dataset, cfg: DedupConfig) -> Dataset:
-    """signatures -> (band_key: int64, doc_id: int64) postings, n_bands per doc."""
+    """signatures -> (band_key: int64, doc_id: int64, sig: int64) postings,
+    n_bands per doc. ``sig`` is a 64-bit digest of the doc's full band
+    vector: byte-identical texts share it, so pair emission can group a
+    band run by signature identity (cap + star-edge logic)."""
+    from raydedup.hashing import POLY_B, U64 as _U64, mix64
+
     n_bands = cfg.n_bands
 
     def explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         bands = batch.column("bands")
         flat = bands.combine_chunks().flatten() if isinstance(bands, pa.ChunkedArray) else bands.flatten()
-        keys = flat.to_numpy(zero_copy_only=False).astype(I64, copy=False)
+        keys_u64 = flat.to_numpy(zero_copy_only=False).astype(_U64, copy=False)
+        keys = keys_u64.view(I64)
         doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(I64, copy=False)
+        # Horner fold of the doc's n_bands keys -> one digest per doc
+        mat = keys_u64.reshape(n, n_bands) if n else keys_u64.reshape(0, n_bands)
+        digest = np.zeros(n, dtype=_U64)
+        for j in range(n_bands):
+            digest = digest * POLY_B + mat[:, j]
+        digest = mix64(digest).view(I64)
         return pa.table(
             {
                 "band_key": pa.array(keys, type=pa.int64()),
                 "doc_id": pa.array(np.repeat(doc, n_bands), type=pa.int64()),
+                "sig": pa.array(np.repeat(digest, n_bands), type=pa.int64()),
             }
         )
 
@@ -63,6 +82,8 @@ def simhash_postings(signatures: Dataset, cfg: DedupConfig) -> Dataset:
     shift = 64 // n_blocks
 
     def explode(batch: pa.Table) -> pa.Table:
+        from raydedup.hashing import mix64
+
         sim = batch.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
         doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(I64, copy=False)
         keys = np.empty(sim.shape[0] * n_blocks, dtype=I64)
@@ -71,10 +92,14 @@ def simhash_postings(signatures: Dataset, cfg: DedupConfig) -> Dataset:
             block = (sim >> np.uint64(t * shift)) & mask
             # fold table id into key so blocks from different tables never collide
             keys[t::n_blocks] = (block | (np.uint64(t + 1) << np.uint64(60))).view(I64)
+        # signature identity for grouping: the full simhash (mixed so it
+        # decorrelates from the block keys); exact copies share it
+        digest = mix64(sim).view(I64)
         return pa.table(
             {
                 "band_key": pa.array(keys, type=pa.int64()),
                 "doc_id": pa.array(np.repeat(doc, n_blocks), type=pa.int64()),
+                "sig": pa.array(np.repeat(digest, n_blocks), type=pa.int64()),
             }
         )
 
@@ -84,20 +109,34 @@ def simhash_postings(signatures: Dataset, cfg: DedupConfig) -> Dataset:
 
 
 def emit_pairs_partition(t: pa.Table | pd.DataFrame, max_postings: int) -> pa.Table:
-    """Vectorized all-pairs emission for ONE hash partition of postings.
+    """Vectorized pair emission for ONE hash partition of postings.
 
-    Sorts the partition by band_key, finds key runs, and emits the
-    ``a < b`` doc pairs of every run with 2 <= size <= max_postings.
-    Oversize runs (degenerate boilerplate keys) are dropped — they are
-    counted separately by band_size_stats()."""
+    Sorts the partition by (band_key, sig, doc_id) and, per band-key run:
+
+    - groups postings by signature digest (byte-identical texts share
+      every band and hence the digest);
+    - drops the run iff it has more than ``max_postings`` DISTINCT
+      signatures (degenerate boilerplate), so a heavily-copied page
+      never evicts its genuine near-dup neighbours;
+    - emits ``a < b`` pairs between the signature-group representatives
+      (group-min doc_id) — the quadratic part is over distinct
+      signatures only;
+    - emits linear star edges (rep -> member) inside each signature
+      group, preserving connectivity for signature-identical docs whose
+      bytes differ (verification confirms them with Jaccard 1.0).
+
+    Dropped runs are counted separately by band_size_stats()."""
     if isinstance(t, pd.DataFrame):
         keys = t["band_key"].to_numpy()
         docs = t["doc_id"].to_numpy()
+        sigs = t["sig"].to_numpy()
     else:
         keys = t.column("band_key").to_numpy(zero_copy_only=False)
         docs = t.column("doc_id").to_numpy(zero_copy_only=False)
-    order = np.lexsort((docs, keys))
+        sigs = t.column("sig").to_numpy(zero_copy_only=False)
+    order = np.lexsort((docs, sigs, keys))
     keys = keys[order]
+    sigs = sigs[order]
     docs = docs[order]
     n = keys.shape[0]
     if n < 2:
@@ -108,14 +147,33 @@ def emit_pairs_partition(t: pa.Table | pd.DataFrame, max_postings: int) -> pa.Ta
     boundary = np.empty(n, dtype=bool)
     boundary[0] = True
     np.not_equal(keys[1:], keys[:-1], out=boundary[1:])
+    # signature-group boundaries (within key runs)
+    gb = boundary.copy()
+    gb[1:] |= sigs[1:] != sigs[:-1]
+    group_starts_all = np.flatnonzero(gb)
+    # rep doc per posting = first doc of its sig group (min: sorted by doc)
+    rep_per_posting = np.repeat(
+        docs[group_starts_all], np.diff(np.append(group_starts_all, n))
+    )
+    # per key run: number of distinct sig groups
     starts = np.flatnonzero(boundary)
     sizes = np.diff(np.append(starts, n))
-    run_mask = (sizes >= 2) & (sizes <= max_postings)
+    cum_groups = np.cumsum(gb)
+    groups_in_run = np.diff(np.append(cum_groups[starts] - 1, cum_groups[-1]))
+    run_mask = (sizes >= 2) & (groups_in_run <= max_postings)
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
-    for s, sz in zip(starts[run_mask], sizes[run_mask]):
-        d = docs[s : s + sz]
-        d = np.unique(d)
+    # star edges: member postings of kept runs whose doc != group rep
+    keep_posting = np.repeat(run_mask, sizes)
+    star = keep_posting & (docs != rep_per_posting)
+    if star.any():
+        out_a.append(rep_per_posting[star])
+        out_b.append(docs[star])
+    for s, sz, g in zip(starts[run_mask], sizes[run_mask], groups_in_run[run_mask]):
+        if g < 2:
+            continue
+        seg_gb = gb[s : s + sz]
+        d = np.unique(docs[s : s + sz][seg_gb])  # sig-group reps, sorted
         m = d.shape[0]
         if m < 2:
             continue
@@ -187,25 +245,52 @@ def postings_to_pairs(
 
 def band_size_stats(postings: Dataset, cfg: DedupConfig) -> dict:
     """Skew metrics: group-size distribution of the posting index
-    (analog of ``panako stats`` full scans, ``PanakoStorageKV.java:381-467``)."""
-    sizes = postings.groupby("band_key").aggregate(Count(alias_name="n"))
+    (analog of ``panako stats`` full scans, ``PanakoStorageKV.java:381-467``).
 
-    def summarize(batch: pa.Table) -> pa.Table:
-        n = batch.column("n").to_numpy(zero_copy_only=False)
+    Uses the custom hash exchange (NOT Ray's sort-based groupby — the
+    measured ~2.5k rows/s/task cliff at high key cardinality) and the
+    same dropped-run criterion as emit_pairs_partition: a run is dropped
+    when its DISTINCT-SIGNATURE count exceeds cfg.max_band_postings.
+    ``max_group``/``hot_groups`` stay raw-posting-count metrics (they
+    describe index skew, not the drop policy)."""
+    from raydedup.stages.exchange import hash_exchange_apply
+
+    salt, cap = cfg.salt_band_postings, cfg.max_band_postings
+
+    def summarize(t: pa.Table) -> pa.Table:
+        keys = t.column("band_key").to_numpy(zero_copy_only=False)
+        sigs = t.column("sig").to_numpy(zero_copy_only=False)
+        n = keys.shape[0]
+        if n == 0:
+            z = pa.array([0], type=pa.int64())
+            return pa.table(
+                {"groups": z, "postings": z, "max_group": z,
+                 "hot_groups": z, "dropped_groups": z, "dropped_postings": z}
+            )
+        order = np.lexsort((sigs, keys))
+        keys, sigs = keys[order], sigs[order]
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=boundary[1:])
+        gb = boundary.copy()
+        gb[1:] |= sigs[1:] != sigs[:-1]
+        starts = np.flatnonzero(boundary)
+        sizes = np.diff(np.append(starts, n))
+        cum_groups = np.cumsum(gb)
+        groups_in_run = np.diff(np.append(cum_groups[starts] - 1, cum_groups[-1]))
+        dropped = groups_in_run > cap
         return pa.table(
             {
-                "groups": pa.array([n.shape[0]], type=pa.int64()),
-                "postings": pa.array([int(n.sum())], type=pa.int64()),
-                "max_group": pa.array([int(n.max()) if n.shape[0] else 0], type=pa.int64()),
-                "hot_groups": pa.array([int((n > cfg.salt_band_postings).sum())], type=pa.int64()),
-                "dropped_groups": pa.array([int((n > cfg.max_band_postings).sum())], type=pa.int64()),
-                "dropped_postings": pa.array(
-                    [int(n[n > cfg.max_band_postings].sum())], type=pa.int64()
-                ),
+                "groups": pa.array([int(starts.shape[0])], type=pa.int64()),
+                "postings": pa.array([int(n)], type=pa.int64()),
+                "max_group": pa.array([int(sizes.max())], type=pa.int64()),
+                "hot_groups": pa.array([int((sizes > salt).sum())], type=pa.int64()),
+                "dropped_groups": pa.array([int(dropped.sum())], type=pa.int64()),
+                "dropped_postings": pa.array([int(sizes[dropped].sum())], type=pa.int64()),
             }
         )
 
-    parts = sizes.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    parts = hash_exchange_apply(postings, "band_key", summarize).to_pandas()
     return {
         "groups": int(parts["groups"].sum()),
         "postings": int(parts["postings"].sum()),

@@ -48,15 +48,23 @@ def tokenize(text: str) -> list[str]:
 
 
 class _WordHashCache:
-    """Per-process cache word -> uint64 FNV-1a hash (Zipf text repeats words)."""
+    """Per-process cache word -> uint64 FNV-1a hash (Zipf text repeats words).
 
-    __slots__ = ("cache",)
+    Bounded: open-vocabulary web text (URLs, random strings, typos) would
+    otherwise grow long-lived workers without limit. On overflow the cache
+    resets — hashes are pure functions of the word, so a reset only costs
+    recomputation, never correctness."""
 
-    def __init__(self) -> None:
+    __slots__ = ("cache", "max_entries")
+
+    def __init__(self, max_entries: int = 1 << 20) -> None:
         self.cache: dict[str, int] = {}
+        self.max_entries = max_entries
 
     def hash_words(self, words: list[str]) -> np.ndarray:
         cache = self.cache
+        if len(cache) > self.max_entries:
+            cache.clear()
         out = np.empty(len(words), dtype=U64)
         for i, w in enumerate(words):
             h = cache.get(w)

@@ -110,6 +110,14 @@ def _shard_key(path: str) -> str:
     return f"{os.path.basename(path)}:{st.st_size}"
 
 
+def shard_file_tag(shard_key: str) -> str:
+    """Stable on-disk name for a shard, derived from its key (not its
+    position in the sorted input list): adding/removing/renaming other
+    input files must not redirect this shard's parquet paths, or a
+    resume would overwrite a done shard while it stays marked done."""
+    return hashlib.sha256(shard_key.encode()).hexdigest()[:16]
+
+
 def run_dedup_checkpointed(
     pages_files: list[str],
     ckpt_dir: str,
@@ -146,21 +154,22 @@ def run_dedup_checkpointed(
 
     # --- phase 1: per-shard extract + signatures -------------------------
     pending = []
-    for i, f in enumerate(sorted(pages_files)):
+    for f in sorted(pages_files):
         key = _shard_key(f)
         if mgr.shard_done(key):
             metrics["resumed_shards"] += 1
         else:
-            pending.append((i, f, key))
+            pending.append((f, key))
     budget = len(pending) if max_shards is None else min(max_shards, len(pending))
-    for i, f, key in pending[:budget]:
+    for f, key in pending[:budget]:
+        tag = shard_file_tag(key)
         docs = pages_to_docs(rd.read_parquet(f)).materialize()
         sig = compute_signatures(docs, cfg, keep_shingles=False)
         docs_tbl = to_arrow_table(docs)
         sig_tbl = to_arrow_table(sig)
-        _atomic_write_table(docs_tbl, mgr.path("docs", f"shard={i:05d}.parquet"))
-        _atomic_write_table(sig_tbl, mgr.path("signatures", f"shard={i:05d}.parquet"))
-        mgr.mark_shard(key, shard=i, n_docs=docs_tbl.num_rows, source=f)
+        _atomic_write_table(docs_tbl, mgr.path("docs", f"shard={tag}.parquet"))
+        _atomic_write_table(sig_tbl, mgr.path("signatures", f"shard={tag}.parquet"))
+        mgr.mark_shard(key, shard=tag, n_docs=docs_tbl.num_rows, source=f)
         metrics["processed_shards"] += 1
     if budget < len(pending):
         return None  # interrupted (kill-point for tests)

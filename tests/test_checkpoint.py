@@ -69,6 +69,48 @@ def test_resume_skips_completed_stages(ray_session, small_corpus, tmp_path, cfg)
     pd.testing.assert_frame_equal(_clusters_df(first), _clusters_df(second))
 
 
+def test_resume_with_changed_input_set_preserves_done_shards(
+    ray_session, small_corpus, tmp_path, cfg
+):
+    """ADVICE r1: shard parquet names must derive from the shard KEY, not
+    the position in the sorted file list — interrupting a run and then
+    adding an input file that sorts first must not overwrite a done
+    shard's parquet while it stays marked done."""
+    import shutil
+
+    spec, paths = small_corpus
+    files = _pages_files(paths)
+    work = tmp_path / "inputs"
+    work.mkdir()
+    for f in files:
+        shutil.copy(f, work / os.path.basename(f))
+    cur = sorted(glob.glob(str(work / "*.parquet")))
+
+    d = str(tmp_path / "ck")
+    partial = run_dedup_checkpointed(cur, d, cfg, max_shards=2)
+    assert partial is None
+    docs_before = {
+        os.path.basename(p): os.path.getsize(p)
+        for p in glob.glob(os.path.join(d, "docs", "*.parquet"))
+    }
+
+    # an extra input that sorts BEFORE every existing shard shifts all
+    # positional indices; key-derived names must be unaffected
+    shutil.copy(cur[0], work / "0000_added.parquet")
+    resumed = run_dedup_checkpointed(sorted(glob.glob(str(work / "*.parquet"))), d, cfg)
+    assert resumed is not None
+    for name, size in docs_before.items():
+        p = os.path.join(d, "docs", name)
+        assert os.path.exists(p) and os.path.getsize(p) == size, name
+
+    # every input doc is present exactly once per source row
+    total = sum(
+        pq.read_table(p).num_rows for p in glob.glob(os.path.join(d, "docs", "*.parquet"))
+    )
+    src = sum(pq.read_table(f).num_rows for f in sorted(glob.glob(str(work / "*.parquet"))))
+    assert total == src
+
+
 def test_config_change_invalidates_lineage(tmp_path, cfg):
     mgr = CheckpointManager(str(tmp_path / "c"), cfg)
     mgr.mark_shard("x:1", shard=0)

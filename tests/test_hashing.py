@@ -51,6 +51,16 @@ def test_hash_strings_non_ascii_fallback():
     np.testing.assert_array_equal(got, want)
 
 
+def test_hash_strings_mixed_batch_equals_ascii_batch():
+    # an ASCII string's MIXED hash must not depend on whether a non-ASCII
+    # neighbour forced the fallback path (ADVICE r1: doc_id determinism)
+    pure = hash_strings_u64(["a", "b"], mixed=True)
+    dirty = hash_strings_u64(["a", "ü"], mixed=True)
+    assert pure[0] == dirty[0]
+    # and the fallback honours mixed=True (applies the finalizer)
+    assert dirty[1] == mix64(np.uint64(fnv1a64("ü".encode("utf-8"))))
+
+
 def test_mix64_bijective_sample():
     xs = np.arange(1000, dtype=np.uint64)
     assert len(set(mix64(xs).tolist())) == 1000

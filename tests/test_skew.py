@@ -21,12 +21,12 @@ def _docs_ds(rd, texts):
 
 
 def test_degenerate_band_capped(ray_session):
-    """2000 near-identical docs share every band; with a low cap their
-    bands are dropped and counted rather than emitting ~2M pairs."""
+    """2000 DISTINCT near-identical docs share most bands; with a low cap
+    those bands are dropped and counted rather than emitting ~2M pairs."""
     import ray.data as rd
 
     base = " ".join(f"w{i}" for i in range(60))
-    texts = [base + f" tail{i % 7}" for i in range(2000)]  # 7 distinct variants
+    texts = [base + f" tail{i}" for i in range(2000)]  # 2000 distinct variants
     docs = _docs_ds(rd, texts)
     cfg = DedupConfig(batch_size=512, max_band_postings=100)
     sigs = compute_signatures(docs, cfg, keep_shingles=False).materialize()
@@ -37,6 +37,29 @@ def test_degenerate_band_capped(ray_session):
     pairs = postings_to_pairs(post, cfg).to_pandas()
     # all surviving groups obey the cap: no group contributes > cap^2 pairs
     assert len(pairs) < 2000 * 100
+
+
+def test_exact_copies_do_not_trip_band_cap(ray_session):
+    """ADVICE r1: the run-size cap counts DISTINCT signatures, so a text
+    with far more byte-identical copies than max_band_postings must keep
+    its near-dup edge (the copies are one signature, not 1500)."""
+    import ray.data as rd
+
+    base_words = [f"tok{i}" for i in range(64)]
+    base = " ".join(base_words)
+    neardup = " ".join(base_words[:60] + ["zz1", "zz2", "zz3", "zz4"])
+    texts = [base] * 1500 + [neardup]
+    docs = _docs_ds(rd, texts)
+    cfg = DedupConfig(batch_size=512, max_band_postings=100)
+    sigs = compute_signatures(docs, cfg, keep_shingles=False).materialize()
+    pairs = postings_to_pairs(band_postings(sigs, cfg), cfg).to_pandas()
+    # the near-dup doc (id 1500) must be a candidate against rep doc 0
+    assert ((pairs["a"] == 0) & (pairs["b"] == 1500)).any()
+    # and the copies connect to the rep via linear star edges, not O(n^2)
+    assert len(pairs) <= 1500 + 10
+    res = run_dedup(docs, cfg)
+    cl = res.clusters.to_pandas()
+    assert cl.cluster_id.nunique() == 1  # everything one cluster
 
 
 def test_large_exact_group_stays_cheap_and_correct(ray_session):
