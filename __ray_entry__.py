@@ -590,6 +590,405 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+
+# ---------------------------------------------------------------------------
+# SQL mirror of the hash kernels (oracle generation)
+#
+# The engine's whole signature path — FNV-1a word hashes, polynomial
+# rolling shingle hashes, the splitmix64 finalizer, 128-perm
+# multiply-shift MinHash, 16x8 LSH band keys, 64-bit SimHash — is
+# re-expressed in pure DuckDB SQL (HUGEINT split-multiply for mod-2^64
+# arithmetic, list_reduce folds for the byte loops) so the driver's
+# correctness gate hash-compares the DISTRIBUTED kernels against an
+# independent scalar implementation. ASCII input assumed (the testdata
+# corpus is pure ASCII; non-ASCII docs would need ord()->utf8-byte
+# expansion).
+# ---------------------------------------------------------------------------
+
+P64 = "18446744073709551616"
+FNV_OFF = "14695981039346656037"
+FNV_PRIME = "1099511628211"
+POLY_B = str(0x9E3779B97F4A7C15)
+MIX1 = str(0xBF58476D1CE4E5B9)
+MIX2 = str(0x94D049BB133111EB)
+GOLDEN = str(0x9E3779B97F4A7C15)
+
+
+def m64(x):
+    return f"CAST(CAST({x} AS HUGEINT) % {P64}::HUGEINT AS UBIGINT)"
+
+
+def mulmod(a, b):
+    """a, b: UBIGINT-valued SQL exprs (cheap to repeat: columns/constants)."""
+    return m64(
+        f"CAST({a} % 4294967296 AS HUGEINT) * CAST({b} AS HUGEINT)"
+        f" + (CAST({a} // 4294967296 AS HUGEINT) * CAST({b} AS HUGEINT)"
+        f" % 4294967296) * 4294967296"
+    )
+
+
+def addmod(a, b):
+    return m64(f"CAST({a} AS HUGEINT) + CAST({b} AS HUGEINT)")
+
+
+def mix64_cols(x, pfx):
+    """SELECT fragment computing mix64(x) into alias {pfx} via lateral aliases."""
+    return (
+        f"xor({x}, {x} >> 30) AS {pfx}_x1,\n"
+        f"  {mulmod(pfx + '_x1', MIX1)} AS {pfx}_m1,\n"
+        f"  xor({pfx}_m1, {pfx}_m1 >> 27) AS {pfx}_x2,\n"
+        f"  {mulmod(pfx + '_x2', MIX2)} AS {pfx}_m2,\n"
+        f"  xor({pfx}_m2, {pfx}_m2 >> 31) AS {pfx}"
+    )
+
+
+def fnv_chars(col):
+    """FNV-1a over the ASCII chars of string expr col -> UBIGINT."""
+    lam = m64(
+        f"CAST(xor(h, b) % 4294967296 AS HUGEINT) * {FNV_PRIME}::HUGEINT"
+        f" + (CAST(xor(h, b) // 4294967296 AS HUGEINT) * {FNV_PRIME}::HUGEINT"
+        f" % 4294967296) * 4294967296"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST({FNV_OFF} AS UBIGINT),"
+        f" list_transform(range(1, length({col})+1),"
+        f" i -> CAST(ascii(substr({col}, i, 1)) AS UBIGINT))),"
+        f" (h, b) -> {lam})"
+    )
+
+
+# signed int64 bit-view of a UBIGINT expr
+def as_i64(x):
+    return (
+        f"CAST(CASE WHEN {x} >= 9223372036854775808::UBIGINT"
+        f" THEN CAST({x} AS HUGEINT) - {P64}::HUGEINT"
+        f" ELSE CAST({x} AS HUGEINT) END AS BIGINT)"
+    )
+
+
+# ---- prelude: tokens + word hashes + shingle hashes (mixed) ---------------
+def sig_prelude(shingle_k=5):
+    horner = []
+    # s0 = h0; s_{i} = m64(mulmod(s_{i-1}, P) + h_i)
+    stages = ["h0 AS s0"]
+    for i in range(1, shingle_k):
+        stages.append(f"{addmod(mulmod(f's{i-1}', POLY_B), f'h{i}')} AS s{i}")
+    leads = ",\n         ".join(
+        f"lead(h, {i}) OVER win AS h{i}" for i in range(1, shingle_k)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) rn
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+               generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+        FROM documents
+        WHERE length(trim(text)) > 0)
+), words AS (
+  SELECT w, {fnv_chars('w')} AS h FROM (SELECT DISTINCT w FROM toks)
+), wh AS (
+  SELECT t.doc_id, t.rn, words.h FROM toks t JOIN words USING (w)
+), tokcnt AS (
+  SELECT doc_id, count(*) AS n_tok FROM wh GROUP BY doc_id
+), shwin AS (
+  SELECT doc_id, h AS h0,
+         {leads}
+  FROM wh WINDOW win AS (PARTITION BY doc_id ORDER BY rn)
+  QUALIFY lead(h, {shingle_k - 1}) OVER win IS NOT NULL
+), shraw AS (
+  SELECT doc_id,
+  {",".join(stages)}
+  FROM shwin
+), shmix AS (
+  SELECT doc_id,
+  {mix64_cols(f's{shingle_k - 1}', 'sh')}
+  FROM shraw
+), shfallback AS (
+  -- docs with < k tokens (or empty): single whole-RAW-text FNV shingle
+  SELECT d.doc_id, {fnv_chars('d.text')} AS sh
+  FROM documents d LEFT JOIN tokcnt tc USING (doc_id)
+  WHERE coalesce(tc.n_tok, 0) < {shingle_k}
+), shingles AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, sh FROM shmix
+    UNION ALL SELECT doc_id, sh FROM shfallback
+  )
+)
+"""
+
+
+def q_minhash_signatures():
+    # simhash from (token hash, count) over ALL tokens; empty docs -> fnv("")
+    return sig_prelude() + f"""
+, tokc AS (
+  SELECT doc_id, h, CAST(count(*) AS INT) AS c FROM wh GROUP BY doc_id, h
+  UNION ALL
+  SELECT d.doc_id, CAST({FNV_OFF} AS UBIGINT) AS h, 1 AS c
+  FROM documents d LEFT JOIN tokcnt tc USING (doc_id)
+  WHERE coalesce(tc.n_tok, 0) = 0
+), bitsum AS (
+  SELECT doc_id, j.j,
+         sum(c * (2 * CAST((h >> j.j) & 1 AS INT) - 1)) AS s
+  FROM tokc CROSS JOIN (SELECT CAST(unnest(range(64)) AS INT) AS j) j
+  GROUP BY doc_id, j.j
+), sim AS (
+  SELECT doc_id,
+         {m64("sum(CASE WHEN s > 0 THEN CAST(1::UBIGINT << j AS HUGEINT) ELSE 0::HUGEINT END)")} AS sim_u
+  FROM bitsum GROUP BY doc_id
+), nsh AS (
+  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+)
+SELECT d.doc_id,
+       {as_i64('s.sim_u')} AS simhash,
+       CAST(coalesce(n.n, 0) AS BIGINT) AS n_shingles
+FROM documents d
+JOIN sim s USING (doc_id)
+LEFT JOIN nsh n USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def perm_values_sql():
+    from raydedup.config import DedupConfig
+    from raydedup.stages.signatures import minhash_perms
+
+    a, b = minhash_perms(DedupConfig())
+    rows = ",".join(
+        f"({j},{int(a[j])}::UBIGINT,{int(b[j])}::UBIGINT)" for j in range(len(a))
+    )
+    return f"(VALUES {rows}) p(j, pa, pb)"
+
+
+def lsh_cte():
+    """CTEs: minhash (doc_id, j, mh uint32), bands (doc_id, band, key)."""
+    # mh_j = (min over shingles of m64(mulmod(sh, pa) + pb)) >> 32
+    fold_lam = m64(
+        f"CAST(xor(h, CAST(b AS UBIGINT)) % 4294967296 AS HUGEINT) * {FNV_PRIME}::HUGEINT"
+        f" + (CAST(xor(h, CAST(b AS UBIGINT)) // 4294967296 AS HUGEINT) * {FNV_PRIME}::HUGEINT"
+        f" % 4294967296) * 4294967296"
+    )
+    return f"""
+, minh AS (
+  SELECT doc_id, p.j,
+         min({addmod(mulmod('sh', 'p.pa'), 'p.pb')}) >> 32 AS mh
+  FROM shingles CROSS JOIN {perm_values_sql()}
+  GROUP BY doc_id, p.j
+), bandfold AS (
+  SELECT doc_id, j // 8 AS band,
+         list_reduce(
+           list_prepend(CAST({FNV_OFF} AS UBIGINT),
+                        list(CAST(mh AS UBIGINT) ORDER BY j)),
+           (h, b) -> {fold_lam}) AS fold_u
+  FROM minh GROUP BY doc_id, j // 8
+), bandxor AS (
+  SELECT doc_id, band,
+         xor(fold_u, {mulmod(f'CAST(band AS UBIGINT)', GOLDEN)}) AS bx
+  FROM bandfold
+), bands AS (
+  SELECT doc_id, band,
+  {mix64_cols('bx', 'bkey')}
+  FROM bandxor
+)
+"""
+
+
+def q_lsh_candidates():
+    # mirror of the digest-grouped emission: docs with identical band
+    # vectors collapse to their min-doc representative; candidates =
+    # rep-x-rep band collisions + linear (rep, member) star edges
+    return sig_prelude() + lsh_cte() + """
+, bvec AS (
+  SELECT doc_id, list(bkey ORDER BY band) AS v FROM bands GROUP BY doc_id
+), grp AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY v) AS rep FROM bvec
+), rb AS (
+  SELECT b.doc_id, b.band, b.bkey
+  FROM bands b JOIN (SELECT DISTINCT rep FROM grp) r ON b.doc_id = r.rep
+), rep_pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n
+  FROM rb x JOIN rb y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), stars AS (
+  SELECT rep AS a, doc_id AS b, 16 AS n FROM grp WHERE doc_id != rep
+)
+SELECT a, b, CAST(n AS BIGINT) AS n_collisions
+FROM (SELECT * FROM rep_pairs UNION ALL SELECT * FROM stars)
+ORDER BY a, b
+"""
+
+
+def q_simhash_pairs():
+    # pairs with hamming(simhash) <= 3; block-candidate step is complete
+    # for hamming <= 3 (pigeonhole over 4 x 16-bit blocks), so the oracle
+    # is simply the exact-hamming pair set
+    return sig_prelude() + f"""
+, tokc AS (
+  SELECT doc_id, h, CAST(count(*) AS INT) AS c FROM wh GROUP BY doc_id, h
+  UNION ALL
+  SELECT d.doc_id, CAST({FNV_OFF} AS UBIGINT) AS h, 1 AS c
+  FROM documents d LEFT JOIN tokcnt tc USING (doc_id)
+  WHERE coalesce(tc.n_tok, 0) = 0
+), bitsum AS (
+  SELECT doc_id, j.j,
+         sum(c * (2 * CAST((h >> j.j) & 1 AS INT) - 1)) AS s
+  FROM tokc CROSS JOIN (SELECT CAST(unnest(range(64)) AS INT) AS j) j
+  GROUP BY doc_id, j.j
+), sim AS (
+  SELECT doc_id,
+         {m64("sum(CASE WHEN s > 0 THEN CAST(1::UBIGINT << j AS HUGEINT) ELSE 0::HUGEINT END)")} AS sim_u
+  FROM bitsum GROUP BY doc_id
+)
+, grp AS (
+  SELECT doc_id, sim_u, min(doc_id) OVER (PARTITION BY sim_u) AS rep FROM sim
+), reps AS (
+  SELECT DISTINCT rep AS doc_id, sim_u FROM grp
+)
+SELECT a, b, hamming FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         CAST(bit_count(xor(x.sim_u, y.sim_u)) AS BIGINT) AS hamming
+  FROM reps x JOIN reps y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.sim_u, y.sim_u)) <= 3
+  UNION ALL
+  SELECT rep AS a, doc_id AS b, 0 AS hamming FROM grp WHERE doc_id != rep
+) ORDER BY a, b
+"""
+
+
+
+
+def rolling_horner(textcol, start, k):
+    """mixless rolling hash of chars [start, start+k) of textcol (1-based)."""
+    lam = m64(
+        f"CAST({mulmod('h', POLY_B)} AS HUGEINT) + CAST(b AS HUGEINT)"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS UBIGINT),"
+        f" list_transform(range({start}, {start} + {k}),"
+        f" p -> CAST(ascii(substr({textcol}, p, 1)) AS UBIGINT))),"
+        f" (h, b) -> {lam})"
+    )
+
+
+def q_doc_fingerprints():
+    # text_hash = fnv1a64(text); rolling_fp = min over mix64(horner k=min(32,len))
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+         least(32, greatest(length(text), 1)) AS k
+  FROM documents
+), wins AS (
+  SELECT doc_id, text, k,
+         unnest(range(1, greatest(n - k + 1, 1) + 1)) AS i
+  FROM base WHERE n > 0
+), raw AS (
+  SELECT doc_id, {rolling_horner('text', 'i', 'k')} AS r FROM wins
+), mixed AS (
+  SELECT doc_id, {mix64_cols('r', 'fp')} FROM raw
+), minfp AS (
+  SELECT doc_id, min(fp) AS rfp FROM mixed GROUP BY doc_id
+)
+SELECT b.doc_id,
+       {as_i64(fnv_chars('b.text'))} AS text_hash,
+       coalesce({as_i64('m.rfp')}, 0) AS rolling_fp
+FROM base b LEFT JOIN minfp m USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+def lang_profile_values():
+    from raydedup.stages.textstats import _STOPWORDS
+
+    rows = []
+    for prio, (lang, words) in enumerate(_STOPWORDS.items()):
+        for w in sorted(words):
+            rows.append(f"('{lang}',{prio},'{w}')")
+    return f"(VALUES {','.join(rows)}) prof(lang, prio, w)"
+
+
+def q_lang_id():
+    return f"""
+WITH toks AS (
+  SELECT doc_id, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) rn
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+               generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+        FROM documents
+        WHERE length(trim(text)) > 0)
+), t200 AS (
+  SELECT DISTINCT doc_id, w FROM toks WHERE rn <= 200
+), hits AS (
+  SELECT t.doc_id, prof.lang, prof.prio, count(*) AS h
+  FROM t200 t JOIN {lang_profile_values()} ON t.w = prof.w
+  GROUP BY 1, 2, 3
+), best AS (
+  SELECT doc_id, lang, h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, prio ASC) AS r
+  FROM hits
+)
+SELECT d.doc_id,
+       CASE WHEN b.h >= 2 THEN b.lang ELSE 'und' END AS lang_pred
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE r = 1) b USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q_containment_winnowed(w=40, s=32, cap=None, min_cov=0.2):
+    from raydedup.config import DedupConfig
+
+    cfg = DedupConfig()
+    w, s, cap, min_cov = (cfg.containment_window, cfg.containment_stride,
+                          cfg.containment_max_postings, cfg.containment_min_coverage)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+), longdocs AS (
+  SELECT doc_id, text, n FROM base WHERE n >= {w}
+), wins AS (
+  SELECT doc_id, n, unnest(range(1, n - {w} + 2)) AS i, text FROM longdocs
+), raw AS (
+  SELECT doc_id, n, i, {rolling_horner('text', 'i', w)} AS r FROM wins
+), mixed AS (
+  SELECT doc_id, n, i, {mix64_cols('r', 'hv')} FROM raw
+), slid AS (
+  -- winnowing: min of every run of s consecutive window hashes; when the
+  -- doc has <= s windows, a single global min
+  SELECT doc_id,
+         CASE WHEN n - {w} + 1 <= {s}
+              THEN min(hv) OVER (PARTITION BY doc_id)
+              ELSE min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS BETWEEN CURRENT ROW AND {s - 1} FOLLOWING)
+         END AS m,
+         i, n
+  FROM mixed
+  QUALIFY n - {w} + 1 <= {s} OR i <= n - {w} + 1 - {s} + 1
+), shortdocs AS (
+  -- docs shorter than w chars: whole-text single window
+  SELECT doc_id, {rolling_horner('text', 1, 'n')} AS r FROM base WHERE n < {w}
+), shortmixed AS (
+  SELECT doc_id, {mix64_cols('r', 'hv')} FROM shortdocs
+), fps AS (
+  SELECT DISTINCT doc_id, m AS fp FROM slid
+  UNION SELECT DISTINCT doc_id, hv AS fp FROM shortmixed
+), nfp AS (
+  SELECT doc_id, count(*) AS nf FROM fps GROUP BY doc_id
+), keyok AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND {cap}
+), pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+  FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+  JOIN keyok k ON k.fp = x.fp
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b, CAST(p.shared AS BIGINT) AS shared,
+       p.shared * 1.0 / greatest(least(na.nf, nb.nf), 1) AS coverage
+FROM pairs p JOIN nfp na ON na.doc_id = p.a JOIN nfp nb ON nb.doc_id = p.b
+WHERE p.shared * 1.0 / greatest(least(na.nf, nb.nf), 1) >= {min_cov}
+ORDER BY a, b
+"""
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB over the same parquet views)
 # ---------------------------------------------------------------------------
@@ -771,4 +1170,14 @@ def oracle_sql() -> dict[str, str]:
                    (count(*) - count(DISTINCT text)) * 1.0 / count(*) AS dup_rate
             FROM documents
         """,
+        # full SQL mirrors of the distributed hash kernels (see the
+        # "SQL mirror" section above): these hash-compare MinHash/SimHash/
+        # LSH/fingerprint outputs against an independent scalar
+        # implementation of the same math
+        "minhash_signatures": q_minhash_signatures(),
+        "lsh_candidates": q_lsh_candidates(),
+        "simhash_pairs": q_simhash_pairs(),
+        "lang_id": q_lang_id(),
+        "doc_fingerprints": q_doc_fingerprints(),
+        "containment_winnowed": q_containment_winnowed(),
     }

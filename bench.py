@@ -56,8 +56,12 @@ def run_bench() -> dict:
     paths = materialize_corpus(BENCH_DIR, spec, n_files=n_files)
     cfg = DedupConfig(batch_size=2048)
 
-    # warm the page cache (untimed read) so we measure compute + shuffle
-    read_pages(paths["pages"]).count()
+    # warm the page cache AND the Ray worker pool (untimed): read real
+    # bytes and run a trivial map so workers are spawned and numpy/pyarrow
+    # imported before t0 — steady-state cluster conditions, not cold-start
+    read_pages(paths["pages"]).map_batches(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    ).count()
 
     t0 = time.perf_counter()
     docs = pages_to_docs(read_pages(paths["pages"]))
@@ -66,8 +70,12 @@ def run_bench() -> dict:
     headline = time.perf_counter() - t0
     queries["dedup_full"] = headline
     queries["dedup_exact_stage"] = res.metrics["t_exact"]
+    queries["dedup_sig_candidates_stage"] = res.metrics["t_sig_candidates"]
     queries["dedup_lsh_verify_stage"] = res.metrics["t_candidates_verify"]
     queries["dedup_cluster_stage"] = res.metrics["t_cluster"]
+    queries["dedup_containment_stage"] = res.metrics["t_containment"]
+    queries["dedup_docs_prep"] = res.metrics.get("t_docs_prep", 0.0)
+    queries["dedup_postings_pairs"] = res.metrics.get("t_postings_pairs", 0.0)
 
     # --- per-operator timings over $GRAFT_SF_DIR ------------------------
     def timed(name: str, fn) -> None:

@@ -175,6 +175,7 @@ def run_dedup(
     if docs.num_blocks() < target_blocks:
         docs = docs.repartition(target_blocks).materialize()
     metrics["n_docs"] = n_docs
+    metrics["t_docs_prep"] = time.perf_counter() - t0
 
     # --- exact dedup pre-pass (D1), concurrent with the LSH path ----------
     # The exact (sha256) exchange and the signature+LSH pipeline are
@@ -186,8 +187,10 @@ def run_dedup(
     exact_result: dict[str, Any] = {}
 
     def _exact_pass() -> None:
+        te = time.perf_counter()
         tbl = to_arrow_table(exact_dedup_edges(docs))
         exact_result["edges"] = tbl
+        exact_result["t"] = time.perf_counter() - te
 
     exact_thread = threading.Thread(target=_exact_pass)
     exact_thread.start()
@@ -206,15 +209,22 @@ def run_dedup(
         postings = postings.union(simhash_postings(signatures, cfg))
     if collect_metrics:
         metrics["band_stats"] = band_size_stats(postings, cfg)
+    tp0 = time.perf_counter()
     candidates = postings_to_pairs(postings, cfg).materialize()
     n_candidates = candidates.count()
     metrics["candidate_pairs"] = n_candidates
+    metrics["t_postings_pairs"] = time.perf_counter() - tp0
 
     exact_thread.join()
     exact_edges = exact_result["edges"]
     metrics["exact_edges"] = exact_edges.num_rows
     t1 = time.perf_counter()
-    metrics["t_exact"] = t1 - t0
+    # t_exact = the exact pass's OWN duration on its thread;
+    # t_sig_candidates = wall time of the overlapped signatures+postings+
+    # pair-emission stretch (start -> both paths joined). They overlap,
+    # so stage times sum to ~wall only via t_sig_candidates.
+    metrics["t_exact"] = exact_result["t"]
+    metrics["t_sig_candidates"] = t1 - t0
 
     # Drop candidate pairs touching an exact-dup *member*: the member's
     # representative has a byte-identical text, hence an identical

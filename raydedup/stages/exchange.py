@@ -83,6 +83,44 @@ def _reduce_bucket_join(
     return kernel(lt, rt)
 
 
+def split_dataset(x: Dataset | list, key: str, num_buckets: int | None = None) -> list:
+    """Hash-partition a Dataset (or list of block refs) on ``key`` into
+    ``num_buckets`` buckets. Returns a list of per-split-task lists of
+    bucket ObjectRefs (``splits[i][k]`` = split task i's bucket k) that
+    can be fed to multiple reduce rounds WITHOUT re-splitting — reuse
+    this when the same table joins on the same key more than once."""
+    import math
+
+    if num_buckets is None:
+        num_buckets = default_buckets()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    refs = list(x.to_arrow_refs()) if isinstance(x, Dataset) else list(x)
+    n_split = max(1, min(len(refs), 2 * cpus))
+    group = math.ceil(len(refs) / n_split)
+    return [
+        _split_blocks.options(num_returns=num_buckets).remote(
+            key, num_buckets, *refs[i : i + group]
+        )
+        for i in range(0, len(refs), group)
+    ]
+
+
+def reduce_join_split(
+    lsplit: list,
+    rsplit: list,
+    kernel: Callable[[pa.Table, pa.Table], pa.Table],
+    num_buckets: int,
+) -> list:
+    """Per-bucket join-reduce over two pre-split sides (see
+    split_dataset). Returns per-bucket result ObjectRefs."""
+    out = []
+    for k in range(num_buckets):
+        lparts = [s[k] for s in lsplit]
+        rparts = [s[k] for s in rsplit]
+        out.append(_reduce_bucket_join.remote(kernel, len(lparts), *lparts, *rparts))
+    return out
+
+
 def hash_exchange_join(
     left: Dataset | list,
     right: Dataset | list,
@@ -96,34 +134,11 @@ def hash_exchange_join(
     per bucket. Returns the per-bucket result ObjectRefs (callers
     ray.get / concat as needed). The explicit partitioned hash join from
     the Ray guide, on raw tasks."""
-    import math
-
     if num_buckets is None:
         num_buckets = default_buckets()
-
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-
-    def split_side(x, key: str) -> list:
-        refs = list(x.to_arrow_refs()) if isinstance(x, Dataset) else list(x)
-        n_split = max(1, min(len(refs), 2 * cpus))
-        group = math.ceil(len(refs) / n_split)
-        return [
-            _split_blocks.options(num_returns=num_buckets).remote(
-                key, num_buckets, *refs[i : i + group]
-            )
-            for i in range(0, len(refs), group)
-        ]
-
-    lsplit = split_side(left, left_key)
-    rsplit = split_side(right, right_key)
-    out = []
-    for k in range(num_buckets):
-        lparts = [s[k] for s in lsplit]
-        rparts = [s[k] for s in rsplit]
-        out.append(
-            _reduce_bucket_join.remote(kernel, len(lparts), *lparts, *rparts)
-        )
-    return out
+    lsplit = split_dataset(left, left_key, num_buckets)
+    rsplit = split_dataset(right, right_key, num_buckets)
+    return reduce_join_split(lsplit, rsplit, kernel, num_buckets)
 
 
 def hash_exchange_apply(

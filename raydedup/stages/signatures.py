@@ -25,6 +25,7 @@ from raydedup.hashing import (
     U64,
     FNV_OFFSET,
     FNV_PRIME,
+    POLY_B,
     fnv1a64,
     hash_strings_u64,
     mix64,
@@ -78,6 +79,68 @@ class _WordHashCache:
 _WORD_CACHE = _WordHashCache()
 
 
+def batch_word_hashes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized front half for a batch of ASCII texts: lower + split +
+    FNV word hash without any per-word Python.
+
+    Returns (flat word-hash array, offsets) where doc ``d``'s token
+    hashes are ``flat[offsets[d]:offsets[d+1]]``. Bit-identical to
+    ``tokenize`` + ``_WordHashCache.hash_words`` for ASCII input: Arrow
+    ``utf8_split_whitespace`` emits empty tokens at string edges which
+    are filtered out, and ASCII lower/whitespace semantics match
+    Python's exactly (non-ASCII callers must use the per-doc path —
+    Python ``str.lower`` and Arrow ``utf8_lower`` disagree on e.g. İ).
+    """
+    import pyarrow.compute as pc
+
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=U64), np.zeros(1, dtype=np.int64)
+    tokens = pc.utf8_split_whitespace(pc.ascii_lower(arr))
+    offs = tokens.offsets.to_numpy().astype(np.int64)
+    vals = tokens.values
+    if offs[0] != 0 or len(vals) != offs[-1]:  # sliced ListArray guard
+        vals = vals.slice(offs[0], offs[-1] - offs[0])
+        offs = offs - offs[0]
+    keep = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+    cum = np.zeros(keep.shape[0] + 1, dtype=np.int64)
+    np.cumsum(keep, out=cum[1:])
+    new_offs = cum[offs]
+    kept = vals.filter(pa.array(keep))
+    enc = kept.dictionary_encode()
+    dict_words = enc.dictionary.to_numpy(zero_copy_only=False)
+    dict_hashes = hash_strings_u64(dict_words, mixed=False)
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return dict_hashes[idx], new_offs
+
+
+def rolling_hash_segments(
+    flat: np.ndarray, offsets: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Rolling k-gram hashes of every per-doc window in ONE global pass.
+
+    Computes the Horner rolling hash over the concatenated symbol array
+    (k vectorized passes total, instead of k passes per doc), then
+    exposes each doc's valid windows as a slice: doc ``d``'s window
+    hashes are ``h[win_start[d]:win_stop[d]]`` (empty when the doc has
+    fewer than k symbols). Bit-identical to per-doc rolling_hash_u64 —
+    windows never cross a doc boundary because the slice stops k-1
+    short of the doc end."""
+    flat = np.asarray(flat, dtype=U64)
+    n = flat.shape[0]
+    nw = n - k + 1
+    if nw <= 0:
+        h = np.empty(0, dtype=U64)
+    else:
+        h = np.zeros(nw, dtype=U64)
+        for j in range(k):
+            h = h * POLY_B + flat[j : j + nw]
+        h = mix64(h)
+    win_start = np.minimum(offsets[:-1], max(nw, 0))
+    win_stop = np.maximum(offsets[1:] - k + 1, win_start)
+    return h, win_start, win_stop
+
+
 def shingle_hashes(text: str, cfg: DedupConfig) -> np.ndarray:
     """Sorted unique uint64 hashes of the doc's k-gram shingles.
 
@@ -127,7 +190,11 @@ def minhash_batch(
     # fits in L2/L3 (~8 MB): the permuted-values matrix never touches
     # DRAM, which keeps concurrent tasks from fighting over memory
     # bandwidth (the kernel is traffic-bound, not FLOP-bound).
-    group_shingles = 2048  # 2 MB working set: stays cache-resident even with a full pool of concurrent tasks
+    # 512 KB working set: L2-resident per core, so the permuted-values
+    # matrix generates no L3/DRAM traffic even with a full pool of
+    # concurrent tasks (measured: 512 beats 2048 by ~1.7x single-thread
+    # AND 12-way concurrent on this host)
+    group_shingles = 512
     ends = np.append(offsets[1:], allsh.shape[0])
     d0 = 0
     while d0 < n_docs:
@@ -144,7 +211,13 @@ def minhash_batch(
 
 
 def simhash_batch(token_sets: list[tuple[np.ndarray, np.ndarray]]) -> np.ndarray:
-    """(n_docs,) uint64 SimHash from (unique token hash, count) pairs."""
+    """(n_docs,) uint64 SimHash from (unique token hash, count) pairs.
+
+    One unpackbits pass builds the (tokens, 64) bit matrix (little-endian
+    bit order == ``(h >> j) & 1``), one weighted reduceat per doc-chunk
+    sums the +/-w contributions for all 64 bit positions at once —
+    instead of 64 full passes over the token array. Doc-chunked so the
+    (chunk, 64) int32 working set stays cache-resident."""
     n_docs = len(token_sets)
     out = np.zeros(n_docs, dtype=U64)
     if n_docs == 0:
@@ -153,12 +226,27 @@ def simhash_batch(token_sets: list[tuple[np.ndarray, np.ndarray]]) -> np.ndarray
     offsets = np.zeros(n_docs, dtype=np.int64)
     np.cumsum(lens[:-1], out=offsets[1:])
     allh = np.concatenate([t[0] for t in token_sets])
-    allw = np.concatenate([t[1] for t in token_sets]).astype(np.int64)
-    for j in range(64):
-        bit = ((allh >> U64(j)) & U64(1)).astype(np.int64)
-        contrib = (2 * bit - 1) * allw
-        sums = np.add.reduceat(contrib, offsets)
-        out |= (sums > 0).astype(U64) << U64(j)
+    allw = np.concatenate([t[1] for t in token_sets]).astype(np.int32)
+    total = allh.shape[0]
+    ends = np.append(offsets[1:], total)
+    chunk_tokens = 4096  # (4096 x 64) int32 = 1 MB working set
+    d0 = 0
+    while d0 < n_docs:
+        d1 = d0 + 1
+        base = offsets[d0]
+        while d1 < n_docs and ends[d1 - 1] - base < chunk_tokens:
+            d1 += 1
+        stop = ends[d1 - 1]
+        seg = allh[base:stop]
+        w = allw[base:stop]
+        # (S, 64) bits in little-endian bit order: bits[:, j] == (h >> j) & 1
+        bits = np.unpackbits(
+            seg.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
+        contrib = (2 * bits.astype(np.int32) - 1) * w[:, None]
+        sums = np.add.reduceat(contrib, offsets[d0:d1] - base, axis=0)
+        out[d0:d1] = np.packbits(sums > 0, axis=1, bitorder="little").view(U64).ravel()
+        d0 = d1
     return out
 
 
@@ -199,34 +287,70 @@ class SignatureKernel:
         self.keep_shingles = keep_shingles
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         cfg = self.cfg
-        texts = batch.column("text").to_pylist()
         doc_ids = batch.column("doc_id")
+        col = batch.column("text")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        arr = pc.fill_null(arr, "")
+        texts: list[str] | None = None
         # hash each doc's words ONCE; shingles and simhash tokens both
         # derive from the same word-hash array
-        sets = []
-        toks = []
+        n = len(arr)
+        sets: list = [None] * n
+        toks: list = [None] * n
         char_mode = cfg.shingle_mode == "char"
-        for t in texts:
-            t = t if t is not None else ""
-            words = tokenize(t)
-            wh = _WORD_CACHE.hash_words(words) if words else None
-            if char_mode:
-                sets.append(shingle_hashes(t, cfg))
-            else:
-                h = rolling_hash_u64(wh, cfg.shingle_k) if wh is not None else np.empty(0, U64)
-                if h.shape[0] == 0:
-                    h = np.array([fnv1a64(t.encode("utf-8"))], dtype=U64)
-                sets.append(np.unique(h))
-            if wh is None:
-                toks.append((np.array([fnv1a64(b"")], dtype=U64), np.ones(1, dtype=np.int64)))
-            else:
-                uniq, counts = np.unique(wh, return_counts=True)
-                toks.append((uniq, counts))
+        k = cfg.shingle_k
+        empty_tok = (np.array([fnv1a64(b"")], dtype=U64), np.ones(1, dtype=np.int64))
+        if not char_mode:
+            # vectorized front half for the ASCII docs (the bulk of web
+            # text); non-ASCII docs take the per-doc path below, and the
+            # routing is a per-doc property so results never depend on
+            # batch composition
+            ascii_mask = pc.string_is_ascii(arr).to_numpy(zero_copy_only=False)
+            if ascii_mask.any():
+                fast_idx = np.flatnonzero(ascii_mask)
+                fast_arr = arr.filter(pa.array(ascii_mask))
+                flat, offs = batch_word_hashes(fast_arr)
+                h, ws, we = rolling_hash_segments(flat, offs, k)
+                need_text = np.flatnonzero(we - ws == 0)
+                fallback_texts = (
+                    {int(j): fast_arr[int(j)].as_py() for j in need_text}
+                    if need_text.shape[0]
+                    else {}
+                )
+                for pos, d in enumerate(fast_idx):
+                    hw = h[ws[pos] : we[pos]]
+                    if hw.shape[0] == 0:
+                        t = fallback_texts[pos]
+                        hw = np.array([fnv1a64(t.encode("utf-8"))], dtype=U64)
+                    sets[d] = np.unique(hw)
+                    wh = flat[offs[pos] : offs[pos + 1]]
+                    toks[d] = np.unique(wh, return_counts=True) if wh.shape[0] else empty_tok
+            slow_idx = np.flatnonzero(~ascii_mask)
+        else:
+            slow_idx = np.arange(n)
+        if slow_idx.shape[0]:
+            texts = arr.to_pylist()
+            for d in slow_idx:
+                t = texts[d]
+                words = tokenize(t)
+                wh = _WORD_CACHE.hash_words(words) if words else None
+                if char_mode:
+                    sets[d] = shingle_hashes(t, cfg)
+                else:
+                    hh = rolling_hash_u64(wh, k) if wh is not None else np.empty(0, U64)
+                    if hh.shape[0] == 0:
+                        hh = np.array([fnv1a64(t.encode("utf-8"))], dtype=U64)
+                    sets[d] = np.unique(hh)
+                if wh is None:
+                    toks[d] = empty_tok
+                else:
+                    toks[d] = np.unique(wh, return_counts=True)
         sig = minhash_batch(sets, self.a, self.b)
         sim = simhash_batch(toks)
         bands = band_keys(sig, cfg)
-        n = len(texts)
         cols: dict[str, pa.Array] = {}
         cols["doc_id"] = doc_ids.cast(pa.int64())
         cols["minhash"] = pa.FixedSizeListArray.from_arrays(

@@ -147,7 +147,11 @@ def verify_pairs_exchange(
     """
     import ray
 
-    from raydedup.stages.exchange import hash_exchange_join
+    from raydedup.stages.exchange import (
+        default_buckets,
+        reduce_join_split,
+        split_dataset,
+    )
     from raydedup.stages.signatures import shingle_hashes
 
     ids_ref = ray.put(np.sort(pair_doc_ids))
@@ -200,12 +204,16 @@ def verify_pairs_exchange(
             }
         ).filter(pa.array(keep))
 
-    r1 = hash_exchange_join(
-        pairs.select_columns(["a", "b"]), doc_subset, "a", "doc_id", attach_a, num_buckets
-    )
-    r2 = hash_exchange_join(
-        r1, doc_subset, "b", "doc_id", attach_b_and_verify, num_buckets
-    )
+    # The doc subset is split on doc_id ONCE and its bucket refs are
+    # reused by both join rounds (keys "a" and "b" both address doc_id
+    # buckets) — one split wave instead of two.
+    if num_buckets is None:
+        num_buckets = default_buckets()
+    dsplit = split_dataset(doc_subset, "doc_id", num_buckets)
+    psplit = split_dataset(pairs.select_columns(["a", "b"]), "a", num_buckets)
+    r1 = reduce_join_split(psplit, dsplit, attach_a, num_buckets)
+    r2split = split_dataset(r1, "b", num_buckets)
+    r2 = reduce_join_split(r2split, dsplit, attach_b_and_verify, num_buckets)
     parts = [t for t in ray.get(r2) if t.num_rows]
     if not parts:
         return pa.table(
