@@ -51,11 +51,44 @@ def _shutdown_ray() -> None:
         ray.shutdown()
 
 
+def _cfg_from_args(args: argparse.Namespace):
+    """Typed config overrides from repeated ``--set key=value`` flags —
+    the analog of the reference's per-run property overrides
+    (``cli/Panako.java:247-268``: every ``Key`` is overridable on the
+    command line). Values are cast to the dataclass field's type; an
+    unknown key lists the valid ones."""
+    import dataclasses
+
+    from raydedup.config import DedupConfig
+
+    overrides: dict[str, object] = {}
+    fields = {f.name: f for f in dataclasses.fields(DedupConfig)}
+    for item in getattr(args, "set", None) or []:
+        if "=" not in item:
+            raise SystemExit(f"--set expects key=value, got {item!r}")
+        k, v = item.split("=", 1)
+        f = fields.get(k)
+        if f is None:
+            raise SystemExit(
+                f"unknown config key {k!r}; valid keys: {', '.join(sorted(fields))}"
+            )
+        t = f.type if isinstance(f.type, type) else str(f.type)
+        if t in (bool, "bool"):
+            overrides[k] = v.lower() in ("1", "true", "yes", "on")
+        elif t in (int, "int"):
+            overrides[k] = int(v)
+        elif t in (float, "float"):
+            overrides[k] = float(v)
+        else:
+            overrides[k] = v
+    return DedupConfig().with_overrides(**overrides)
+
+
 def cmd_store(args: argparse.Namespace) -> int:
     _init_ray()
     from raydedup.pipelines.query import build_index
 
-    out = build_index(args.pages, args.index)
+    out = build_index(args.pages, args.index, _cfg_from_args(args))
     print(json.dumps(out))
     return 0
 
@@ -68,7 +101,7 @@ def cmd_query(args: argparse.Namespace) -> int:
     from raydedup.sources.pages import pages_to_docs
 
     q = pages_to_docs(rd.read_parquet(args.pages))
-    df = query_index(args.index, q, top_k=args.top_k)
+    df = query_index(args.index, q, _cfg_from_args(args), top_k=args.top_k)
     print(df.to_csv(index=False))
     return 0
 
@@ -78,7 +111,7 @@ def cmd_monitor(args: argparse.Namespace) -> int:
     from raydedup.pipelines.query import monitor_text
 
     text = open(args.textfile).read()
-    df = monitor_text(args.index, text)
+    df = monitor_text(args.index, text, _cfg_from_args(args))
     print(df.to_csv(index=False))
     return 0
 
@@ -94,12 +127,11 @@ def cmd_same(args: argparse.Namespace) -> int:
 
 def cmd_dedup(args: argparse.Namespace) -> int:
     _init_ray()
-    from raydedup.config import DedupConfig
     from raydedup.state.checkpoint import run_dedup_checkpointed
 
     files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
     out = run_dedup_checkpointed(
-        files, args.checkpoint, DedupConfig(), containment=not args.no_containment
+        files, args.checkpoint, _cfg_from_args(args), containment=not args.no_containment
     )
     print(json.dumps({"clusters_dir": out["clusters_path"], **out["metrics"]}, default=str))
     return 0
@@ -109,12 +141,11 @@ def cmd_stats(args: argparse.Namespace) -> int:
     _init_ray()
     import ray.data as rd
 
-    from raydedup.config import DedupConfig
     from raydedup.stages.candidates import band_postings, band_size_stats
 
     sigs = rd.read_parquet(os.path.join(args.index, "signatures"))
     docs = rd.read_parquet(os.path.join(args.index, "docs"))
-    cfg = DedupConfig()
+    cfg = _cfg_from_args(args)
     stats = {
         "n_docs": docs.count(),
         "n_signatures": sigs.count(),
@@ -155,17 +186,23 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("store", help="build index from pages parquet")
     s.add_argument("pages")
     s.add_argument("index")
+    s.add_argument("--set", action="append", metavar="KEY=VALUE",
+                   help="override a DedupConfig key (repeatable)")
     s.set_defaults(fn=cmd_store)
 
     s = sub.add_parser("query", help="match query pages against index")
     s.add_argument("index")
     s.add_argument("pages")
     s.add_argument("--top-k", type=int, default=10)
+    s.add_argument("--set", action="append", metavar="KEY=VALUE",
+                   help="override a DedupConfig key (repeatable)")
     s.set_defaults(fn=cmd_query)
 
     s = sub.add_parser("monitor", help="windowed containment of a text file")
     s.add_argument("index")
     s.add_argument("textfile")
+    s.add_argument("--set", action="append", metavar="KEY=VALUE",
+                   help="override a DedupConfig key (repeatable)")
     s.set_defaults(fn=cmd_monitor)
 
     s = sub.add_parser("same", help="direct two-file similarity check")
@@ -177,10 +214,14 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("pages")
     s.add_argument("checkpoint")
     s.add_argument("--no-containment", action="store_true")
+    s.add_argument("--set", action="append", metavar="KEY=VALUE",
+                   help="override a DedupConfig key (repeatable)")
     s.set_defaults(fn=cmd_dedup)
 
     s = sub.add_parser("stats", help="index statistics")
     s.add_argument("index")
+    s.add_argument("--set", action="append", metavar="KEY=VALUE",
+                   help="override a DedupConfig key (repeatable)")
     s.set_defaults(fn=cmd_stats)
 
     s = sub.add_parser("resolve", help="url -> doc_id")

@@ -39,6 +39,10 @@ class DedupConfig:
     # OlafStrategy.java:331-453; here: exact Jaccard >= tau)
     jaccard_tau: float = 0.80
     min_band_collisions: int = 1  # analog of MIN_HITS_UNFILTERED (Key.java:187)
+    # candidate-doc count below which verification broadcasts the texts
+    # (one zero-copy plasma object, copied once per node) instead of the
+    # two-round hash-exchange join; the exchange remains the 10^12 path
+    verify_broadcast_max_docs: int = 150_000
 
     # --- skew handling (north-rule requirement; reference has none --
     # a hot LMDB key is just a long duplicate chain, PanakoStorageKV.java:335-370)

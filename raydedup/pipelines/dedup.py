@@ -40,7 +40,6 @@ from raydedup.stages.candidates import (
     postings_to_pairs,
     simhash_postings,
 )
-from raydedup.stages.containment import containment_pairs
 from raydedup.stages.cluster import (
     assignments_table,
     cluster_pairs_actors,
@@ -234,6 +233,39 @@ def run_dedup(
     exact_members_arr = np.sort(
         exact_edges.column("b").to_numpy(zero_copy_only=False)
     )
+
+    # --- containment fingerprint scan, overlapped with verification -------
+    # The fingerprint explode only needs the docs minus EXACT-dup members
+    # (known now); the near-dup members found by LSH are filtered out of
+    # the posting rows AFTER clustering, before the pair exchange. Same
+    # result as filtering docs up front (postings are per-doc), but the
+    # expensive text scan overlaps the verify stage instead of following
+    # the cluster barrier.
+    cont_state: dict[str, Any] = {}
+    cont_thread = None
+    if containment:
+        from raydedup.stages.containment import fingerprint_postings
+
+        def _cont_scan() -> None:
+            tc = time.perf_counter()
+            if exact_members_arr.shape[0]:
+                em_ref = ray.put(exact_members_arr)
+
+                def drop_exact_members(t: pa.Table) -> pa.Table:
+                    em = ray.get(em_ref)
+                    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                    return t.filter(pa.array(~np.isin(ids, em)))
+
+                cont_input = docs.map_batches(
+                    drop_exact_members, batch_format="pyarrow"
+                )
+            else:
+                cont_input = docs
+            cont_state["postings"] = fingerprint_postings(cont_input, cfg).materialize()
+            cont_state["t_scan"] = time.perf_counter() - tc
+
+        cont_thread = threading.Thread(target=_cont_scan)
+        cont_thread.start()
     if exact_members_arr.shape[0] and n_candidates:
         import ray.data as rd
 
@@ -263,13 +295,15 @@ def run_dedup(
                 ]
             )
         )
-        if pair_docs.shape[0] <= 20_000:
+        if pair_docs.shape[0] <= cfg.verify_broadcast_max_docs:
+            metrics["verify_path"] = "broadcast"
             verified_tbl = to_arrow_table(
                 verify_pairs_small(candidates, docs, cfg, pair_docs)
             )
         else:
             from raydedup.stages.verify import verify_pairs_exchange
 
+            metrics["verify_path"] = "exchange"
             verified_tbl = verify_pairs_exchange(candidates, docs, cfg, pair_docs)
     t2 = time.perf_counter()
     metrics["t_candidates_verify"] = t2 - t1
@@ -296,21 +330,29 @@ def run_dedup(
     # reps/singletons are merged into the components in a second
     # union-find round (transitivity re-attaches the members).
     if containment:
+        from raydedup.stages.containment import containment_pairs_from_postings
+
+        cont_thread.join()
+        metrics["t_containment_scan"] = cont_state.get("t_scan", 0.0)
+        postings_c = cont_state["postings"]
+        # drop posting rows of NEAR-dup members (exact members were
+        # filtered before the scan): only reps + unclustered docs sweep
         non_reps = np.array(
             [k for k, v in components.items() if k != v], dtype=np.int64
         )
-        if non_reps.shape[0]:
-            non_reps_ref = ray.put(np.sort(non_reps))
+        remaining = np.sort(np.setdiff1d(non_reps, exact_members_arr))
+        if remaining.shape[0]:
+            nr_ref = ray.put(remaining)
 
             def drop_non_reps(t: pa.Table) -> pa.Table:
-                nr = ray.get(non_reps_ref)
-                ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+                nr = ray.get(nr_ref)
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
                 return t.filter(pa.array(~np.isin(ids, nr)))
 
-            cont_input = docs.map_batches(drop_non_reps, batch_format="pyarrow")
-        else:
-            cont_input = docs
-        cont = containment_pairs(cont_input, cfg)
+            postings_c = postings_c.map_batches(
+                drop_non_reps, batch_format="pyarrow"
+            )
+        cont = containment_pairs_from_postings(postings_c, cfg)
         cont_schema = pa.schema(
             [("a", pa.int64()), ("b", pa.int64()),
              ("shared", pa.int64()), ("coverage", pa.float64())]

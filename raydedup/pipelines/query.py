@@ -25,8 +25,6 @@ import ray.data as rd
 from ray.data import Dataset
 
 from raydedup.config import DedupConfig
-from raydedup.stages.signatures import shingle_hashes
-from raydedup.stages.verify import jaccard_sorted
 from raydedup.util import to_arrow_table
 
 
@@ -167,9 +165,15 @@ def query_index(
         partials.rename_columns(["a", "b", "n_partial"]), sum_cols=["n_partial"]
     ).rename_columns(["a", "b", "n_collisions"])
 
-    # verify: query texts broadcast (small side), index texts read for
-    # candidate ids only
+    # verify through the broadcast verify stage (no driver-side shingle
+    # loops): the pair table joins a UNION of query docs and the
+    # candidate index docs; texts are shingled in a parallel map and
+    # broadcast once as packed arrays
+    from raydedup.stages.verify import verify_pairs_small
+
     m_ids = np.unique(cand.column("b").to_numpy(zero_copy_only=False))
+    q_ids = np.unique(cand.column("a").to_numpy(zero_copy_only=False))
+    pair_docs = np.union1d(m_ids, q_ids)
     idx_docs = rd.read_parquet(os.path.join(index_dir, "docs"))
     ids_ref = ray.put(np.sort(m_ids))
 
@@ -178,41 +182,47 @@ def query_index(
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         return t.filter(pa.array(np.isin(ids, wanted)))
 
-    idx_sub = (
-        idx_docs.select_columns(["doc_id", "url", "text"])
-        .map_batches(keep, batch_format="pyarrow")
-        .to_pandas()
+    idx_sub = idx_docs.select_columns(["doc_id", "text"]).map_batches(
+        keep, batch_format="pyarrow"
     )
-    q_df = query_docs.select_columns(["doc_id", "text"]).to_pandas()
-    q_sets = {int(d): shingle_hashes(t, cfg) for d, t in zip(q_df["doc_id"], q_df["text"])}
-    m_sets = {int(d): shingle_hashes(t, cfg) for d, t in zip(idx_sub["doc_id"], idx_sub["text"])}
-    m_urls = dict(zip(idx_sub["doc_id"].astype(int), idx_sub["url"]))
+    union_docs = query_docs.select_columns(["doc_id", "text"]).union(idx_sub)
+    vcfg = cfg.with_overrides(jaccard_tau=tau)
+    verified = to_arrow_table(
+        verify_pairs_small(rd.from_arrow(cand), union_docs, vcfg, pair_docs),
+        empty_schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+        ),
+    ).to_pandas()
 
-    qa = cand.column("a").to_numpy(zero_copy_only=False)
-    mb = cand.column("b").to_numpy(zero_copy_only=False)
-    nc = cand.column("n_collisions").to_numpy(zero_copy_only=False)
-    jac = np.fromiter(
-        (jaccard_sorted(q_sets[int(q)], m_sets[int(m)]) for q, m in zip(qa, mb)),
-        dtype=np.float64,
-        count=qa.shape[0],
-    )
-    df = pd.DataFrame(
-        {
-            "query_doc_id": qa,
-            "match_doc_id": mb,
-            "match_url": [m_urls[int(m)] for m in mb],
-            "n_collisions": nc,
-            "jaccard": jac,
-        }
-    )
-    df = df[df["jaccard"] >= tau]
+    df = cand.to_pandas().merge(verified, on=["a", "b"], how="inner")
+    df = df.rename(columns={"a": "query_doc_id", "b": "match_doc_id"})
+
+    # urls for surviving matches only
+    mm = np.sort(df["match_doc_id"].unique().astype(np.int64))
+    murl_ref = ray.put(mm)
+
+    def keep_urls(t: pa.Table) -> pa.Table:
+        wanted = ray.get(murl_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, wanted)))
+
+    url_df = (
+        idx_docs.select_columns(["doc_id", "url"])
+        .map_batches(keep_urls, batch_format="pyarrow")
+        .to_pandas()
+    ) if len(df) else pd.DataFrame({"doc_id": [], "url": []})
+    urls = {int(d): u for d, u in zip(url_df["doc_id"], url_df["url"])}
+    df["match_url"] = df["match_doc_id"].map(lambda d: urls.get(int(d)))
     df = df.sort_values(
         ["query_doc_id", "jaccard", "match_doc_id"],
         ascending=[True, False, True],
         kind="mergesort",
     )
     df["rank"] = df.groupby("query_doc_id").cumcount() + 1
-    return df[df["rank"] <= top_k].reset_index(drop=True)
+    df = df[df["rank"] <= top_k].reset_index(drop=True)
+    return df[
+        ["query_doc_id", "match_doc_id", "match_url", "n_collisions", "jaccard", "rank"]
+    ]
 
 
 def monitor_text(
@@ -224,11 +234,18 @@ def monitor_text(
 ) -> pd.DataFrame:
     """``panako monitor``: chop a long text into overlapping token
     windows (25 s / 20 s-step analog, ``OlafStrategy.java:561-573``) and
-    containment-match every window against the index via winnowed
-    fingerprints; coverage >= cfg.containment_min_coverage gates a hit.
-    Returns (win_start_token, win_stop_token, match_doc_id, match_url,
+    containment-match every window against the INDEX via a winnowed-
+    fingerprint posting exchange (the per-window index lookup,
+    ``PanakoStorageKV.java:293-379``) — the index docs are fingerprinted
+    in a distributed map and co-partitioned with the window fingerprints
+    by key; nothing but the (window, doc) hit counts reaches the driver.
+    coverage >= cfg.containment_min_coverage gates a hit. Returns
+    (win_start_token, win_stop_token, match_doc_id, match_url,
     coverage)."""
-    from raydedup.stages.containment import winnowed_fingerprints
+    import ray
+
+    from raydedup.stages.containment import fingerprint_postings, winnowed_fingerprints
+    from raydedup.stages.exchange import hash_exchange_join
 
     cfg = cfg or DedupConfig()
     tokens = text.split()
@@ -238,27 +255,116 @@ def monitor_text(
         if chunk:
             windows.append((start, min(start + window_tokens, len(tokens)), chunk))
 
-    idx_docs = rd.read_parquet(os.path.join(index_dir, "docs"))
     w, s = cfg.containment_window, cfg.containment_stride
-
-    rows = []
-    idx_pd = idx_docs.select_columns(["doc_id", "url", "text"]).to_pandas()
-    idx_fps = [
-        (int(d), u, winnowed_fingerprints(t, w, s))
-        for d, u, t in zip(idx_pd["doc_id"], idx_pd["url"], idx_pd["text"])
-    ]
-    for start, stop, chunk in windows:
+    win_rows = {"win_id": [], "fp_key": []}
+    win_meta = []  # (start, stop, n_fp)
+    for wid, (start, stop, chunk) in enumerate(windows):
         qf = winnowed_fingerprints(chunk, w, s)
-        if qf.shape[0] == 0:
-            continue
-        for d, u, f in idx_fps:
-            shared = np.intersect1d(qf, f, assume_unique=True).shape[0]
-            cov = shared / qf.shape[0]
-            if cov >= cfg.containment_min_coverage:
-                rows.append((start, stop, d, u, cov))
-    return pd.DataFrame(
-        rows, columns=["win_start_token", "win_stop_token", "match_doc_id", "match_url", "coverage"]
+        win_meta.append((start, stop, qf.shape[0]))
+        win_rows["win_id"].extend([wid] * qf.shape[0])
+        win_rows["fp_key"].extend(qf.view(np.int64).tolist())
+    if not win_rows["win_id"]:
+        return pd.DataFrame(
+            columns=["win_start_token", "win_stop_token", "match_doc_id", "match_url", "coverage"]
+        )
+    win_tbl = pa.table(
+        {
+            "fp_key": pa.array(win_rows["fp_key"], type=pa.int64()),
+            "win_id": pa.array(win_rows["win_id"], type=pa.int64()),
+        }
     )
+
+    idx_docs = rd.read_parquet(os.path.join(index_dir, "docs"))
+    idx_post = fingerprint_postings(
+        idx_docs.select_columns(["doc_id", "text"]), cfg
+    ).select_columns(["fp_key", "doc_id"])
+
+    def count_hits(wt: pa.Table, it: pa.Table) -> pa.Table:
+        # per-bucket (win, doc) shared-fingerprint counts: both sides'
+        # posting sets are unique per (owner, key), so one joined row ==
+        # one shared fingerprint
+        if wt.num_rows == 0 or it.num_rows == 0:
+            return pa.table(
+                {"win_id": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+                 "shared": pa.array([], pa.int64())}
+            )
+        ik = it.column("fp_key").to_numpy(zero_copy_only=False)
+        idoc = it.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ik, kind="stable")
+        ik, idoc = ik[order], idoc[order]
+        wk = wt.column("fp_key").to_numpy(zero_copy_only=False)
+        wwin = wt.column("win_id").to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(ik, wk, side="left")
+        hi = np.searchsorted(ik, wk, side="right")
+        reps = hi - lo
+        if reps.sum() == 0:
+            return pa.table(
+                {"win_id": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+                 "shared": pa.array([], pa.int64())}
+            )
+        wins = np.repeat(wwin, reps)
+        pos = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi) if h > l])
+        docs_m = idoc[pos]
+        order2 = np.lexsort((docs_m, wins))
+        wins, docs_m = wins[order2], docs_m[order2]
+        b = np.empty(wins.shape[0], dtype=bool)
+        b[0] = True
+        b[1:] = (wins[1:] != wins[:-1]) | (docs_m[1:] != docs_m[:-1])
+        st = np.flatnonzero(b)
+        cnt = np.diff(np.append(st, wins.shape[0]))
+        return pa.table(
+            {
+                "win_id": pa.array(wins[st], type=pa.int64()),
+                "doc_id": pa.array(docs_m[st], type=pa.int64()),
+                "shared": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    refs = hash_exchange_join([ray.put(win_tbl)], idx_post, "fp_key", "fp_key", count_hits)
+    parts = [t for t in ray.get(refs) if t.num_rows]
+    if not parts:
+        return pd.DataFrame(
+            columns=["win_start_token", "win_stop_token", "match_doc_id", "match_url", "coverage"]
+        )
+    hits = pa.concat_tables(parts).to_pandas()
+    # combine partial counts across buckets (a (win, doc) pair's keys can
+    # land in several buckets)
+    hits = hits.groupby(["win_id", "doc_id"], as_index=False)["shared"].sum()
+    meta = pd.DataFrame(win_meta, columns=["start", "stop", "n_fp"])
+    hits["coverage"] = hits["shared"] / hits["win_id"].map(meta["n_fp"]).clip(lower=1)
+    hits = hits[hits["coverage"] >= cfg.containment_min_coverage]
+    if hits.empty:
+        return pd.DataFrame(
+            columns=["win_start_token", "win_stop_token", "match_doc_id", "match_url", "coverage"]
+        )
+
+    # attach urls for the matched doc ids only
+    m_ids = np.sort(hits["doc_id"].unique().astype(np.int64))
+    ids_ref = ray.put(m_ids)
+
+    def keep(t: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, wanted)))
+
+    url_df = (
+        idx_docs.select_columns(["doc_id", "url"])
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    urls = dict(zip(url_df["doc_id"].astype(int), url_df["url"]))
+    out = pd.DataFrame(
+        {
+            "win_start_token": hits["win_id"].map(meta["start"]).astype(int),
+            "win_stop_token": hits["win_id"].map(meta["stop"]).astype(int),
+            "match_doc_id": hits["doc_id"].astype(np.int64),
+            "match_url": hits["doc_id"].astype(int).map(urls),
+            "coverage": hits["coverage"].astype(float),
+        }
+    )
+    return out.sort_values(
+        ["win_start_token", "match_doc_id"], kind="mergesort"
+    ).reset_index(drop=True)
 
 
 def delete_from_index(index_dir: str, urls: list[str]) -> dict:

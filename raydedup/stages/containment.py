@@ -155,12 +155,23 @@ def containment_pairs(
     percentOfSecondsWithMatches analog). Pairs below
     ``cfg.containment_min_coverage`` are filtered out.
     """
+    return containment_pairs_from_postings(
+        fingerprint_postings(docs, cfg), cfg, num_buckets
+    )
+
+
+def containment_pairs_from_postings(
+    postings: Dataset, cfg: DedupConfig, num_buckets: int | None = None
+) -> Dataset:
+    """Pair emission + coverage scoring over pre-computed fingerprint
+    postings. Split out so run_dedup can materialize the (expensive)
+    fingerprint scan on a side thread overlapping verification, then
+    filter the postings by the clustering outcome before the exchange."""
     import ray.data as rd
 
     from raydedup.stages.exchange import hash_exchange_apply
     from raydedup.stages.pair_agg import reduce_pair_table
 
-    postings = fingerprint_postings(docs, cfg)
     cap = cfg.containment_max_postings
     # exchange 1: co-locate fp_key groups, emit per-bucket partial pairs
     partial_refs = hash_exchange_apply(

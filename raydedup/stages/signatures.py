@@ -114,6 +114,41 @@ def batch_word_hashes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return dict_hashes[idx], new_offs
 
 
+def batch_shingle_sets(arr: pa.Array, cfg: DedupConfig) -> list[np.ndarray]:
+    """Per-doc sorted-unique shingle-hash sets for a batch of texts,
+    using the vectorized ASCII front half (Arrow split + dictionary
+    hash + one global rolling pass); non-ASCII docs take the per-doc
+    path. Bit-identical to ``shingle_hashes`` per doc."""
+    import pyarrow.compute as pc
+
+    arr = pc.fill_null(arr, "")
+    n = len(arr)
+    sets: list = [None] * n
+    k = cfg.shingle_k
+    if cfg.shingle_mode == "char":
+        for i, t in enumerate(arr.to_pylist()):
+            sets[i] = shingle_hashes(t, cfg)
+        return sets
+    ascii_mask = pc.string_is_ascii(arr).to_numpy(zero_copy_only=False)
+    if ascii_mask.any():
+        fast_idx = np.flatnonzero(ascii_mask)
+        fast_arr = arr.filter(pa.array(ascii_mask))
+        flat, offs = batch_word_hashes(fast_arr)
+        h, ws, we = rolling_hash_segments(flat, offs, k)
+        for pos, d in enumerate(fast_idx):
+            hw = h[ws[pos] : we[pos]]
+            if hw.shape[0] == 0:
+                t = fast_arr[pos].as_py()
+                hw = np.array([fnv1a64(t.encode("utf-8"))], dtype=U64)
+            sets[d] = np.unique(hw)
+    slow_idx = np.flatnonzero(~ascii_mask)
+    if slow_idx.shape[0]:
+        texts = arr.to_pylist()
+        for d in slow_idx:
+            sets[d] = shingle_hashes(texts[d], cfg)
+    return sets
+
+
 def rolling_hash_segments(
     flat: np.ndarray, offsets: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -73,41 +73,80 @@ def verify_pairs_small(
     cfg: DedupConfig,
     pair_doc_ids: np.ndarray,
 ) -> Dataset:
-    """Broadcast-side verification for small candidate sets: the
-    candidate docs' TEXTS are semi-join-filtered from the docs table,
-    ray.put once, and shingle sets are recomputed inside the verify
-    tasks (cached per process) — shingle payloads are never
-    materialized or shuffled. The exchange path below is the scale path.
+    """Broadcast-side verification: the candidate docs' TEXTS are
+    semi-join-filtered from the docs table and broadcast ONCE as three
+    flat numpy arrays (sorted ids, utf8 offsets, utf8 bytes) — plasma
+    serves numpy buffers zero-copy, so every verify task reads the
+    shared broadcast without per-task deserialization (a dict broadcast
+    re-pickles per task). Shingle sets are recomputed inside the verify
+    tasks (cached per batch); shingle payloads are never materialized or
+    shuffled. The exchange path below is the 10^12-doc scale path —
+    broadcast bytes are copied once per NODE on a real cluster, so the
+    switch threshold (cfg.verify_broadcast_max_docs) bounds that copy.
     """
     import ray
 
-    from raydedup.stages.signatures import shingle_hashes
+    from raydedup.stages.signatures import batch_shingle_sets
+    from raydedup.util import to_arrow_table
 
     ids_ref = ray.put(np.sort(pair_doc_ids))
 
-    def keep_candidates(t: pa.Table) -> pa.Table:
+    def shingle_candidates(t: pa.Table) -> pa.Table:
+        # semi-join filter + per-doc shingle-set computation, PARALLEL in
+        # the map stage — verify tasks then do pure set intersection
         wanted = ray.get(ids_ref)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(np.isin(ids, wanted)))
+        t = t.filter(pa.array(np.isin(ids, wanted)))
+        sets = batch_shingle_sets(
+            t.column("text").combine_chunks()
+            if isinstance(t.column("text"), pa.ChunkedArray)
+            else t.column("text"),
+            cfg,
+        )
+        lens = np.fromiter((s.shape[0] for s in sets), dtype=np.int64, count=len(sets))
+        flat = np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n": pa.array(lens, type=pa.int64()),
+                "shingles": pa.LargeListArray.from_arrays(
+                    np.concatenate([[0], np.cumsum(lens)]).astype(np.int64),
+                    pa.array(flat.view(np.int64), type=pa.int64()),
+                ),
+            }
+        )
 
-    subset = (
-        docs.select_columns(["doc_id", "text"])
-        .map_batches(keep_candidates, batch_format="pyarrow")
-        .to_pandas()
+    subset = to_arrow_table(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            shingle_candidates, batch_format="pyarrow"
+        )
     )
-    text_map = dict(zip(subset["doc_id"].astype(int), subset["text"]))
-    map_ref = ray.put(text_map)
+    order = pa.compute.sort_indices(subset, sort_keys=[("doc_id", "ascending")])
+    subset = subset.take(order).combine_chunks()
+    ids_sorted = np.ascontiguousarray(
+        subset.column("doc_id").to_numpy(zero_copy_only=False)
+    )
+    lens = subset.column("n").to_numpy(zero_copy_only=False)
+    sh_col = subset.column("shingles")
+    if isinstance(sh_col, pa.ChunkedArray):
+        sh_col = sh_col.combine_chunks()
+    flat_all = sh_col.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+    offs = np.zeros(lens.shape[0] + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    # three flat numpy arrays: plasma serves them zero-copy to every task
+    bids_ref = ray.put(ids_sorted)
+    offs_ref = ray.put(offs)
+    data_ref = ray.put(np.ascontiguousarray(flat_all))
     tau = cfg.jaccard_tau
 
     def verify_batch(t: pa.Table) -> pa.Table:
-        tm = ray.get(map_ref)
-        cache: dict[int, np.ndarray] = {}
+        bids = ray.get(bids_ref)
+        boffs = ray.get(offs_ref)
+        bdata = ray.get(data_ref)
 
         def sset(d: int) -> np.ndarray:
-            s = cache.get(d)
-            if s is None:
-                s = cache[d] = shingle_hashes(tm[d], cfg)
-            return s
+            i = int(np.searchsorted(bids, d))
+            return bdata[boffs[i] : boffs[i + 1]]
 
         a = t.column("a").to_numpy(zero_copy_only=False)
         b = t.column("b").to_numpy(zero_copy_only=False)
@@ -123,9 +162,18 @@ def verify_pairs_small(
             }
         ).filter(pa.array(keep))
 
-    return pairs.select_columns(["a", "b"]).map_batches(
-        verify_batch, batch_format="pyarrow"
-    )
+    # candidates arrive as one driver-built block (from_arrow): split so
+    # verification parallelizes across the pool
+    work = pairs.select_columns(["a", "b"])
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    n_rows = work.count()
+    target = int(min(2 * cpus, max(1, n_rows // 256)))
+    if target > 1:
+        work = work.repartition(target)
+    return work.map_batches(verify_batch, batch_format="pyarrow")
 
 
 def verify_pairs_exchange(

@@ -1,0 +1,108 @@
+"""ANN / embedding near-dup tests: cross-bucket recall, hot-bucket
+skew, distributed centroid training determinism, batch-query API."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _emb_ds(rd, vecs: np.ndarray):
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(vecs.shape[0], dtype=np.int64)),
+            "embedding": pa.array(
+                [v.astype(np.float32).tolist() for v in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    return rd.from_arrow(t).repartition(4)
+
+
+def _planted_corpus(n_clusters=40, dim=32, seed=9):
+    """Well-separated cluster centers, each with one near-dup partner at
+    cosine ~0.99 — pairs often straddle Voronoi boundaries of a coarse
+    quantizer, which is exactly what multi-probe must recover."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    base = rng.normal(size=(n_clusters, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows, truth = [], []
+    for i, c in enumerate(base):
+        partner = c + 0.08 * rng.normal(size=dim)
+        rows.append(c)
+        rows.append(partner)
+        truth.append((2 * i, 2 * i + 1))
+    # noise vectors nowhere near the threshold
+    noise = rng.normal(size=(200, dim)) * 3
+    rows.extend(noise)
+    return np.stack(rows), truth
+
+
+def test_embedding_neardup_bucketed_recall(ray_session):
+    import ray.data as rd
+
+    from raydedup.stages.ann import embedding_neardup_bruteforce, embedding_neardup_pairs
+
+    vecs, truth = _planted_corpus()
+    ds = _emb_ds(rd, vecs)
+    exact = embedding_neardup_bruteforce(ds, threshold=0.95)
+    got = embedding_neardup_pairs(ds, threshold=0.95, n_probe=2)
+    exact_set = set(zip(exact["a"], exact["b"]))
+    got_set = set(zip(got["a"], got["b"]))
+    assert got_set <= exact_set  # approximate must be a subset of exact
+    planted = set(truth) & exact_set
+    assert planted, "planted pairs must clear the threshold"
+    recall = len(got_set & planted) / len(planted)
+    assert recall >= 0.95, f"cross-bucket recall {recall:.2f}"
+
+
+def test_embedding_neardup_hot_bucket_capped(ray_session):
+    """A degenerate corpus (all vectors in one Voronoi cell) must
+    complete via sub-bucketing instead of one O(n^2) group."""
+    import ray.data as rd
+
+    from raydedup.stages.ann import embedding_neardup_pairs
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    base = rng.normal(size=32)
+    # 1200 BYTE-IDENTICAL vectors: k-means cannot split them, so they
+    # all land in one bucket (the degenerate hot-key case)
+    vecs = np.tile(base, (1200, 1))
+    ds = _emb_ds(rd, vecs)
+    out = embedding_neardup_pairs(
+        ds, threshold=2.0, n_centroids=8, n_probe=1, max_bucket=500
+    )
+    # the run completes via sub-bucketing (reported) without an O(n^2) group
+    assert out.attrs.get("n_subbucketed") == 1
+    assert len(out) == 0
+
+
+def test_train_centroids_deterministic_vs_partitioning(ray_session):
+    import ray.data as rd
+
+    from raydedup.stages.ann import train_centroids
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    vecs = rng.normal(size=(600, 16))
+    a = train_centroids(_emb_ds(rd, vecs).repartition(2), n_centroids=16)
+    b = train_centroids(_emb_ds(rd, vecs).repartition(11), n_centroids=16)
+    # init selection must be identical regardless of block layout
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-9)
+
+
+def test_knn_cosine_batch_matches_single(ray_session):
+    import ray.data as rd
+
+    from raydedup.stages.ann import knn_cosine_batch, knn_cosine_bruteforce
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    vecs = rng.normal(size=(400, 24))
+    ds = _emb_ds(rd, vecs)
+    queries = vecs[[3, 77, 200]]
+    batch = knn_cosine_batch(ds, queries, query_ids=np.array([3, 77, 200]), k=5)
+    for q in (3, 77, 200):
+        single = knn_cosine_bruteforce(ds, vecs[q], k=5)
+        got = batch[batch["query_id"] == q]
+        assert list(got["vec_id"]) == list(single["vec_id"])
+        np.testing.assert_allclose(got["cosine"].to_numpy(), single["cosine"].to_numpy())

@@ -190,6 +190,51 @@ def test_store_then_query_roundtrip(rd, small_corpus, tmp_path):
     assert out2["stored_shards"] == 0 and out2["skipped_shards"] >= 4
 
 
+def test_monitor_finds_stored_doc_window(rd, small_corpus, tmp_path):
+    """``panako monitor`` analog (OlafStrategy.java:437-453): a window
+    cut from a STORED doc, embedded in unrelated text, must match that
+    doc with coverage >= containment_min_coverage — computed via the
+    index-side posting exchange (no driver scan of index docs)."""
+    from raydedup.pipelines.query import build_index, monitor_text
+    from raydedup.config import DedupConfig
+    from raydedup.stages.containment import winnowed_fingerprints
+
+    spec, paths = small_corpus
+    idx = str(tmp_path / "monidx")
+    build_index(paths["pages"], idx)
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    docs_tbl = pq.read_table(sorted(glob.glob(os.path.join(idx, "docs", "*.parquet")))[0])
+    # pick a long stored doc and cut a big slice of it
+    df = docs_tbl.to_pandas()
+    df["len"] = df["text"].str.len()
+    victim = df.sort_values("len", ascending=False).iloc[0]
+    slice_words = victim["text"].split()[:150]
+    noise = " ".join(f"zz{i}q" for i in range(400))
+    long_text = noise + " " + " ".join(slice_words) + " " + noise
+
+    out = monitor_text(idx, long_text, window_tokens=150, step_tokens=100)
+    assert (out["match_doc_id"] == victim["doc_id"]).any()
+    hit = out[out["match_doc_id"] == victim["doc_id"]]
+    assert (hit["coverage"] >= DedupConfig().containment_min_coverage).all()
+    assert (hit["match_url"] == victim["url"]).all()
+
+    # parity with the naive per-(window, doc) intersection on the hit rows
+    cfg = DedupConfig()
+    toks = long_text.split()
+    for _, r in hit.head(3).iterrows():
+        chunk = " ".join(toks[int(r.win_start_token) : int(r.win_stop_token)])
+        qf = winnowed_fingerprints(chunk, cfg.containment_window, cfg.containment_stride)
+        f = winnowed_fingerprints(victim["text"], cfg.containment_window, cfg.containment_stride)
+        import numpy as np
+
+        shared = np.intersect1d(qf, f, assume_unique=True).shape[0]
+        assert abs(r.coverage - shared / qf.shape[0]) < 1e-12
+
+
 def test_delete_from_index(rd, small_corpus, tmp_path):
     """D4 index subtraction: delete removes docs from both index tables
     and only rewrites affected shards; queries no longer match them."""
