@@ -12,12 +12,14 @@ machine). This variant keeps every intermediate as object-store refs:
   assignment: docs x forest exchange join -> Dataset of refs
 
 The driver sees per-bucket row counts and convergence signatures —
-bytes, independent of corpus size. Trade-offs vs run_dedup, by design:
-exact-dup members are NOT pre-filtered (their pairs verify trivially and
-contract away), and containment sweeps all docs rather than cluster
-representatives (no globally-collected component map exists to pick
-representatives from). Outputs are cluster-equivalent; the e2e oracle
-test holds the same recall/false-merge gates for both.
+bytes, independent of corpus size. Containment sweeps cluster
+REPRESENTATIVES only, like run_dedup, but refs-only: the round-1
+component forest filters the fingerprint postings via an exchange join
+(never a collected member set), and a second clustering round merges the
+containment links back in. Remaining trade-off vs run_dedup: exact-dup
+members are not pre-filtered from LSH candidates (their pairs verify
+trivially and contract away). Outputs are cluster-equivalent; the e2e
+oracle test holds the same recall/false-merge gates for both.
 """
 
 from __future__ import annotations
@@ -185,11 +187,39 @@ def run_dedup_scale(
     verified_refs = hash_exchange_join(r1, doc_text, "b", "doc_id", attach_b_verify, num_buckets)
     metrics["verified_pairs"] = _total(verified_refs)
 
-    # --- containment (refs; all docs — see module docstring) --------------
+    # --- clustering round 1: exact + verified LSH edges -------------------
     edge_refs = _select_ab(verified_refs) + exact_refs
+    forest_refs = cluster_edge_refs(
+        edge_refs, n_shards=n_shards, num_buckets=min(num_buckets, 32)
+    )
+
+    # --- containment over cluster REPRESENTATIVES only (refs) -------------
+    # The round-1 forest (exact + near-dup members) filters the
+    # fingerprint postings via an exchange join — the refs-only analog of
+    # run_dedup's representative sweep: members share ~every fingerprint
+    # with their representative, so sweeping them only floods the pair
+    # exchange with redundant rows. The forest never touches the driver.
     if containment:
-        fp_partial_refs = hash_exchange_apply(
+        def drop_members(left: pa.Table, right: pa.Table) -> pa.Table:
+            ra = right.column("a").to_numpy(zero_copy_only=False)
+            rb = right.column("b").to_numpy(zero_copy_only=False)
+            members = np.sort(rb[ra != rb])
+            if members.shape[0] == 0 or left.num_rows == 0:
+                return left
+            ids = left.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(members, ids), members.shape[0] - 1)
+            return left.filter(pa.array(members[pos] != ids))
+
+        fp_filtered_refs = hash_exchange_join(
             fingerprint_postings(docs, cfg),
+            forest_refs,
+            "doc_id",
+            "b",
+            drop_members,
+            num_buckets,
+        )
+        fp_partial_refs = hash_exchange_apply(
+            fp_filtered_refs,
             "fp_key",
             lambda t: _emit_fp_pairs(t, cfg.containment_max_postings),
             num_buckets,
@@ -211,10 +241,15 @@ def run_dedup_scale(
             fp_partial_refs, "a", combine_containment, num_buckets, collect=False
         )
         metrics["containment_pairs"] = _total(cont_refs)
-        edge_refs = edge_refs + cont_refs
+        if metrics["containment_pairs"]:
+            # round 2: merge containment links into the forest (the
+            # forest's own edges re-attach the members transitively)
+            forest_refs = cluster_edge_refs(
+                forest_refs + cont_refs,
+                n_shards=n_shards,
+                num_buckets=min(num_buckets, 32),
+            )
 
-    # --- clustering + assignment (all via tasks/actors/exchanges) ---------
-    forest_refs = cluster_edge_refs(edge_refs, n_shards=n_shards, num_buckets=min(num_buckets, 32))
     metrics["n_dup_docs"] = _total(forest_refs)
     clusters = assignments_exchange(docs, forest_refs, num_buckets=min(num_buckets, 32))
     metrics["t_total"] = time.perf_counter() - t0

@@ -63,21 +63,28 @@ def _pointer_jump(forest_refs: list, num_buckets: int, max_rounds: int = 48) -> 
 
         def jump(left: pa.Table, right: pa.Table) -> pa.Table:
             # left: edges keyed by parent a; right: edges keyed by member b
-            # (same forest) -> replace left's parent with its grandparent
-            parent_of = dict(
-                zip(
-                    right.column("b").to_pylist(),
-                    right.column("a").to_pylist(),
-                )
-            )
-            a = left.column("a").to_pylist()
-            new_a = [parent_of.get(x, x) for x in a]
-            n_changed = sum(1 for x, y in zip(a, new_a) if x != y)
+            # (same forest) -> replace left's parent with its grandparent.
+            # Vectorized: searchsorted join on the sorted member array
+            # (ADVICE r1 — no to_pylist/dict row loops in the 10^12 path)
+            rb = right.column("b").to_numpy(zero_copy_only=False)
+            ra = right.column("a").to_numpy(zero_copy_only=False)
+            order = np.argsort(rb, kind="stable")
+            rb, ra = rb[order], ra[order]
+            a = left.column("a").to_numpy(zero_copy_only=False)
+            if rb.shape[0] == 0 or a.shape[0] == 0:
+                new_a = a
+            else:
+                pos = np.minimum(np.searchsorted(rb, a), rb.shape[0] - 1)
+                hit = rb[pos] == a
+                new_a = np.where(hit, ra[pos], a)
+            n_changed = int((new_a != a).sum())
             out = pa.table(
                 {
                     "a": pa.array(new_a, type=pa.int64()),
                     "b": left.column("b"),
-                    "_changed": pa.array([n_changed] * len(a) if a else [], type=pa.int64()),
+                    "_changed": pa.array(
+                        np.full(a.shape[0], n_changed, dtype=np.int64), type=pa.int64()
+                    ),
                 }
             )
             return out
@@ -168,16 +175,23 @@ def assignments_exchange(docs, forest_refs: list, num_buckets: int = 32):
     from raydedup.stages.exchange import hash_exchange_join
 
     def assign(left: pa.Table, right: pa.Table) -> pa.Table:
-        root_of = dict(
-            zip(right.column("b").to_pylist(), right.column("a").to_pylist())
-        )
-        ids = left.column("doc_id").to_pylist()
-        roots = [root_of.get(x, x) for x in ids]
+        # vectorized searchsorted join (no per-row dict lookups)
+        rb = right.column("b").to_numpy(zero_copy_only=False)
+        ra = right.column("a").to_numpy(zero_copy_only=False)
+        order = np.argsort(rb, kind="stable")
+        rb, ra = rb[order], ra[order]
+        ids = left.column("doc_id").to_numpy(zero_copy_only=False)
+        if rb.shape[0] == 0 or ids.shape[0] == 0:
+            roots = ids
+        else:
+            pos = np.minimum(np.searchsorted(rb, ids), rb.shape[0] - 1)
+            hit = rb[pos] == ids
+            roots = np.where(hit, ra[pos], ids)
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
                 "cluster_id": pa.array(roots, type=pa.int64()),
-                "is_representative": pa.array([i == r for i, r in zip(ids, roots)]),
+                "is_representative": pa.array(ids == roots),
             }
         )
 
