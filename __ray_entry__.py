@@ -685,9 +685,9 @@ WITH toks AS (
                generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
         FROM documents
         WHERE length(trim(text)) > 0)
-), words AS (
+), words AS MATERIALIZED (
   SELECT w, {fnv_chars('w')} AS h FROM (SELECT DISTINCT w FROM toks)
-), wh AS (
+), wh AS MATERIALIZED (
   SELECT t.doc_id, t.rn, words.h FROM toks t JOIN words USING (w)
 ), tokcnt AS (
   SELECT doc_id, count(*) AS n_tok FROM wh GROUP BY doc_id
@@ -709,7 +709,7 @@ WITH toks AS (
   SELECT d.doc_id, {fnv_chars('d.text')} AS sh
   FROM documents d LEFT JOIN tokcnt tc USING (doc_id)
   WHERE coalesce(tc.n_tok, 0) < {shingle_k}
-), shingles AS (
+), shingles AS MATERIALIZED (
   SELECT DISTINCT doc_id, sh FROM (
     SELECT doc_id, sh FROM shmix
     UNION ALL SELECT doc_id, sh FROM shfallback
@@ -769,7 +769,7 @@ def lsh_cte():
         f" % 4294967296) * 4294967296"
     )
     return f"""
-, minh AS (
+, minh AS MATERIALIZED (
   SELECT doc_id, p.j,
          min({addmod(mulmod('sh', 'p.pa'), 'p.pb')}) >> 32 AS mh
   FROM shingles CROSS JOIN {perm_values_sql()}
@@ -785,7 +785,7 @@ def lsh_cte():
   SELECT doc_id, band,
          xor(fold_u, {mulmod(f'CAST(band AS UBIGINT)', GOLDEN)}) AS bx
   FROM bandfold
-), bands AS (
+), bands AS MATERIALIZED (
   SELECT doc_id, band,
   {mix64_cols('bx', 'bkey')}
   FROM bandxor
@@ -989,6 +989,92 @@ WHERE p.shared * 1.0 / greatest(least(na.nf, nb.nf), 1) >= {min_cov}
 ORDER BY a, b
 """
 
+def q_dedup_pipeline_sql():
+    """Full SQL mirror of the flagship pipeline: LSH candidates (digest-
+    collapsed) -> hashed-shingle Jaccard >= tau verification -> exact
+    sha groups -> round-1 connected components (recursive min-label
+    reachability) -> winnowed containment over round-1 representatives
+    -> final components. cluster_id = component-min doc_id, matching the
+    engine's union-find root selection (stages/cluster.py:48-56)."""
+
+    # reuse the module's generators
+    sig = sig_prelude()
+    lsh = lsh_cte()
+    cw = q_containment_winnowed()
+    # extract the containment body after WITH (we re-embed its CTEs)
+    cw_body = cw.split("WITH", 1)[1]
+    cw_body = cw_body.rsplit("SELECT p.a", 1)[0]  # keep CTE defs only, drop final select
+    # final select of containment pairs becomes a CTE via re-derivation below
+    return sig + lsh + f"""
+, bvec AS (
+  SELECT doc_id, list(bkey ORDER BY band) AS v FROM bands GROUP BY doc_id
+), grp AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY v) AS rep FROM bvec
+), rb AS (
+  SELECT b.doc_id, b.band, b.bkey
+  FROM bands b JOIN (SELECT DISTINCT rep FROM grp) r ON b.doc_id = r.rep
+), cand AS MATERIALIZED (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM rb x JOIN rb y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+  UNION
+  SELECT rep AS a, doc_id AS b FROM grp WHERE doc_id != rep
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT c.a, c.b, count(*) AS ni
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.a
+  JOIN shingles sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+  GROUP BY 1, 2
+), verified AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
+  WHERE i.ni * 1.0 / (za.n + zb.n - i.ni) >= 0.8
+), exact AS (
+  SELECT CAST(min(doc_id) OVER (PARTITION BY text) AS BIGINT) AS a,
+         CAST(doc_id AS BIGINT) AS b
+  FROM documents
+  QUALIFY count(*) OVER (PARTITION BY text) >= 2
+      AND doc_id != min(doc_id) OVER (PARTITION BY text)
+), r1edges AS MATERIALIZED (
+  SELECT a, b FROM verified UNION SELECT a, b FROM exact
+), r1sym AS (
+  SELECT a AS x, b AS y FROM r1edges UNION SELECT b, a FROM r1edges
+), r1reach AS MATERIALIZED (
+  -- round-1 connected components (min-label reachability)
+  WITH RECURSIVE walk(doc, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.y, walk.r FROM walk JOIN r1sym e ON e.x = walk.doc
+  )
+  SELECT doc, min(r) AS root FROM walk GROUP BY doc
+), contain AS MATERIALIZED (
+  -- winnowed containment pairs over round-1 REPS+singletons only
+  WITH {cw_body.replace("FROM documents", "FROM documents JOIN r1reach rr ON rr.doc = documents.doc_id AND rr.root = documents.doc_id", 1)}
+  SELECT p.a, p.b
+  FROM pairs p JOIN nfp na ON na.doc_id = p.a JOIN nfp nb ON nb.doc_id = p.b
+  WHERE p.shared * 1.0 / greatest(least(na.nf, nb.nf), 1) >= 0.2
+), alledges AS MATERIALIZED (
+  SELECT a, b FROM r1edges UNION SELECT a, b FROM contain
+), allsym AS (
+  SELECT a AS x, b AS y FROM alledges UNION SELECT b, a FROM alledges
+), final AS (
+  WITH RECURSIVE walk2(doc, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.y, walk2.r FROM walk2 JOIN allsym e ON e.x = walk2.doc
+  )
+  SELECT doc, min(r) AS root FROM walk2 GROUP BY doc
+)
+SELECT d.doc_id,
+       f.root AS cluster_id,
+       d.doc_id = f.root AS is_representative
+FROM documents d JOIN final f ON f.doc = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB over the same parquet views)
 # ---------------------------------------------------------------------------
@@ -1174,6 +1260,7 @@ def oracle_sql() -> dict[str, str]:
         # "SQL mirror" section above): these hash-compare MinHash/SimHash/
         # LSH/fingerprint outputs against an independent scalar
         # implementation of the same math
+        "dedup_pipeline": q_dedup_pipeline_sql(),
         "minhash_signatures": q_minhash_signatures(),
         "lsh_candidates": q_lsh_candidates(),
         "simhash_pairs": q_simhash_pairs(),

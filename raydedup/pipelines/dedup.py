@@ -309,6 +309,52 @@ def run_dedup(
     metrics["t_candidates_verify"] = t2 - t1
     metrics["verified_pairs"] = verified_tbl.num_rows
 
+    # --- secondary matcher: SimHash Hamming acceptance (A5) ---------------
+    # The reference's histogram fallback accepts candidates the primary
+    # matcher under-scores (``OlafStrategy.java:462-541``); here a
+    # candidate pair whose 64-bit SimHashes are within
+    # cfg.simhash_max_hamming is accepted even when its word-shingle
+    # Jaccard fails tau (e.g. token-REORDERED near-dups: bag-of-words
+    # identical, shingle sets disjoint). Simhash is recomputed for the
+    # candidate docs only (a parallel map over the filtered subset —
+    # the signature lineage stays lazy/single-consumer).
+    hamming_edges = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    )
+    if use_simhash and n_candidates:
+        from raydedup.stages.signatures import SignatureKernel, hamming64
+
+        ids_ref2 = ray.put(np.sort(pair_docs))
+
+        def sim_subset(t: pa.Table) -> pa.Table:
+            wanted = ray.get(ids_ref2)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(np.isin(ids, wanted)))
+            kern = _KERNELS.get((cfg, False))
+            if kern is None:
+                kern = _KERNELS[(cfg, False)] = SignatureKernel(cfg, keep_shingles=False)
+            out = kern(t.select(["doc_id", "text"]))
+            return out.select(["doc_id", "simhash"])
+
+        sim_df = (
+            docs.select_columns(["doc_id", "text"])
+            .map_batches(sim_subset, batch_format="pyarrow")
+            .to_pandas()
+        )
+        sim_ids = sim_df["doc_id"].to_numpy()
+        sim_vals = sim_df["simhash"].to_numpy().astype(np.uint64)
+        order = np.argsort(sim_ids, kind="stable")
+        sim_ids, sim_vals = sim_ids[order], sim_vals[order]
+        cand_tbl2 = to_arrow_table(candidates.select_columns(["a", "b"]))
+        ca2 = cand_tbl2.column("a").to_numpy(zero_copy_only=False)
+        cb2 = cand_tbl2.column("b").to_numpy(zero_copy_only=False)
+        av = sim_vals[np.searchsorted(sim_ids, ca2)]
+        bv = sim_vals[np.searchsorted(sim_ids, cb2)]
+        ham = hamming64(av, bv)
+        keep = ham <= cfg.simhash_max_hamming
+        hamming_edges = cand_tbl2.filter(pa.array(keep))
+        metrics["simhash_accepted"] = int(keep.sum())
+
     # --- clustering round 1: exact + verified LSH edges -------------------
     def _cluster(edges_df: pd.DataFrame) -> dict[int, int]:
         if cfg.cluster_backend == "actors":
@@ -316,7 +362,11 @@ def run_dedup(
         return cluster_pairs_driver(edges_df)
 
     base_edges = pa.concat_tables(
-        [verified_tbl.select(["a", "b"]), exact_edges.select(["a", "b"])]
+        [
+            verified_tbl.select(["a", "b"]),
+            exact_edges.select(["a", "b"]),
+            hamming_edges.select(["a", "b"]),
+        ]
     )
     components = _cluster(base_edges.to_pandas())
     t3 = time.perf_counter()
