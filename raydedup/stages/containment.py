@@ -83,7 +83,11 @@ def _emit_fp_pairs(t: pa.Table, max_postings: int) -> pa.Table:
     keys = t.column("fp_key").to_numpy(zero_copy_only=False)
     docs = t.column("doc_id").to_numpy(zero_copy_only=False)
     nfp = t.column("n_fp").to_numpy(zero_copy_only=False)
-    order = np.lexsort((docs, keys))
+    # single-key sort (runs only need GROUPING by key; pair order is
+    # canonicalized at gather time with min/max) — the 2-key lexsort was
+    # 2x the sort traffic, and this kernel is bandwidth-bound when a
+    # full task pool runs concurrently
+    order = np.argsort(keys)
     keys, docs, nfp = keys[order], docs[order], nfp[order]
     n = keys.shape[0]
     empty = pa.table(
@@ -103,19 +107,27 @@ def _emit_fp_pairs(t: pa.Table, max_postings: int) -> pa.Table:
     starts = np.flatnonzero(boundary)
     sizes = np.diff(np.append(starts, n))
     run_mask = (sizes >= 2) & (sizes <= max_postings)
+    # Vectorized by run SIZE CLASS (<= max_postings classes, each one
+    # gather + one triu), instead of a Python loop over millions of tiny
+    # runs — the loop was the measured bottleneck of the containment
+    # exchange at 500k docs. Posting sets are unique per (doc, key), and
+    # runs are doc-sorted, so no per-run unique is needed.
     out = {"a": [], "b": [], "n_fp_a": [], "n_fp_b": []}
-    for st, sz in zip(starts[run_mask], sizes[run_mask]):
-        d = docs[st : st + sz]
-        f = nfp[st : st + sz]
-        uniq, idx = np.unique(d, return_index=True)
-        if uniq.shape[0] < 2:
+    for sz in range(2, max_postings + 1):
+        st_s = starts[run_mask & (sizes == sz)]
+        if st_s.shape[0] == 0:
             continue
-        f = f[idx]
-        ii, jj = np.triu_indices(uniq.shape[0], k=1)
-        out["a"].append(uniq[ii])
-        out["b"].append(uniq[jj])
-        out["n_fp_a"].append(f[ii])
-        out["n_fp_b"].append(f[jj])
+        gather = st_s[:, None] + np.arange(sz)[None, :]
+        dm = docs[gather]  # (n_runs, sz), arbitrary order within run
+        fm = nfp[gather]
+        ii, jj = np.triu_indices(sz, k=1)
+        di, dj = dm[:, ii].ravel(), dm[:, jj].ravel()
+        fi, fj = fm[:, ii].ravel(), fm[:, jj].ravel()
+        swap = di > dj
+        out["a"].append(np.where(swap, dj, di))
+        out["b"].append(np.where(swap, di, dj))
+        out["n_fp_a"].append(np.where(swap, fj, fi))
+        out["n_fp_b"].append(np.where(swap, fi, fj))
     if not out["a"]:
         return empty
     # partial (combiner) aggregation: a pair sharing m fingerprints in this
@@ -126,6 +138,13 @@ def _emit_fp_pairs(t: pa.Table, max_postings: int) -> pa.Table:
     b = np.concatenate(out["b"])
     fa = np.concatenate(out["n_fp_a"])
     fb = np.concatenate(out["n_fp_b"])
+    if a.shape[0] == 0:
+        return empty
+    valid = a != b  # guard: duplicate doc postings in one run (shouldn't occur)
+    if not valid.all():
+        a, b, fa, fb = a[valid], b[valid], fa[valid], fb[valid]
+        if a.shape[0] == 0:
+            return empty
     order = np.lexsort((b, a))
     a, b, fa, fb = a[order], b[order], fa[order], fb[order]
     m = a.shape[0]
