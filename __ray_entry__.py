@@ -506,7 +506,7 @@ def _q_store_query(sf_dir: str):
     # stable digest (NOT the salted builtin hash): the same sf_dir must
     # map to the same index dir across processes so shard_done reuse works
     sf_tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
-    idx = os.path.join(tempfile.gettempdir(), f"rayentry_idx_{sf_tag}")
+    idx = os.path.join(tempfile.gettempdir(), f"rayentry_idx_v2_{sf_tag}")
     mgr = CheckpointManager(idx, cfg)
     if not mgr.shard_done("docs:0"):
         docs = _docs(sf_dir).materialize()
@@ -1075,6 +1075,47 @@ ORDER BY d.doc_id
 """
 
 
+
+
+def q_store_query_sql():
+    """SQL mirror of the store->query lifecycle: band collisions between
+    the first-50 query docs and the whole index, hashed-shingle Jaccard
+    >= tau scoring, rank by (jaccard DESC, match ASC), top-3."""
+    return sig_prelude() + lsh_cte() + """
+, qside AS (
+  SELECT doc_id, band, bkey FROM bands WHERE doc_id < 50
+), coll AS (
+  SELECT q.doc_id AS qd, m.doc_id AS md, count(*) AS n_collisions
+  FROM qside q JOIN bands m ON q.band = m.band AND q.bkey = m.bkey
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT c.qd, c.md, count(*) AS ni
+  FROM coll c
+  JOIN shingles sa ON sa.doc_id = c.qd
+  JOIN shingles sb ON sb.doc_id = c.md AND sb.sh = sa.sh
+  GROUP BY 1, 2
+), scored AS (
+  SELECT c.qd, c.md, c.n_collisions,
+         i.ni * 1.0 / (za.n + zb.n - i.ni) AS jac
+  FROM coll c
+  JOIN inter i ON i.qd = c.qd AND i.md = c.md
+  JOIN sizes za ON za.doc_id = c.qd
+  JOIN sizes zb ON zb.doc_id = c.md
+  WHERE i.ni * 1.0 / (za.n + zb.n - i.ni) >= 0.8
+), ranked AS (
+  SELECT qd, md, n_collisions,
+         row_number() OVER (PARTITION BY qd ORDER BY jac DESC, md ASC) AS rank
+  FROM scored
+)
+SELECT qd AS query_doc_id, md AS match_doc_id,
+       CAST(n_collisions AS BIGINT) AS n_collisions, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+ORDER BY query_doc_id, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB over the same parquet views)
 # ---------------------------------------------------------------------------
@@ -1261,6 +1302,7 @@ def oracle_sql() -> dict[str, str]:
         # LSH/fingerprint outputs against an independent scalar
         # implementation of the same math
         "dedup_pipeline": q_dedup_pipeline_sql(),
+        "store_query": q_store_query_sql(),
         "minhash_signatures": q_minhash_signatures(),
         "lsh_candidates": q_lsh_candidates(),
         "simhash_pairs": q_simhash_pairs(),

@@ -59,6 +59,57 @@ class DedupResult:
     metrics: dict[str, Any] = field(default_factory=dict)
 
 
+def sha_key_table(t: pa.Table) -> pa.Table:
+    """(doc_id, text_sha256) -> + sha_key (big-endian int64 prefix of the
+    digest) for hash-bucketing the exact-dup exchange."""
+    digests = t.column("text_sha256").to_pylist()
+    key = (
+        np.frombuffer(b"".join(digests), dtype=">i8").reshape(-1, 4)[:, 0]
+        if digests
+        else np.empty(0, dtype=np.int64)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "sha_key": pa.array(key, type=pa.int64()),
+            "doc_id": t.column("doc_id"),
+            "text_sha256": t.column("text_sha256"),
+        }
+    )
+
+
+def sha_emit_table(t: pa.Table) -> pa.Table:
+    """One sha-key bucket -> (a=group-min doc_id, b=member) edges.
+
+    Pure NumPy: digests are viewed as 4 int64 words, groups are runs of
+    the lexsorted (digest words, doc_id) order — full-digest equality,
+    so sha-prefix collisions are safe."""
+    n = t.num_rows
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    if n < 2:
+        return empty
+    digests = t.column("text_sha256").to_pylist()
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    d4 = np.frombuffer(b"".join(digests), dtype=">i8").reshape(n, 4)
+    order = np.lexsort((ids, d4[:, 3], d4[:, 2], d4[:, 1], d4[:, 0]))
+    d4 = d4[order]
+    ids = ids[order]
+    b = np.empty(n, dtype=bool)
+    b[0] = True
+    b[1:] = (d4[1:] != d4[:-1]).any(axis=1)
+    starts = np.flatnonzero(b)
+    sizes = np.diff(np.append(starts, n))
+    rep = np.repeat(ids[starts], sizes)  # group min (ids ascending per group)
+    mask = ids != rep
+    if not mask.any():
+        return empty
+    return pa.table(
+        {
+            "a": pa.array(rep[mask], type=pa.int64()),
+            "b": pa.array(ids[mask], type=pa.int64()),
+        }
+    )
+
+
 def exact_dedup_edges(docs: Dataset, num_buckets: int | None = None) -> Dataset:
     """sha256 groupby -> (a=group min doc_id, b=member) edges for groups >= 2.
 
@@ -68,49 +119,15 @@ def exact_dedup_edges(docs: Dataset, num_buckets: int | None = None) -> Dataset:
     sha-prefix collision *within different buckets* cannot happen (the
     bucket is a pure function of the digest).
     """
-
-    def add_key(t: pa.Table) -> pa.Table:
-        digests = t.column("text_sha256").to_pylist()
-        key = (
-            np.frombuffer(b"".join(digests), dtype=">i8").reshape(-1, 4)[:, 0]
-            if digests
-            else np.empty(0, dtype=np.int64)
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "sha_key": pa.array(key, type=pa.int64()),
-                "doc_id": t.column("doc_id"),
-                "text_sha256": t.column("text_sha256"),
-            }
-        )
-
     keyed = docs.select_columns(["doc_id", "text_sha256"]).map_batches(
-        add_key, batch_format="pyarrow"
+        sha_key_table, batch_format="pyarrow"
     )
-
-    def emit(t: pa.Table) -> pa.Table:
-        # vectorized duplicate-group detection within one hash bucket
-        part = t.to_pandas()
-        part = part.sort_values(["sha_key", "doc_id"], kind="mergesort")
-        dup_keys = part["sha_key"].duplicated(keep=False)
-        cand = part[dup_keys]
-        if cand.empty:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        grp = cand.groupby("text_sha256", sort=False)["doc_id"]
-        rep = grp.transform("min")
-        mask = cand["doc_id"].to_numpy() != rep.to_numpy()
-        return pa.table(
-            {
-                "a": pa.array(rep.to_numpy()[mask].astype(np.int64), type=pa.int64()),
-                "b": pa.array(cand["doc_id"].to_numpy()[mask].astype(np.int64), type=pa.int64()),
-            }
-        )
 
     import ray.data as rd
 
     from raydedup.stages.exchange import hash_exchange_apply
 
-    edges = hash_exchange_apply(keyed, "sha_key", emit, num_buckets=num_buckets)
+    edges = hash_exchange_apply(keyed, "sha_key", sha_emit_table, num_buckets=num_buckets)
     return rd.from_arrow(edges)
 
 
@@ -178,21 +195,21 @@ def run_dedup(
 
     # --- exact dedup pre-pass (D1), concurrent with the LSH path ----------
     # The exact (sha256) exchange and the signature+LSH pipeline are
-    # independent until verification; running the exact pass on a side
-    # thread overlaps its (latency-dominated) exchange with the
-    # (compute-dominated) signature kernel.
-    import threading
+    # independent until verification. The exact pass is submitted as a
+    # NON-BLOCKING raw-task chain (per-block key tasks -> hash exchange
+    # with collect=False): Ray schedules it concurrently with the
+    # signature kernel's execution, with no second driver thread — two
+    # Ray Data executors on separate driver threads can race the core
+    # worker's ObjectRef accounting (observed flaky
+    # `submitted_task_ref_count > 0` crash).
+    from raydedup.stages.exchange import hash_exchange_apply
 
-    exact_result: dict[str, Any] = {}
-
-    def _exact_pass() -> None:
-        te = time.perf_counter()
-        tbl = to_arrow_table(exact_dedup_edges(docs))
-        exact_result["edges"] = tbl
-        exact_result["t"] = time.perf_counter() - te
-
-    exact_thread = threading.Thread(target=_exact_pass)
-    exact_thread.start()
+    _sha_key_task = ray.remote(num_returns=1)(sha_key_table)
+    docs_block_refs = list(docs.to_arrow_refs())
+    keyed_refs = [_sha_key_task.remote(r) for r in docs_block_refs]
+    exact_edge_refs = hash_exchange_apply(
+        keyed_refs, "sha_key", sha_emit_table, collect=False
+    )
 
     # --- signatures (M1-M5) + candidates (J1) -----------------------------
     # NOTE: exact-dup members are NOT dropped before signatures anymore —
@@ -214,15 +231,19 @@ def run_dedup(
     metrics["candidate_pairs"] = n_candidates
     metrics["t_postings_pairs"] = time.perf_counter() - tp0
 
-    exact_thread.join()
-    exact_edges = exact_result["edges"]
+    tw = time.perf_counter()
+    exact_parts = [t for t in ray.get(exact_edge_refs) if t.num_rows]
+    exact_edges = (
+        pa.concat_tables(exact_parts)
+        if exact_parts
+        else pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    )
     metrics["exact_edges"] = exact_edges.num_rows
     t1 = time.perf_counter()
-    # t_exact = the exact pass's OWN duration on its thread;
-    # t_sig_candidates = wall time of the overlapped signatures+postings+
-    # pair-emission stretch (start -> both paths joined). They overlap,
-    # so stage times sum to ~wall only via t_sig_candidates.
-    metrics["t_exact"] = exact_result["t"]
+    # t_exact = residual WAIT for the (concurrently scheduled) exact
+    # exchange after candidates finished — ~0 when fully overlapped;
+    # t_sig_candidates = wall time of the overlapped stretch.
+    metrics["t_exact"] = t1 - tw
     metrics["t_sig_candidates"] = t1 - t0
 
     # Drop candidate pairs touching an exact-dup *member*: the member's
@@ -241,31 +262,23 @@ def run_dedup(
     # result as filtering docs up front (postings are per-doc), but the
     # expensive text scan overlaps the verify stage instead of following
     # the cluster barrier.
-    cont_state: dict[str, Any] = {}
-    cont_thread = None
+    cont_post_refs: list = []
     if containment:
-        from raydedup.stages.containment import fingerprint_postings
+        from raydedup.stages.containment import fingerprint_postings_table
 
-        def _cont_scan() -> None:
-            tc = time.perf_counter()
-            if exact_members_arr.shape[0]:
-                em_ref = ray.put(exact_members_arr)
+        w_c, s_c = cfg.containment_window, cfg.containment_stride
+        em_ref = ray.put(exact_members_arr)
 
-                def drop_exact_members(t: pa.Table) -> pa.Table:
-                    em = ray.get(em_ref)
-                    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-                    return t.filter(pa.array(~np.isin(ids, em)))
+        @ray.remote
+        def _fp_block(em, t: pa.Table) -> pa.Table:
+            if em.shape[0]:
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                t = t.filter(pa.array(~np.isin(ids, em)))
+            return fingerprint_postings_table(t, w_c, s_c)
 
-                cont_input = docs.map_batches(
-                    drop_exact_members, batch_format="pyarrow"
-                )
-            else:
-                cont_input = docs
-            cont_state["postings"] = fingerprint_postings(cont_input, cfg).materialize()
-            cont_state["t_scan"] = time.perf_counter() - tc
-
-        cont_thread = threading.Thread(target=_cont_scan)
-        cont_thread.start()
+        # fire-and-forget per-block scan tasks: Ray interleaves them with
+        # the verification stage's tasks (overlap without driver threads)
+        cont_post_refs = [_fp_block.remote(em_ref, r) for r in docs_block_refs]
     if exact_members_arr.shape[0] and n_candidates:
         import ray.data as rd
 
@@ -382,27 +395,23 @@ def run_dedup(
     if containment:
         from raydedup.stages.containment import containment_pairs_from_postings
 
-        cont_thread.join()
-        metrics["t_containment_scan"] = cont_state.get("t_scan", 0.0)
-        postings_c = cont_state["postings"]
         # drop posting rows of NEAR-dup members (exact members were
         # filtered before the scan): only reps + unclustered docs sweep
         non_reps = np.array(
             [k for k, v in components.items() if k != v], dtype=np.int64
         )
         remaining = np.sort(np.setdiff1d(non_reps, exact_members_arr))
+        postings_refs = cont_post_refs
         if remaining.shape[0]:
             nr_ref = ray.put(remaining)
 
-            def drop_non_reps(t: pa.Table) -> pa.Table:
-                nr = ray.get(nr_ref)
+            @ray.remote
+            def _drop_non_reps(nr, t: pa.Table) -> pa.Table:
                 ids = t.column("doc_id").to_numpy(zero_copy_only=False)
                 return t.filter(pa.array(~np.isin(ids, nr)))
 
-            postings_c = postings_c.map_batches(
-                drop_non_reps, batch_format="pyarrow"
-            )
-        cont = containment_pairs_from_postings(postings_c, cfg)
+            postings_refs = [_drop_non_reps.remote(nr_ref, r) for r in cont_post_refs]
+        cont = containment_pairs_from_postings(postings_refs, cfg)
         cont_schema = pa.schema(
             [("a", pa.int64()), ("b", pa.int64()),
              ("shared", pa.int64()), ("coverage", pa.float64())]

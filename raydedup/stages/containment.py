@@ -53,25 +53,31 @@ def winnowed_fingerprints(text: str, w: int, s: int) -> np.ndarray:
     return np.unique(mins)
 
 
+def fingerprint_postings_table(batch: pa.Table, w: int, s: int) -> pa.Table:
+    """One batch of docs -> (fp_key, doc_id, n_fp) winnowed postings
+    (module-level so raw Ray tasks can reuse it)."""
+    texts = batch.column("text").to_pylist()
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(I64)
+    sets = [winnowed_fingerprints(t or "", w, s) for t in texts]
+    lens = np.fromiter((x.shape[0] for x in sets), dtype=np.int64, count=len(sets))
+    keys = (np.concatenate(sets) if sets else np.empty(0, U64)).view(I64)
+    return pa.table(
+        {
+            "fp_key": pa.array(keys, type=pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, lens), type=pa.int64()),
+            "n_fp": pa.array(
+                np.repeat(lens.astype(np.int32), lens), type=pa.int32()
+            ),
+        }
+    )
+
+
 def fingerprint_postings(docs: Dataset, cfg: DedupConfig) -> Dataset:
     """docs -> (fp_key: int64, doc_id: int64, n_fp: int32) postings."""
     w, s = cfg.containment_window, cfg.containment_stride
 
     def explode(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(I64)
-        sets = [winnowed_fingerprints(t or "", w, s) for t in texts]
-        lens = np.fromiter((x.shape[0] for x in sets), dtype=np.int64, count=len(sets))
-        keys = (np.concatenate(sets) if sets else np.empty(0, U64)).view(I64)
-        return pa.table(
-            {
-                "fp_key": pa.array(keys, type=pa.int64()),
-                "doc_id": pa.array(np.repeat(ids, lens), type=pa.int64()),
-                "n_fp": pa.array(
-                    np.repeat(lens.astype(np.int32), lens), type=pa.int32()
-                ),
-            }
-        )
+        return fingerprint_postings_table(batch, w, s)
 
     return docs.select_columns(["doc_id", "text"]).map_batches(
         explode, batch_format="pyarrow"
@@ -180,7 +186,7 @@ def containment_pairs(
 
 
 def containment_pairs_from_postings(
-    postings: Dataset, cfg: DedupConfig, num_buckets: int | None = None
+    postings: Dataset | list, cfg: DedupConfig, num_buckets: int | None = None
 ) -> Dataset:
     """Pair emission + coverage scoring over pre-computed fingerprint
     postings. Split out so run_dedup can materialize the (expensive)
