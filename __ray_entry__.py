@@ -525,6 +525,23 @@ def _q_store_query(sf_dir: str):
     return df.sort_values(["query_doc_id", "rank"]).reset_index(drop=True)
 
 
+def _q_knn_cosine_batch(sf_dir: str):
+    """Batch-of-queries exact top-k (the multi-query ANN API): 3 query
+    vectors in one broadcast matrix, top-5 each. The cosine float is
+    omitted from the compared output — matrix-matrix vs matrix-vector
+    BLAS summation order differs from DuckDB by 1 ULP; ranks (with
+    deterministic vec_id tiebreak) ARE the verified ordering."""
+    from raydedup.stages.ann import knn_cosine_batch
+
+    emb = _read(sf_dir, "embeddings")
+    head = emb.limit(3).to_pandas()
+    q = np.stack([np.asarray(v, dtype=np.float32) for v in head["embedding"]])
+    df = knn_cosine_batch(emb, q, query_ids=head["vec_id"].to_numpy(), k=5)
+    return df[["query_id", "vec_id", "rank"]].sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+
+
 def _q_containment_winnowed(sf_dir: str):
     """W1 scale path: winnowed containment candidates with coverage."""
     from raydedup.config import DedupConfig
@@ -585,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_lsh": _q_knn_cosine_lsh,
         "store_query": _q_store_query,
         "embedding_neardup_bucketed": _q_embedding_neardup_bucketed,
+        "knn_cosine_batch": _q_knn_cosine_batch,
         "containment_winnowed": _q_containment_winnowed,
         "sliding_windows": _q_sliding_windows,
     }
@@ -1303,6 +1321,21 @@ def oracle_sql() -> dict[str, str]:
         # implementation of the same math
         "dedup_pipeline": q_dedup_pipeline_sql(),
         "store_query": q_store_query_sql(),
+        "knn_cosine_batch": """
+            WITH qs AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 3),
+            scored AS (
+              SELECT q.vec_id AS query_id, b.vec_id,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine
+              FROM qs q CROSS JOIN embeddings b
+            ), ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+
         "minhash_signatures": q_minhash_signatures(),
         "lsh_candidates": q_lsh_candidates(),
         "simhash_pairs": q_simhash_pairs(),

@@ -172,7 +172,7 @@ def run_scaling() -> dict:
     # the host VM's speed drifts +-30% over minutes (hypervisor noise):
     # interleave lo/hi runs and take the per-level MINIMUM (the least-
     # interference estimate) so drift cancels instead of biasing one side
-    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
     runs_lo, runs_hi = [], []
     for _ in range(reps):
         runs_lo.append(one(lo))
