@@ -91,6 +91,49 @@ def test_train_centroids_deterministic_vs_partitioning(ray_session):
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-9)
 
 
+def test_ivf_and_lsh_recall_vs_exact(ray_session):
+    """Approximate top-k must be a SUBSET of the exact candidate scores
+    with measured recall: IVF@n_probe=4 and hyperplane-LSH must both
+    find the true top-1 (a planted self-match) and >= 60% of the exact
+    top-10 on a random corpus."""
+    import ray.data as rd
+
+    from raydedup.stages.ann import (
+        knn_cosine_bruteforce,
+        knn_cosine_ivf,
+        knn_cosine_lsh,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    vecs = rng.normal(size=(800, 24))
+    # plant 9 TRUE near neighbours of vecs[123] at cosine ~0.99 — LSH
+    # recall is only meaningful for genuinely similar vectors (random
+    # Gaussian "top-10" are near-orthogonal and legitimately invisible
+    # to sign-pattern buckets)
+    for i in range(9):
+        vecs[700 + i] = vecs[123] + 0.05 * rng.normal(size=24)
+    ds = _emb_ds(rd, vecs)
+    q = vecs[123]
+    exact = knn_cosine_bruteforce(ds, q, k=10)
+    exact_ids = set(exact["vec_id"])
+    assert exact_ids == {123, *range(700, 709)}  # planted set IS the top-10
+    for name, approx in (
+        ("ivf", knn_cosine_ivf(ds, q, k=10, n_probe=4)),
+        ("lsh", knn_cosine_lsh(ds, q, k=10)),
+    ):
+        got = set(approx["vec_id"])
+        assert 123 in got, name  # self-match always recovered
+        # approximate scores are true cosines: every returned id's score
+        # must equal its exact score (subset-of-exact property)
+        merged = approx.merge(exact, on="vec_id", suffixes=("_a", "_e"))
+        if len(merged):
+            np.testing.assert_allclose(
+                merged["cosine_a"], merged["cosine_e"], rtol=0, atol=0
+            )
+        recall = len(got & exact_ids) / len(exact_ids)
+        assert recall >= 0.8, (name, recall)
+
+
 def test_knn_cosine_batch_matches_single(ray_session):
     import ray.data as rd
 
