@@ -134,7 +134,11 @@ def emit_pairs_partition(t: pa.Table | pd.DataFrame, max_postings: int) -> pa.Ta
         keys = t.column("band_key").to_numpy(zero_copy_only=False)
         docs = t.column("doc_id").to_numpy(zero_copy_only=False)
         sigs = t.column("sig").to_numpy(zero_copy_only=False)
-    order = np.lexsort((docs, sigs, keys))
+    # 2-key sort: groups only need (band_key, sig) runs; the group-min
+    # rep is computed with minimum.reduceat instead of a third sort key
+    # (1/3 less sort traffic — this kernel is bandwidth-bound under a
+    # full task pool)
+    order = np.lexsort((sigs, keys))
     keys = keys[order]
     sigs = sigs[order]
     docs = docs[order]
@@ -151,9 +155,11 @@ def emit_pairs_partition(t: pa.Table | pd.DataFrame, max_postings: int) -> pa.Ta
     gb = boundary.copy()
     gb[1:] |= sigs[1:] != sigs[:-1]
     group_starts_all = np.flatnonzero(gb)
-    # rep doc per posting = first doc of its sig group (min: sorted by doc)
+    # rep doc per sig group = min doc (deterministic under any input
+    # order / partitioning)
+    rep_vals = np.minimum.reduceat(docs, group_starts_all)
     rep_per_posting = np.repeat(
-        docs[group_starts_all], np.diff(np.append(group_starts_all, n))
+        rep_vals, np.diff(np.append(group_starts_all, n))
     )
     # per key run: number of distinct sig groups
     starts = np.flatnonzero(boundary)
@@ -169,17 +175,25 @@ def emit_pairs_partition(t: pa.Table | pd.DataFrame, max_postings: int) -> pa.Ta
     if star.any():
         out_a.append(rep_per_posting[star])
         out_b.append(docs[star])
-    for s, sz, g in zip(starts[run_mask], sizes[run_mask], groups_in_run[run_mask]):
-        if g < 2:
-            continue
-        seg_gb = gb[s : s + sz]
-        d = np.unique(docs[s : s + sz][seg_gb])  # sig-group reps, sorted
-        m = d.shape[0]
-        if m < 2:
-            continue
-        ii, jj = np.triu_indices(m, k=1)
-        out_a.append(d[ii])
-        out_b.append(d[jj])
+    # Pairs between sig-group reps, vectorized by rep-count CLASS (one
+    # gather + one triu per distinct rep count) instead of a Python loop
+    # over runs — same pattern as the containment exchange kernel. Reps
+    # are distinct docs within a run (one posting per (band_key, doc)),
+    # in sig order not doc order, so pairs are canonicalized with
+    # min/max; the final combiner dedupes across classes.
+    rep_docs = rep_vals  # reps, contiguous per key run
+    run_rep_start = cum_groups[starts] - 1  # index of each run's first rep
+    pair_mask = run_mask & (groups_in_run >= 2)
+    gs = groups_in_run[pair_mask]
+    rs = run_rep_start[pair_mask]
+    for g in np.unique(gs):
+        rstarts = rs[gs == g]
+        gather = rstarts[:, None] + np.arange(g)[None, :]
+        dm = rep_docs[gather]  # (n_runs, g)
+        ii, jj = np.triu_indices(int(g), k=1)
+        di, dj = dm[:, ii].ravel(), dm[:, jj].ravel()
+        out_a.append(np.minimum(di, dj))
+        out_b.append(np.maximum(di, dj))
     if not out_a:
         return pa.table(
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
