@@ -134,12 +134,16 @@ def _q_embedding_neardup(sf_dir: str):
 
 
 def _q_embedding_neardup_bucketed(sf_dir: str):
-    """Scale path: centroid-bucketed near-dup pairs (approximate —
-    cross-bucket pairs at low thresholds are the documented loss)."""
+    """Scale path: centroid-bucketed near-dup pairs. n_probe=None
+    multi-probes every bucket, so every pair is co-bucketed and the
+    result is EXACT — full SQL-oracle parity on the bucket/dedupe
+    machinery; approximate-probe recall is gated in tests/test_ann.py."""
     from raydedup.stages.ann import embedding_neardup_pairs
 
     emb = _read(sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.4, n_centroids=8)[["a", "b", "cosine"]]
+    return embedding_neardup_pairs(
+        emb, threshold=0.4, n_centroids=8, n_probe=None
+    )[["a", "b", "cosine"]]
 
 
 def _q_events_hourly(sf_dir: str):
@@ -468,21 +472,28 @@ def _q_doc_fingerprints(sf_dir: str):
 
 
 def _q_knn_cosine_ivf(sf_dir: str):
-    """ANN scale path: IVF-bucketed top-10 cosine (approximate)."""
+    """ANN scale path: IVF-bucketed top-10 cosine. n_probe=None probes
+    every bucket (the standard nprobe=nlist exactness property), so the
+    full IVF machinery — distributed k-means, assignment, probe routing,
+    per-bucket top-k, merge — is SQL-oracle-checked end to end;
+    approximate-probe recall is gated in tests/test_ann.py."""
     from raydedup.stages.ann import knn_cosine_ivf
 
     emb = _read(sf_dir, "embeddings")
     q = np.asarray(emb.limit(1).to_pandas()["embedding"][0], dtype=np.float32)
-    return knn_cosine_ivf(emb, q, k=10, n_centroids=8, n_probe=4)[["vec_id", "cosine"]]
+    return knn_cosine_ivf(emb, q, k=10, n_centroids=8, n_probe=None)[["vec_id", "cosine"]]
 
 
 def _q_knn_cosine_lsh(sf_dir: str):
-    """ANN scale path 2: random-hyperplane LSH buckets (approximate)."""
+    """ANN scale path 2: random-hyperplane LSH buckets. probe_radius =
+    n_planes multi-probes the whole Hamming ball, making the result
+    EXACT — full SQL-oracle parity on the code/probe/scan machinery;
+    approximate-radius recall is gated in tests/test_ann.py."""
     from raydedup.stages.ann import knn_cosine_lsh
 
     emb = _read(sf_dir, "embeddings")
     q = np.asarray(emb.limit(1).to_pandas()["embedding"][0], dtype=np.float32)
-    return knn_cosine_lsh(emb, q, k=10)[["vec_id", "cosine"]]
+    return knn_cosine_lsh(emb, q, k=10, n_planes=12, probe_radius=12)[["vec_id", "cosine"]]
 
 
 def _q_store_query(sf_dir: str):
@@ -1336,6 +1347,33 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
         """,
 
+        # ANN scale paths in exact mode (n_probe = nlist / full Hamming
+        # ball): the bucket/probe machinery runs end-to-end but the math
+        # reduces to brute force, so the brute-force SQL is the oracle.
+        # Approximate-probe recall is gated in tests/test_ann.py.
+        "knn_cosine_ivf": """
+            SELECT b.vec_id,
+                   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine
+            FROM embeddings a CROSS JOIN embeddings b
+            WHERE a.vec_id = (SELECT min(vec_id) FROM embeddings)
+            ORDER BY cosine DESC, b.vec_id ASC
+            LIMIT 10
+        """,
+        "knn_cosine_lsh": """
+            SELECT b.vec_id,
+                   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine
+            FROM embeddings a CROSS JOIN embeddings b
+            WHERE a.vec_id = (SELECT min(vec_id) FROM embeddings)
+            ORDER BY cosine DESC, b.vec_id ASC
+            LIMIT 10
+        """,
+        "embedding_neardup_bucketed": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+            ORDER BY a, b
+        """,
         "minhash_signatures": q_minhash_signatures(),
         "lsh_candidates": q_lsh_candidates(),
         "simhash_pairs": q_simhash_pairs(),

@@ -223,14 +223,23 @@ def knn_cosine_ivf(
     query: np.ndarray,
     k: int = 10,
     n_centroids: int | None = None,
-    n_probe: int = 4,
+    n_probe: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> pd.DataFrame:
     """IVF approximate top-k: scan only the n_probe buckets whose
     centroids are closest to the query (bucket filter inside map_batches
-    against broadcast centroids — no shuffle)."""
+    against broadcast centroids — no shuffle).
+
+    ``n_probe=None`` probes every bucket: the standard nprobe=nlist
+    property makes the result EXACT (equal to brute force) while still
+    exercising the full IVF machinery — training, assignment, probe
+    routing, per-bucket top-k, merge. The driver's oracle-checked query
+    uses that config; approximate n_probe recall is gated in
+    tests/test_ann.py."""
     cents = train_centroids(embeddings, n_centroids=n_centroids, vec_col=vec_col)
+    if n_probe is None:
+        n_probe = cents.shape[0]
     qn = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))
     probe = np.argsort(-(cents @ qn.T).ravel())[:n_probe]
     cents_ref = ray.put(cents)
@@ -269,7 +278,7 @@ def embedding_neardup_pairs(
     embeddings: Dataset,
     threshold: float = 0.95,
     n_centroids: int | None = None,
-    n_probe: int = 2,
+    n_probe: int | None = 2,
     max_bucket: int = 8192,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -285,13 +294,19 @@ def embedding_neardup_pairs(
     the vec_id — within-sub pairs stay exact, cross-sub pairs of the
     degenerate bucket are dropped and COUNTED (``n_subbucketed``
     attribute on the returned frame), mirroring the LSH path's
-    max_band_postings policy. n_centroids defaults to ~sqrt(n)."""
+    max_band_postings policy. n_centroids defaults to ~sqrt(n).
+
+    ``n_probe=None`` assigns every vector to every bucket: every pair is
+    co-bucketed, so the result is EXACT (equal to the brute-force
+    all-pairs baseline) while exercising the full bucket/dedupe
+    machinery — the driver's oracle-checked query uses that config;
+    approximate n_probe recall is gated in tests/test_ann.py."""
     from raydedup.hashing import mix64
 
     cents = train_centroids(
         embeddings, n_centroids=n_centroids, vec_col=vec_col, id_col=id_col
     )
-    probe = min(n_probe, cents.shape[0])
+    probe = cents.shape[0] if n_probe is None else min(n_probe, cents.shape[0])
     cents_ref = ray.put(cents)
 
     def bucketize(batch: pa.Table) -> pa.Table:
@@ -384,13 +399,19 @@ def knn_cosine_lsh(
     n_planes: int = 12,
     n_tables: int = 4,
     seed: int = 0x5EED_11A5,
+    probe_radius: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> pd.DataFrame:
-    """Random-hyperplane (sign) LSH top-k: vectors sharing the query's
-    sign-pattern bucket in ANY of ``n_tables`` tables are scanned
-    exactly. Alternative scale path to IVF (no training pass; buckets
-    are data-independent)."""
+    """Random-hyperplane (sign) LSH top-k: vectors whose sign-pattern
+    code is within Hamming distance ``probe_radius`` of the query's code
+    in ANY of ``n_tables`` tables are scanned exactly. probe_radius=0 is
+    classic single-bucket LSH; radius 1-2 is multi-probe (recovers
+    near-boundary vectors without more tables); radius >= n_planes
+    probes the whole Hamming ball, making the result EXACT — the
+    driver's oracle-checked query uses that config, approximate-radius
+    recall is gated in tests/test_ann.py. Alternative scale path to IVF
+    (no training pass; buckets are data-independent)."""
     dim = np.asarray(query).shape[-1]
     rng = np.random.Generator(np.random.PCG64(seed))
     planes = rng.normal(size=(n_tables, n_planes, dim))
@@ -404,6 +425,8 @@ def knn_cosine_lsh(
     q_ref = ray.put(qn)
 
     def topk_batch(batch: pa.Table) -> pa.Table:
+        from raydedup.stages.signatures import hamming64
+
         pl = ray.get(planes_ref)
         qc = ray.get(qcodes_ref)
         q = ray.get(q_ref)
@@ -412,7 +435,10 @@ def knn_cosine_lsh(
         mask = np.zeros(m.shape[0], dtype=bool)
         for t in range(pl.shape[0]):
             codes = ((m @ pl[t].T) > 0).astype(np.uint64) @ powers
-            mask |= codes == qc[t]
+            if probe_radius <= 0:
+                mask |= codes == qc[t]
+            else:
+                mask |= hamming64(codes, np.full_like(codes, qc[t])) <= probe_radius
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)[mask]
         sims = (m[mask] @ q.T).ravel()
         take = min(k, sims.shape[0])
