@@ -37,11 +37,9 @@ from ray.data import Dataset
 from raydedup.config import DedupConfig
 from raydedup.stages.candidates import band_postings, emit_pairs_partition
 from raydedup.stages.cluster_scale import assignments_exchange, cluster_edge_refs
-from raydedup.stages.containment import _emit_fp_pairs, fingerprint_postings
-from raydedup.stages.exchange import hash_exchange_apply, hash_exchange_join
+from raydedup.stages.containment import _emit_fp_pairs, fingerprint_postings_table
+from raydedup.stages.exchange import hash_exchange_apply
 from raydedup.stages.pair_agg import reduce_pair_table
-from raydedup.stages.signatures import shingle_hashes
-from raydedup.stages.verify import jaccard_sorted
 
 
 @dataclass
@@ -80,41 +78,15 @@ def run_dedup_scale(
     metrics: dict[str, Any] = {}
     docs = docs.materialize()
 
-    # --- exact sha edges (refs) ------------------------------------------
-    def add_key(t: pa.Table) -> pa.Table:
-        digests = t.column("text_sha256").to_pylist()
-        key = (
-            np.frombuffer(b"".join(digests), dtype=">i8").reshape(-1, 4)[:, 0]
-            if digests
-            else np.empty(0, dtype=np.int64)
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "sha_key": pa.array(key, type=pa.int64()),
-                "doc_id": t.column("doc_id"),
-                "text_sha256": t.column("text_sha256"),
-            }
-        )
-
-    def sha_emit(t: pa.Table) -> pa.Table:
-        
-        part = t.to_pandas().sort_values(["sha_key", "doc_id"], kind="mergesort")
-        cand = part[part["sha_key"].duplicated(keep=False)]
-        if cand.empty:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        rep = cand.groupby("text_sha256", sort=False)["doc_id"].transform("min")
-        mask = cand["doc_id"].to_numpy() != rep.to_numpy()
-        return pa.table(
-            {
-                "a": pa.array(rep.to_numpy()[mask].astype(np.int64), type=pa.int64()),
-                "b": pa.array(cand["doc_id"].to_numpy()[mask].astype(np.int64), type=pa.int64()),
-            }
-        )
+    # --- exact sha edges (refs): same pure-NumPy kernels as run_dedup -----
+    from raydedup.pipelines.dedup import sha_emit_table, sha_key_table
 
     keyed = docs.select_columns(["doc_id", "text_sha256"]).map_batches(
-        add_key, batch_format="pyarrow"
+        sha_key_table, batch_format="pyarrow"
     )
-    exact_refs = hash_exchange_apply(keyed, "sha_key", sha_emit, num_buckets, collect=False)
+    exact_refs = hash_exchange_apply(
+        keyed, "sha_key", sha_emit_table, num_buckets, collect=False
+    )
 
     # --- LSH candidates (refs) -------------------------------------------
     from raydedup.pipelines.dedup import compute_signatures
@@ -142,55 +114,84 @@ def run_dedup_scale(
         partial_refs, "a", combine_candidates, num_buckets, collect=False
     )
     metrics["candidate_pairs"] = _total(cand_refs)
+    metrics["t_candidates"] = time.perf_counter() - t0
 
-    # --- verification: exchange joins against the full docs table ---------
-    doc_text = docs.select_columns(["doc_id", "text"]).materialize()
-    tau = cfg.jaccard_tau
+    # --- verification: refs-only semi-join + packed-shingle exchange ------
+    # The candidate doc-id DEMAND is itself exchanged (never broadcast —
+    # at 10^12 docs even the id set outgrows one machine): per-candidate-
+    # bucket id tables co-partition with the docs split, each bucket
+    # kernel filters its local docs to demanded ids and computes their
+    # shingle sets ONCE with the vectorized batch kernel. The full text
+    # corpus is split exactly ONE time (the split refs are reused by the
+    # containment explode below); only candidate shingle payloads move
+    # through the two join rounds.
+    from raydedup.stages.exchange import reduce_join_split, split_dataset
+    from raydedup.stages.verify import (
+        make_attach_a,
+        make_attach_b_verify,
+        packed_shingle_table,
+    )
 
-    def attach_a(left: pa.Table, right: pa.Table) -> pa.Table:
-        texts = dict(zip(right.column("doc_id").to_pylist(), right.column("text").to_pylist()))
-        sets = {}
-        sa = []
-        for x in left.column("a").to_pylist():
-            s = sets.get(x)
-            if s is None:
-                s = sets[x] = shingle_hashes(texts[x], cfg)
-            sa.append(s.tobytes())
-        return pa.table(
-            {
-                "a": left.column("a"),
-                "b": left.column("b"),
-                "shingles_a": pa.array(sa, type=pa.large_binary()),
-            }
+    doc_text = docs.select_columns(["doc_id", "text"])
+    dsplit = split_dataset(doc_text, "doc_id", num_buckets)
+
+    @ray.remote
+    def _pair_id_table(t: pa.Table) -> pa.Table:
+        ids = np.unique(
+            np.concatenate(
+                [
+                    t.column("a").to_numpy(zero_copy_only=False),
+                    t.column("b").to_numpy(zero_copy_only=False),
+                ]
+            )
+            if t.num_rows
+            else np.empty(0, dtype=np.int64)
         )
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64), type=pa.int64())})
 
-    def attach_b_verify(left: pa.Table, right: pa.Table) -> pa.Table:
-        texts = dict(zip(right.column("doc_id").to_pylist(), right.column("text").to_pylist()))
-        sets: dict[int, np.ndarray] = {}
-        b = left.column("b").to_pylist()
-        sa = left.column("shingles_a").to_pylist()
-        jac = np.empty(len(b), dtype=np.float64)
-        for i in range(len(b)):
-            s = sets.get(b[i])
-            if s is None:
-                s = sets[b[i]] = shingle_hashes(texts[b[i]], cfg)
-            jac[i] = jaccard_sorted(np.frombuffer(sa[i], dtype=np.uint64), s)
-        return pa.table(
-            {
-                "a": left.column("a"),
-                "b": left.column("b"),
-                "jaccard": pa.array(jac, type=pa.float64()),
-            }
-        ).filter(pa.array(jac >= tau))
+    idsplit = split_dataset(
+        [_pair_id_table.remote(r) for r in cand_refs], "doc_id", num_buckets
+    )
 
-    r1 = hash_exchange_join(cand_refs, doc_text, "a", "doc_id", attach_a, num_buckets)
-    verified_refs = hash_exchange_join(r1, doc_text, "b", "doc_id", attach_b_verify, num_buckets)
+    def filter_and_shingle(ids_tbl: pa.Table, docs_tbl: pa.Table) -> pa.Table:
+        wanted = np.unique(ids_tbl.column("doc_id").to_numpy(zero_copy_only=False))
+        if docs_tbl.num_rows and wanted.shape[0]:
+            ids = docs_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            docs_tbl = docs_tbl.filter(pa.array(np.isin(ids, wanted)))
+        else:
+            docs_tbl = docs_tbl.slice(0, 0)
+        return packed_shingle_table(docs_tbl, cfg)
+
+    # per-bucket packed candidate shingles, already partitioned by
+    # hash(doc_id) — usable directly as the right side of both joins
+    shingled_refs = reduce_join_split(idsplit, dsplit, filter_and_shingle, num_buckets)
+    shsplit = [shingled_refs]
+
+    psplit = split_dataset(cand_refs, "a", num_buckets)
+    r1 = reduce_join_split(psplit, shsplit, make_attach_a(), num_buckets)
+    verified_refs = reduce_join_split(
+        split_dataset(r1, "b", num_buckets),
+        shsplit,
+        make_attach_b_verify(cfg.jaccard_tau),
+        num_buckets,
+    )
     metrics["verified_pairs"] = _total(verified_refs)
+    metrics["t_verify"] = time.perf_counter() - t0 - metrics["t_candidates"]
 
     # --- clustering round 1: exact + verified LSH edges -------------------
+    # the shard actor pool is spawned ONCE and reused by the containment
+    # merge round below (contract() resets shard state at stability, so
+    # the second round starts clean on warm actors)
+    from raydedup.stages.cluster import UnionFindShard
+
+    uf_shards = [UnionFindShard.remote(i, n_shards) for i in range(n_shards)]
     edge_refs = _select_ab(verified_refs) + exact_refs
     forest_refs = cluster_edge_refs(
-        edge_refs, n_shards=n_shards, num_buckets=min(num_buckets, 32)
+        edge_refs,
+        n_shards=n_shards,
+        num_buckets=min(num_buckets, 32),
+        shards=uf_shards,
+        kill=False,
     )
 
     # --- containment over cluster REPRESENTATIVES only (refs) -------------
@@ -200,22 +201,30 @@ def run_dedup_scale(
     # with their representative, so sweeping them only floods the pair
     # exchange with redundant rows. The forest never touches the driver.
     if containment:
-        def drop_members(left: pa.Table, right: pa.Table) -> pa.Table:
+        w_c, s_c = cfg.containment_window, cfg.containment_stride
+
+        def drop_members_then_explode(left: pa.Table, right: pa.Table) -> pa.Table:
+            # left = docs bucket (doc_id, text), right = forest bucket
+            # keyed on b: drop member docs FIRST, then winnow only the
+            # survivors — the explode (the expensive text scan, ~W rows
+            # per doc) never runs on docs whose representative already
+            # carries the same fingerprints
             ra = right.column("a").to_numpy(zero_copy_only=False)
             rb = right.column("b").to_numpy(zero_copy_only=False)
             members = np.sort(rb[ra != rb])
-            if members.shape[0] == 0 or left.num_rows == 0:
-                return left
-            ids = left.column("doc_id").to_numpy(zero_copy_only=False)
-            pos = np.minimum(np.searchsorted(members, ids), members.shape[0] - 1)
-            return left.filter(pa.array(members[pos] != ids))
+            if members.shape[0] and left.num_rows:
+                ids = left.column("doc_id").to_numpy(zero_copy_only=False)
+                pos = np.minimum(np.searchsorted(members, ids), members.shape[0] - 1)
+                left = left.filter(pa.array(members[pos] != ids))
+            return fingerprint_postings_table(left, w_c, s_c)
 
-        fp_filtered_refs = hash_exchange_join(
-            fingerprint_postings(docs, cfg),
-            forest_refs,
-            "doc_id",
-            "b",
-            drop_members,
+        # reuse the one existing full-text split (dsplit, keyed on
+        # doc_id); the forest's b column is a doc_id, so the two sides
+        # co-partition
+        fp_filtered_refs = reduce_join_split(
+            dsplit,
+            split_dataset(forest_refs, "b", num_buckets),
+            drop_members_then_explode,
             num_buckets,
         )
         fp_partial_refs = hash_exchange_apply(
@@ -241,14 +250,26 @@ def run_dedup_scale(
             fp_partial_refs, "a", combine_containment, num_buckets, collect=False
         )
         metrics["containment_pairs"] = _total(cont_refs)
+        metrics["t_containment"] = (
+            time.perf_counter() - t0 - metrics["t_candidates"] - metrics["t_verify"]
+        )
         if metrics["containment_pairs"]:
             # round 2: merge containment links into the forest (the
-            # forest's own edges re-attach the members transitively)
+            # forest's own edges re-attach the members transitively) —
+            # on the SAME warm shard actors as round 1
             forest_refs = cluster_edge_refs(
                 forest_refs + cont_refs,
                 n_shards=n_shards,
                 num_buckets=min(num_buckets, 32),
+                shards=uf_shards,
+                kill=True,
             )
+        else:
+            for s in uf_shards:
+                ray.kill(s)
+    else:
+        for s in uf_shards:
+            ray.kill(s)
 
     metrics["n_dup_docs"] = _total(forest_refs)
     clusters = assignments_exchange(docs, forest_refs, num_buckets=min(num_buckets, 32))

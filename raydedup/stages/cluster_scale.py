@@ -21,12 +21,15 @@ from raydedup.stages.cluster import UnionFind, UnionFindShard
 
 
 @ray.remote
-def _route_table(shards: list, n_shards: int, table: pa.Table) -> int:
-    """Read one edge table and push its edges to the owning shards
-    (called as a task — edges go object store -> task -> actor, not
-    through the driver)."""
-    if table.num_rows == 0:
+def _route_table(shards: list, n_shards: int, *tables: pa.Table) -> int:
+    """Read a GROUP of edge tables and push their edges to the owning
+    shards (called as a task — edges go object store -> task -> actor,
+    not through the driver; grouping keeps the task count O(cpus), not
+    O(edge refs))."""
+    nonempty = [t for t in tables if t.num_rows]
+    if not nonempty:
         return 0
+    table = pa.concat_tables(nonempty)
     a = table.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
     b = table.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
     lo = np.minimum(a, b)
@@ -137,7 +140,12 @@ def _edge_sig(table: pa.Table) -> tuple[int, int]:
 
 
 def cluster_edge_refs(
-    edge_refs: list, n_shards: int = 8, num_buckets: int = 32, max_rounds: int = 32
+    edge_refs: list,
+    n_shards: int = 8,
+    num_buckets: int = 32,
+    max_rounds: int = 32,
+    shards: list | None = None,
+    kill: bool = True,
 ) -> list:
     """Edge table refs -> component forest refs (a=root, b=member).
 
@@ -148,9 +156,24 @@ def cluster_edge_refs(
     (checked with per-shard order-insensitive signatures — bytes to the
     driver, never edges); at stability every member has a unique parent
     and only cross-shard CHAINS remain, which pointer jumping collapses.
+
+    Pass ``shards`` (and ``kill=False`` on earlier calls) to run several
+    incremental rounds against the SAME shard actors: the union-find
+    state persists, so a later call only routes its NEW edges instead of
+    re-spawning actors and re-routing the whole forest (run_dedup_scale
+    uses this for the containment-link merge round).
     """
-    shards = [UnionFindShard.remote(i, n_shards) for i in range(n_shards)]
-    ray.get([_route_table.remote(shards, n_shards, r) for r in edge_refs])
+    import math
+
+    if shards is None:
+        shards = [UnionFindShard.remote(i, n_shards) for i in range(n_shards)]
+    group = max(1, math.ceil(len(edge_refs) / (4 * n_shards)))
+    ray.get(
+        [
+            _route_table.remote(shards, n_shards, *edge_refs[i : i + group])
+            for i in range(0, len(edge_refs), group)
+        ]
+    )
     prev_sig = None
     tables: list = []
     for _ in range(max_rounds):
@@ -160,8 +183,9 @@ def cluster_edge_refs(
             break
         prev_sig = sig
         ray.get([_route_by_member.remote(shards, n_shards, t) for t in tables])
-    for s in shards:
-        ray.kill(s)
+    if kill:
+        for s in shards:
+            ray.kill(s)
     return _pointer_jump(tables, num_buckets)
 
 

@@ -176,6 +176,101 @@ def verify_pairs_small(
     return work.map_batches(verify_batch, batch_format="pyarrow")
 
 
+def packed_shingle_table(docs_tbl: pa.Table, cfg: DedupConfig) -> pa.Table:
+    """(doc_id, text) bucket -> (doc_id, shingles) where ``shingles`` is
+    the doc's sorted unique shingle-hash set packed as little-endian
+    uint64 bytes, computed with the VECTORIZED batch front half (Arrow
+    split + dictionary hash + one global rolling pass) — never per-doc
+    Python tokenization."""
+    from raydedup.stages.signatures import batch_shingle_sets
+
+    if docs_tbl.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "shingles": pa.array([], pa.large_binary())}
+        )
+    col = docs_tbl.column("text")
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    sets = batch_shingle_sets(arr, cfg)
+    return pa.table(
+        {
+            "doc_id": docs_tbl.column("doc_id").cast(pa.int64()),
+            "shingles": pa.array([s.tobytes() for s in sets], type=pa.large_binary()),
+        }
+    )
+
+
+def lookup_packed(packed: pa.Table, keys: np.ndarray) -> pa.Array:
+    """Gather ``packed.shingles`` rows by doc_id via sort + searchsorted
+    (the bucket co-partition guarantees every key is present)."""
+    ids = packed.column("doc_id").to_numpy(zero_copy_only=False)
+    if ids.shape[0] == 0:
+        return pa.array([b""] * keys.shape[0], type=pa.large_binary())
+    order = np.argsort(ids, kind="stable")
+    pos = np.clip(np.searchsorted(ids[order], keys), 0, ids.shape[0] - 1)
+    col = packed.column("shingles")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.take(pa.array(order[pos].astype(np.int64)))
+
+
+def _jaccard_packed(sa: list, sb: list, tau: float) -> np.ndarray:
+    jac = np.empty(len(sa), dtype=np.float64)
+    for i in range(len(sa)):
+        jac[i] = jaccard_sorted(
+            np.frombuffer(sa[i], dtype=np.uint64), np.frombuffer(sb[i], dtype=np.uint64)
+        )
+    return jac
+
+
+def make_attach_a():
+    """Bucket kernel: pairs(a, b, ...) x packed(doc_id, shingles) ->
+    (a, b, shingles_a) via vectorized gather."""
+
+    def attach_a(left: pa.Table, right: pa.Table) -> pa.Table:
+        if left.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "shingles_a": pa.array([], pa.large_binary())}
+            )
+        a = left.column("a").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": left.column("a"),
+                "b": left.column("b"),
+                "shingles_a": lookup_packed(right, a),
+            }
+        )
+
+    return attach_a
+
+
+def make_attach_b_verify(tau: float):
+    """Bucket kernel: (a, b, shingles_a) x packed(doc_id, shingles) ->
+    verified (a, b, jaccard >= tau)."""
+
+    def attach_b_and_verify(left: pa.Table, right: pa.Table) -> pa.Table:
+        if left.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        b = left.column("b").to_numpy(zero_copy_only=False)
+        shb = lookup_packed(right, b)
+        jac = _jaccard_packed(
+            left.column("shingles_a").to_pylist(), shb.to_pylist(), tau
+        )
+        return pa.table(
+            {
+                "a": left.column("a"),
+                "b": left.column("b"),
+                "jaccard": pa.array(jac, type=pa.float64()),
+            }
+        ).filter(pa.array(jac >= tau))
+
+    return attach_b_and_verify
+
+
 def verify_pairs_exchange(
     pairs: Dataset,
     docs: Dataset,
@@ -184,15 +279,15 @@ def verify_pairs_exchange(
     num_buckets: int | None = None,
 ) -> pa.Table:
     """Scale-path verification: two hash-exchange join rounds over the
-    candidate docs' TEXT.
+    candidate docs' packed shingle sets.
 
     Docs are semi-join-filtered to ids appearing in any pair (ids
-    broadcast — ids only, not payloads), then co-partitioned with the
-    pair table twice (on ``a``, then on ``b``); each bucket kernel
-    recomputes the shingle sets for its local docs once and verifies its
-    pairs. Shingle payloads are never materialized or shuffled — only
-    raw text moves, exactly twice, for candidate docs only.
-    """
+    broadcast — ids only, not payloads) and their shingle sets computed
+    ONCE with the vectorized batch kernel during the filter map; the
+    packed sets are split on doc_id once and the bucket refs reused by
+    both join rounds (keys ``a`` and ``b`` both address doc_id buckets).
+    Raw text never enters an exchange; per-pair work is a searchsorted
+    gather plus one sorted-set intersection."""
     import ray
 
     from raydedup.stages.exchange import (
@@ -200,68 +295,29 @@ def verify_pairs_exchange(
         reduce_join_split,
         split_dataset,
     )
-    from raydedup.stages.signatures import shingle_hashes
 
     ids_ref = ray.put(np.sort(pair_doc_ids))
 
-    def keep_candidates(t: pa.Table) -> pa.Table:
+    def keep_and_shingle(t: pa.Table) -> pa.Table:
         wanted = ray.get(ids_ref)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(np.isin(ids, wanted)))
+        return packed_shingle_table(t.filter(pa.array(np.isin(ids, wanted))), cfg)
 
-    doc_subset = (
+    doc_packed = (
         docs.select_columns(["doc_id", "text"])
-        .map_batches(keep_candidates, batch_format="pyarrow")
+        .map_batches(keep_and_shingle, batch_format="pyarrow")
         .materialize()
     )
 
-    def attach_a(left: pa.Table, right: pa.Table) -> pa.Table:
-        texts = dict(
-            zip(right.column("doc_id").to_pylist(), right.column("text").to_pylist())
-        )
-        sets = {d: shingle_hashes(t, cfg) for d, t in texts.items()}
-        a = left.column("a").to_pylist()
-        return pa.table(
-            {
-                "a": left.column("a"),
-                "b": left.column("b"),
-                "shingles_a": pa.array(
-                    [sets[x].tobytes() for x in a], type=pa.large_binary()
-                ),
-            }
-        )
-
-    tau = cfg.jaccard_tau
-
-    def attach_b_and_verify(left: pa.Table, right: pa.Table) -> pa.Table:
-        texts = dict(
-            zip(right.column("doc_id").to_pylist(), right.column("text").to_pylist())
-        )
-        sets = {d: shingle_hashes(t, cfg) for d, t in texts.items()}
-        b = left.column("b").to_pylist()
-        sa = left.column("shingles_a").to_pylist()
-        jac = np.empty(len(b), dtype=np.float64)
-        for i in range(len(b)):
-            jac[i] = jaccard_sorted(np.frombuffer(sa[i], dtype=np.uint64), sets[b[i]])
-        keep = jac >= tau
-        return pa.table(
-            {
-                "a": left.column("a"),
-                "b": left.column("b"),
-                "jaccard": pa.array(jac, type=pa.float64()),
-            }
-        ).filter(pa.array(keep))
-
-    # The doc subset is split on doc_id ONCE and its bucket refs are
-    # reused by both join rounds (keys "a" and "b" both address doc_id
-    # buckets) — one split wave instead of two.
     if num_buckets is None:
         num_buckets = default_buckets()
-    dsplit = split_dataset(doc_subset, "doc_id", num_buckets)
+    dsplit = split_dataset(doc_packed, "doc_id", num_buckets)
     psplit = split_dataset(pairs.select_columns(["a", "b"]), "a", num_buckets)
-    r1 = reduce_join_split(psplit, dsplit, attach_a, num_buckets)
+    r1 = reduce_join_split(psplit, dsplit, make_attach_a(), num_buckets)
     r2split = split_dataset(r1, "b", num_buckets)
-    r2 = reduce_join_split(r2split, dsplit, attach_b_and_verify, num_buckets)
+    r2 = reduce_join_split(
+        r2split, dsplit, make_attach_b_verify(cfg.jaccard_tau), num_buckets
+    )
     parts = [t for t in ray.get(r2) if t.num_rows]
     if not parts:
         return pa.table(
