@@ -410,6 +410,29 @@ def _q_minhash_signatures(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_minhash_oph(sf_dir: str):
+    """One-permutation-hashing signatures (doc_id, perm_idx, sig): the
+    full densified signature matrix exploded to rows, value-checked
+    against an independent SQL implementation of bin-min + rotation
+    densification (see q_minhash_oph_sql)."""
+    from raydedup.config import DedupConfig
+    from raydedup.pipelines.dedup import compute_signatures
+
+    cfg = DedupConfig(batch_size=1024, minhash_scheme="oph")
+    sig = compute_signatures(_docs(sf_dir), cfg, keep_shingles=False)
+    df = sig.select_columns(["doc_id", "minhash"]).to_pandas()
+    n = cfg.n_perms
+    mat = np.stack([np.asarray(v, dtype=np.uint32) for v in df["minhash"]])
+    out = pd.DataFrame(
+        {
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), n),
+            "perm_idx": np.tile(np.arange(n, dtype=np.int64), len(df)),
+            "sig": mat.reshape(-1).astype(np.int64),
+        }
+    )
+    return out.sort_values(["doc_id", "perm_idx"]).reset_index(drop=True)
+
+
 def _q_lsh_candidates(sf_dir: str):
     """J1: LSH band-collision candidate pairs with collision counts."""
     from raydedup.config import DedupConfig
@@ -605,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": _q_top_customers,
         # rows-only
         "minhash_signatures": _q_minhash_signatures,
+        "minhash_oph": _q_minhash_oph,
         "lsh_candidates": _q_lsh_candidates,
         "simhash_pairs": _q_simhash_pairs,
         "lang_id": _q_lang_id,
@@ -775,6 +799,41 @@ FROM documents d
 JOIN sim s USING (doc_id)
 LEFT JOIN nsh n USING (doc_id)
 ORDER BY d.doc_id
+"""
+
+
+def q_minhash_oph_sql():
+    """SQL mirror of oph_minhash_batch (signatures.py): top-7-bit bin,
+    min of low 32 bits per (doc, bin), empty bins borrow from the
+    nearest filled bin to the right circularly (rotation densification
+    via a suffix-min window over the doubled bin axis)."""
+    return sig_prelude() + """
+, slot AS MATERIALIZED (
+  SELECT doc_id, CAST(sh >> 57 AS INT) AS bin,
+         min(sh & CAST(4294967295 AS UBIGINT)) AS v
+  FROM shingles GROUP BY doc_id, bin
+), grid AS (
+  SELECT d.doc_id, CAST(g.range AS INT) AS bin
+  FROM (SELECT DISTINCT doc_id FROM shingles) d CROSS JOIN range(128) g
+), doubled AS (
+  SELECT g.doc_id, g.bin + 128 * k.k AS pos, g.bin, s.v
+  FROM grid g
+  LEFT JOIN slot s ON s.doc_id = g.doc_id AND s.bin = g.bin
+  CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+), filled AS MATERIALIZED (
+  SELECT doc_id, pos, bin, v,
+         min(CASE WHEN v IS NOT NULL THEN pos END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS src
+  FROM doubled
+)
+SELECT f.doc_id,
+       CAST(f.bin AS BIGINT) AS perm_idx,
+       CAST(s2.v AS BIGINT) AS sig
+FROM filled f
+JOIN filled s2 ON s2.doc_id = f.doc_id AND s2.pos = f.src
+WHERE f.pos < 128
+ORDER BY f.doc_id, perm_idx
 """
 
 
@@ -1375,6 +1434,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a, b
         """,
         "minhash_signatures": q_minhash_signatures(),
+        "minhash_oph": q_minhash_oph_sql(),
         "lsh_candidates": q_lsh_candidates(),
         "simhash_pairs": q_simhash_pairs(),
         "lang_id": q_lang_id(),

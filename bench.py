@@ -100,6 +100,15 @@ def run_bench() -> dict:
         ray.shutdown()
         return out
 
+    # signature-scheme comparison at bench scale (classic 128-perm vs
+    # one-permutation hashing): same corpus, same banding layout
+    for scheme in ("classic", "oph"):
+        t = time.perf_counter()
+        compute_signatures(
+            docs, DedupConfig(batch_size=2048, minhash_scheme=scheme), keep_shingles=False
+        ).materialize()
+        queries[f"signatures_{scheme}_bench"] = time.perf_counter() - t
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as E
 

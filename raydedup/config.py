@@ -25,6 +25,12 @@ class DedupConfig:
     # --- MinHash (analog of the 64-bit fingerprint hash, OlafFingerprint.java:154-196)
     n_perms: int = 128
     minhash_seed: int = 0x5EED_0001
+    # "classic" = n_perms multiply-shift permutations (reference-faithful,
+    # SQL-mirrored); "oph" = one-permutation hashing with rotation
+    # densification (Shrivastava & Li, ICML 2014): one pass over the
+    # shingles instead of 128 — ~10x faster signature kernel at matched
+    # (n_perms, banding) layout. Same downstream banding/verify path.
+    minhash_scheme: str = "classic"  # "classic" | "oph"
 
     # --- LSH banding (replaces the LMDB hash->postings store,
     # PanakoStorageKV.java:204-228; +/-2 near-hash range scan -> band collision)

@@ -245,6 +245,53 @@ def minhash_batch(
     return sig
 
 
+def oph_minhash_batch(shingle_sets: list[np.ndarray], n_perms: int) -> np.ndarray:
+    """(n_docs, n_perms) uint32 one-permutation-hashing signatures.
+
+    One pass over the shingles instead of ``n_perms`` permutations
+    (Shrivastava & Li, "Densifying One Permutation Hashing via Rotation",
+    ICML 2014): each (already mix64-uniform) shingle hash is bucketed by
+    its top log2(n_perms) bits, the slot value is the hash's low 32 bits,
+    empty slots borrow from the nearest non-empty slot to the RIGHT
+    (circular — rotation densification). Deterministic, vectorized
+    (sort + reduceat + one suffix-min), and SQL-mirrorable. ~10x less
+    arithmetic than ``minhash_batch`` at n_perms=128; downstream banding
+    and exact-Jaccard verification are unchanged."""
+    n_docs = len(shingle_sets)
+    if n_perms & (n_perms - 1):
+        raise ValueError("oph requires n_perms to be a power of two")
+    sig = np.zeros((n_docs, n_perms), dtype=np.uint32)
+    if n_docs == 0:
+        return sig
+    filled = np.zeros((n_docs, n_perms), dtype=bool)
+    lens = np.fromiter((s.shape[0] for s in shingle_sets), dtype=np.int64, count=n_docs)
+    allsh = (
+        np.concatenate(shingle_sets) if n_docs > 1 else np.asarray(shingle_sets[0])
+    ).astype(U64, copy=False)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.uint64), lens)
+    shift = 64 - int(n_perms).bit_length() + 1  # 64 - log2(n_perms)
+    bins = allsh >> U64(shift)
+    vals = allsh & U64(0xFFFFFFFF)
+    # pack (doc*n_perms + bin) << 32 | value into ONE u64 key: after a
+    # plain np.sort, each (doc, bin) group's FIRST element carries the
+    # group min — no argsort, no gathers, no reduceat
+    key = ((doc_idx * U64(n_perms) + bins) << U64(32)) | vals
+    key.sort()
+    comp_s = key >> U64(32)
+    starts = np.flatnonzero(np.concatenate(([True], comp_s[1:] != comp_s[:-1])))
+    slots = comp_s[starts].astype(np.int64)
+    sig.reshape(-1)[slots] = (key[starts] & U64(0xFFFFFFFF)).astype(np.uint32)
+    filled.reshape(-1)[slots] = True
+    # rotation densification: suffix-min over the doubled slot axis finds
+    # the nearest filled slot at-or-right-of each position (circular)
+    k2 = 2 * n_perms
+    cand = np.where(
+        np.concatenate([filled, filled], axis=1), np.arange(k2)[None, :], k2
+    )
+    src = np.minimum.accumulate(cand[:, ::-1], axis=1)[:, ::-1][:, :n_perms] % n_perms
+    return np.take_along_axis(sig, src, axis=1)
+
+
 def simhash_batch(token_sets: list[tuple[np.ndarray, np.ndarray]]) -> np.ndarray:
     """(n_docs,) uint64 SimHash from (unique token hash, count) pairs.
 
@@ -383,7 +430,10 @@ class SignatureKernel:
                     toks[d] = empty_tok
                 else:
                     toks[d] = np.unique(wh, return_counts=True)
-        sig = minhash_batch(sets, self.a, self.b)
+        if cfg.minhash_scheme == "oph":
+            sig = oph_minhash_batch(sets, cfg.n_perms)
+        else:
+            sig = minhash_batch(sets, self.a, self.b)
         sim = simhash_batch(toks)
         bands = band_keys(sig, cfg)
         cols: dict[str, pa.Array] = {}

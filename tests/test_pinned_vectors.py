@@ -36,3 +36,14 @@ def test_signature_vectors_pinned():
         assert [int(x) for x in tbl.column("bands")[i].as_py()[:4]] == want["band_keys_first4"]
         assert [int(x) for x in winnowed_fingerprints(t, 40, 16)[:4]] == want["winnowed_first4"]
         assert int(fnv1a64(t.encode())) == want["fnv_text"]
+
+
+def test_oph_vectors_pinned():
+    from raydedup.stages.signatures import oph_minhash_batch
+
+    with open(FIX) as f:
+        fix = json.load(f)
+    cfg = DedupConfig()
+    for t, want in zip(fix["texts"], fix["vectors"]):
+        sig = oph_minhash_batch([shingle_hashes(t, cfg)], cfg.n_perms)[0]
+        assert [int(x) for x in sig[:8]] == want["oph_first8"]
