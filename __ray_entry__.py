@@ -168,19 +168,32 @@ def _q_events_hourly(sf_dir: str):
 
 
 def _q_top_docs_by_len(sf_dir: str):
-    """K3 top-k: 20 longest docs (deterministic doc_id tiebreak)."""
-    import ray.data as rd
-    from raydedup.stages.textstats import token_count_batch
+    """K3 top-k: 20 longest docs (deterministic doc_id tiebreak).
 
-    ds = _read(sf_dir, "documents").map_batches(
-        lambda t: t.append_column(
-            "text_len", pc.cast(pc.utf8_length(t["text"]), pa.int64())
-        ).select(["doc_id", "text_len"]),
-        batch_format="pyarrow",
+    Per-block local top-k inside map_batches, driver merges k rows per
+    block — the merge input is O(k x blocks), never the table."""
+    k = 20
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        lens = pc.cast(pc.utf8_length(t["text"]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -lens))[: min(k, lens.shape[0])]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order]),
+                "text_len": pa.array(lens[order], type=pa.int64()),
+            }
+        )
+
+    df = (
+        _read(sf_dir, "documents")
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
     )
-    df = ds.to_pandas()
     df = df.sort_values(["text_len", "doc_id"], ascending=[False, True], kind="mergesort")
-    return df.head(20).reset_index(drop=True)
+    return df.head(k).reset_index(drop=True)
 
 
 def _q_lang_distribution(sf_dir: str):
