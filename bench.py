@@ -100,6 +100,16 @@ def run_bench() -> dict:
         ray.shutdown()
         return out
 
+    # driver-light scale variant on the same corpus: evidences the
+    # run_dedup_scale vs run_dedup throughput gap (BASELINE.md) in the
+    # per-round bench record
+    from raydedup.pipelines.dedup_scale import run_dedup_scale
+
+    t = time.perf_counter()
+    sres = run_dedup_scale(docs, cfg, containment=True)
+    sres.clusters.count()
+    queries["dedup_scale_full"] = time.perf_counter() - t
+
     # signature-scheme comparison at bench scale (classic 128-perm vs
     # one-permutation hashing): same corpus, same banding layout
     for scheme in ("classic", "oph"):
