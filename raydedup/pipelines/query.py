@@ -35,32 +35,19 @@ def build_index(pages_path: str, index_dir: str, cfg: DedupConfig | None = None)
     files = sorted(glob.glob(os.path.join(pages_path, "*.parquet")))
     if not files:
         files = [pages_path]
-    # phase 1 of the checkpointed pipeline IS the store operation
-    from raydedup.pipelines.dedup import compute_signatures
-    from raydedup.sources.pages import pages_to_docs
+    # phase 1 of the checkpointed pipeline IS the store operation:
+    # wave-parallel independent shard tasks (cli/Store.java:56-90 analog)
     from raydedup.state.checkpoint import (
         CheckpointManager,
-        _atomic_write_table,
         _shard_key,
-        shard_file_tag,
+        store_shards_parallel,
     )
 
     mgr = CheckpointManager(index_dir, cfg)
-    stored = skipped = 0
-    for f in files:
-        key = _shard_key(f)
-        if mgr.shard_done(key):
-            skipped += 1
-            continue
-        tag = shard_file_tag(key)
-        docs = pages_to_docs(rd.read_parquet(f)).materialize()
-        sig = compute_signatures(docs, cfg, keep_shingles=False)
-        docs_tbl = to_arrow_table(docs)
-        sig_tbl = to_arrow_table(sig)
-        _atomic_write_table(docs_tbl, mgr.path("docs", f"shard={tag}.parquet"))
-        _atomic_write_table(sig_tbl, mgr.path("signatures", f"shard={tag}.parquet"))
-        mgr.mark_shard(key, shard=tag, n_docs=docs_tbl.num_rows, source=f)
-        stored += 1
+    pending = [(f, _shard_key(f)) for f in files]
+    pending = [(f, k) for f, k in pending if not mgr.shard_done(k)]
+    skipped = len(files) - len(pending)
+    stored = store_shards_parallel(mgr, pending, cfg)
     return {"stored_shards": stored, "skipped_shards": skipped, "index_dir": index_dir}
 
 

@@ -118,6 +118,88 @@ def shard_file_tag(shard_key: str) -> str:
     return hashlib.sha256(shard_key.encode()).hexdigest()[:16]
 
 
+def extract_shard_tables(pages_file: str, cfg: DedupConfig) -> tuple[pa.Table, pa.Table]:
+    """Single-process extract + signature of ONE pages shard: plain
+    pyarrow over record batches through the same batch kernels the
+    Dataset stages use (``extract_batch``, ``_signature_fn``) — values
+    are bit-identical to the Dataset path because both kernels are pure
+    per-row functions. Used by the wave-parallel store tasks; no nested
+    Ray Data inside a Ray task."""
+    from raydedup.pipelines.dedup import _signature_fn
+    from raydedup.stages.extract import extract_batch
+
+    raw = pq.read_table(pages_file, columns=["url", "html", "lang"])
+    docs_parts: list[pa.Table] = []
+    sig_parts: list[pa.Table] = []
+    for rb in raw.to_batches(max_chunksize=cfg.batch_size):
+        docs = extract_batch(pa.Table.from_batches([rb]))
+        docs_parts.append(docs)
+        sig_parts.append(
+            _signature_fn(docs.select(["doc_id", "text"]), cfg, keep_shingles=False)
+        )
+    if not docs_parts:  # empty shard: run kernels once for the schemas
+        docs_tbl = extract_batch(raw)
+        sig_tbl = _signature_fn(
+            docs_tbl.select(["doc_id", "text"]), cfg, keep_shingles=False
+        )
+        return docs_tbl, sig_tbl
+    return pa.concat_tables(docs_parts), pa.concat_tables(sig_parts)
+
+
+def store_shards_parallel(
+    mgr: "CheckpointManager",
+    shards: list[tuple[str, str]],
+    cfg: DedupConfig,
+    max_in_flight: int | None = None,
+) -> int:
+    """Extract + fingerprint pending shards as INDEPENDENT Ray tasks —
+    the analog of the reference's one-thread-pool-task-per-file store
+    (``cli/Store.java:56-90``), replacing the sequential
+    one-Dataset-pipeline-per-shard loop (which left the cluster idle
+    whenever a shard was smaller than the task pool).
+
+    Each task writes its two parquet files atomically; the DRIVER marks
+    the manifest only on task completion, so a kill at any instant
+    resumes with exactly the finished shards skipped. ``max_in_flight``
+    bounds shard tables held in worker heaps simultaneously (default:
+    one per CPU)."""
+    if not shards:
+        return 0
+    import ray
+
+    if max_in_flight is None:
+        max_in_flight = max(1, int(ray.cluster_resources().get("CPU", 8)))
+
+    @ray.remote(num_returns=1)
+    def _store_shard(f: str, docs_path: str, sig_path: str, cfg: DedupConfig) -> int:
+        docs_tbl, sig_tbl = extract_shard_tables(f, cfg)
+        _atomic_write_table(docs_tbl, docs_path)
+        _atomic_write_table(sig_tbl, sig_path)
+        return docs_tbl.num_rows
+
+    pending = list(shards)
+    in_flight: dict[Any, tuple[str, str, str]] = {}
+    done = 0
+    while pending or in_flight:
+        while pending and len(in_flight) < max_in_flight:
+            f, key = pending.pop(0)
+            tag = shard_file_tag(key)
+            ref = _store_shard.remote(
+                f,
+                mgr.path("docs", f"shard={tag}.parquet"),
+                mgr.path("signatures", f"shard={tag}.parquet"),
+                cfg,
+            )
+            in_flight[ref] = (f, key, tag)
+        ready, _ = ray.wait(list(in_flight), num_returns=1)
+        for ref in ready:
+            f, key, tag = in_flight.pop(ref)
+            n_docs = ray.get(ref)
+            mgr.mark_shard(key, shard=tag, n_docs=n_docs, source=f)
+            done += 1
+    return done
+
+
 def run_dedup_checkpointed(
     pages_files: list[str],
     ckpt_dir: str,
@@ -140,8 +222,6 @@ def run_dedup_checkpointed(
     """
     import ray.data as rd
 
-    from raydedup.pipelines.dedup import compute_signatures
-    from raydedup.sources.pages import pages_to_docs
     from raydedup.stages.candidates import band_postings, postings_to_pairs
     from raydedup.stages.cluster import UnionFind, assignments_table
     from raydedup.stages.containment import containment_pairs
@@ -161,16 +241,7 @@ def run_dedup_checkpointed(
         else:
             pending.append((f, key))
     budget = len(pending) if max_shards is None else min(max_shards, len(pending))
-    for f, key in pending[:budget]:
-        tag = shard_file_tag(key)
-        docs = pages_to_docs(rd.read_parquet(f)).materialize()
-        sig = compute_signatures(docs, cfg, keep_shingles=False)
-        docs_tbl = to_arrow_table(docs)
-        sig_tbl = to_arrow_table(sig)
-        _atomic_write_table(docs_tbl, mgr.path("docs", f"shard={tag}.parquet"))
-        _atomic_write_table(sig_tbl, mgr.path("signatures", f"shard={tag}.parquet"))
-        mgr.mark_shard(key, shard=tag, n_docs=docs_tbl.num_rows, source=f)
-        metrics["processed_shards"] += 1
+    metrics["processed_shards"] += store_shards_parallel(mgr, pending[:budget], cfg)
     if budget < len(pending):
         return None  # interrupted (kill-point for tests)
 
