@@ -100,6 +100,17 @@ def run_bench() -> dict:
         ray.shutdown()
         return out
 
+    # store (index build) throughput — the reference's headline metric
+    # (panako store, benchmark.rb): wave-parallel per-shard tasks
+    import shutil
+
+    from raydedup.pipelines.query import build_index
+
+    shutil.rmtree("/tmp/raydedup_bench_index", ignore_errors=True)
+    t = time.perf_counter()
+    build_index(os.path.join(BENCH_DIR, "pages"), "/tmp/raydedup_bench_index", cfg)
+    queries["store_index_bench"] = time.perf_counter() - t
+
     # driver-light scale variant on the same corpus: evidences the
     # run_dedup_scale vs run_dedup throughput gap (BASELINE.md) in the
     # per-round bench record
