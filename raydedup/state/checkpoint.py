@@ -313,6 +313,9 @@ def run_dedup_checkpointed(
 
     clusters_dir = mgr.path("clusters")
     if not mgr.stage_done("clusters"):
+        import glob as _glob
+        import shutil
+
         comp_tbl = pq.read_table(comp_path)
         comp = dict(
             zip(
@@ -321,9 +324,20 @@ def run_dedup_checkpointed(
             )
         )
         clusters = assignments_table(docs, comp)
-        out = to_arrow_table(clusters)
-        _atomic_write_table(out, os.path.join(clusters_dir, "part-00000.parquet"))
-        mgr.mark_stage("clusters", n_docs=out.num_rows)
+        # partitioned output (one file per block, streamed by the
+        # executor — never one giant file), swapped in atomically:
+        # a crash mid-write leaves the stage unmarked and the tmp dir
+        # is rebuilt on resume
+        tmp_dir = clusters_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        clusters.write_parquet(tmp_dir)
+        shutil.rmtree(clusters_dir, ignore_errors=True)
+        os.replace(tmp_dir, clusters_dir)
+        n_out = sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in _glob.glob(os.path.join(clusters_dir, "*.parquet"))
+        )
+        mgr.mark_stage("clusters", n_docs=n_out)
 
     metrics.update({k: v for k, v in mgr.manifest["stages"].items()})
     return {
