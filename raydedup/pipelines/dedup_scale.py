@@ -16,10 +16,14 @@ bytes, independent of corpus size. Containment sweeps cluster
 REPRESENTATIVES only, like run_dedup, but refs-only: the round-1
 component forest filters the fingerprint postings via an exchange join
 (never a collected member set), and a second clustering round merges the
-containment links back in. Remaining trade-off vs run_dedup: exact-dup
-members are not pre-filtered from LSH candidates (their pairs verify
-trivially and contract away). Outputs are cluster-equivalent; the e2e
-oracle test holds the same recall/false-merge gates for both.
+containment links back in. Exact-dup members are pre-filtered from the
+candidate pairs by a refs-only anti-join (run_dedup's driver-side
+np.isin drop, expressed as two co-partitioned exchange rounds over the
+pair table): a member's pairs are mirrored by its byte-identical
+representative's pairs, so connectivity is preserved while member
+shingle payloads never enter the verification exchanges. Outputs are
+cluster-equivalent; the e2e oracle test holds the same recall/
+false-merge gates for both.
 """
 
 from __future__ import annotations
@@ -116,6 +120,47 @@ def run_dedup_scale(
     metrics["candidate_pairs"] = _total(cand_refs)
     metrics["t_candidates"] = time.perf_counter() - t0
 
+    # --- refs-only exact-member pair filter -------------------------------
+    # Drop candidate pairs touching an exact-dup MEMBER (run_dedup's
+    # driver-side np.isin drop, as two co-partitioned anti-join rounds
+    # over the pair table — ids only, never payloads). Every dropped
+    # pair is mirrored by the member's byte-identical representative
+    # (identical signature => identical band pairs), and the sha edge
+    # reattaches the member, so connectivity is unchanged while the
+    # members' packed shingle sets stay OUT of the verify exchanges.
+    from raydedup.stages.exchange import reduce_join_split, split_dataset
+
+    @ray.remote
+    def _member_table(t: pa.Table) -> pa.Table:
+        return pa.table({"m": t.column("b")})
+
+    def _drop_member_pairs(col: str):
+        def kernel(left: pa.Table, right: pa.Table) -> pa.Table:
+            if left.num_rows == 0 or right.num_rows == 0:
+                return left
+            mem = np.unique(right.column("m").to_numpy(zero_copy_only=False))
+            v = left.column(col).to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(mem, v), mem.shape[0] - 1)
+            return left.filter(pa.array(mem[pos] != v))
+
+        return kernel
+
+    msplit = split_dataset(
+        [_member_table.remote(r) for r in exact_refs], "m", num_buckets
+    )
+    fa = reduce_join_split(
+        split_dataset(cand_refs, "a", num_buckets),
+        msplit,
+        _drop_member_pairs("a"),
+        num_buckets,
+    )
+    cand_refs = reduce_join_split(
+        split_dataset(fa, "b", num_buckets),
+        msplit,
+        _drop_member_pairs("b"),
+        num_buckets,
+    )
+
     # --- verification: refs-only semi-join + packed-shingle exchange ------
     # The candidate doc-id DEMAND is itself exchanged (never broadcast —
     # at 10^12 docs even the id set outgrows one machine): per-candidate-
@@ -125,7 +170,6 @@ def run_dedup_scale(
     # corpus is split exactly ONE time (the split refs are reused by the
     # containment explode below); only candidate shingle payloads move
     # through the two join rounds.
-    from raydedup.stages.exchange import reduce_join_split, split_dataset
     from raydedup.stages.verify import (
         make_attach_a,
         make_attach_b_verify,
@@ -134,6 +178,31 @@ def run_dedup_scale(
 
     doc_text = docs.select_columns(["doc_id", "text"])
     dsplit = split_dataset(doc_text, "doc_id", num_buckets)
+
+    # --- containment explode, OVERLAPPED with verify + clustering ---------
+    # The winnowing text scan only needs docs minus EXACT members (known
+    # now); near-dup members found by LSH are dropped from the POSTING
+    # rows after round-1 clustering (co-partitioned row filter — postings
+    # inherit the doc_id bucketing from dsplit). Same result as exploding
+    # after the forest (a member's removal never changes another doc's
+    # fingerprints), but the expensive scan runs while the verify and
+    # clustering exchanges are in flight — mirroring run_dedup's overlap,
+    # refs-only.
+    fp_expl_refs: list = []
+    if containment:
+        w_c, s_c = cfg.containment_window, cfg.containment_stride
+
+        def drop_exact_then_explode(left: pa.Table, right: pa.Table) -> pa.Table:
+            if right.num_rows and left.num_rows:
+                mem = np.unique(right.column("m").to_numpy(zero_copy_only=False))
+                ids = left.column("doc_id").to_numpy(zero_copy_only=False)
+                pos = np.minimum(np.searchsorted(mem, ids), mem.shape[0] - 1)
+                left = left.filter(pa.array(mem[pos] != ids))
+            return fingerprint_postings_table(left, w_c, s_c)
+
+        fp_expl_refs = reduce_join_split(
+            dsplit, msplit, drop_exact_then_explode, num_buckets
+        )
 
     @ray.remote
     def _pair_id_table(t: pa.Table) -> pa.Table:
@@ -201,14 +270,12 @@ def run_dedup_scale(
     # with their representative, so sweeping them only floods the pair
     # exchange with redundant rows. The forest never touches the driver.
     if containment:
-        w_c, s_c = cfg.containment_window, cfg.containment_stride
-
-        def drop_members_then_explode(left: pa.Table, right: pa.Table) -> pa.Table:
-            # left = docs bucket (doc_id, text), right = forest bucket
-            # keyed on b: drop member docs FIRST, then winnow only the
-            # survivors — the explode (the expensive text scan, ~W rows
-            # per doc) never runs on docs whose representative already
-            # carries the same fingerprints
+        def drop_forest_members(left: pa.Table, right: pa.Table) -> pa.Table:
+            # left = exploded postings bucket (fp_key, doc_id, n_fp),
+            # partitioned by hash(doc_id); right = forest bucket keyed on
+            # b: drop posting rows of near-dup MEMBERS — their
+            # representative already carries ~every shared fingerprint,
+            # so member rows only flood the pair exchange
             ra = right.column("a").to_numpy(zero_copy_only=False)
             rb = right.column("b").to_numpy(zero_copy_only=False)
             members = np.sort(rb[ra != rb])
@@ -216,15 +283,14 @@ def run_dedup_scale(
                 ids = left.column("doc_id").to_numpy(zero_copy_only=False)
                 pos = np.minimum(np.searchsorted(members, ids), members.shape[0] - 1)
                 left = left.filter(pa.array(members[pos] != ids))
-            return fingerprint_postings_table(left, w_c, s_c)
+            return left
 
-        # reuse the one existing full-text split (dsplit, keyed on
-        # doc_id); the forest's b column is a doc_id, so the two sides
-        # co-partition
+        # the exploded postings inherited dsplit's doc_id bucketing, so
+        # the forest (keyed on b, a doc_id) co-partitions with them
         fp_filtered_refs = reduce_join_split(
-            dsplit,
+            [fp_expl_refs],
             split_dataset(forest_refs, "b", num_buckets),
-            drop_members_then_explode,
+            drop_forest_members,
             num_buckets,
         )
         fp_partial_refs = hash_exchange_apply(
