@@ -39,7 +39,7 @@ import ray
 from ray.data import Dataset
 
 from raydedup.config import DedupConfig
-from raydedup.stages.candidates import band_postings, emit_pairs_partition
+from raydedup.stages.candidates import band_postings
 from raydedup.stages.cluster_scale import assignments_exchange, cluster_edge_refs
 from raydedup.stages.containment import _emit_fp_pairs, fingerprint_postings_table
 from raydedup.stages.exchange import hash_exchange_apply
@@ -93,72 +93,43 @@ def run_dedup_scale(
     )
 
     # --- LSH candidates (refs) -------------------------------------------
+    # fused two-exchange chain (emit wave re-splits on `a` in-task);
+    # per-bucket (a, b, n_collisions) tables, never collected
     from raydedup.pipelines.dedup import compute_signatures
+    from raydedup.stages.candidates import candidate_pair_refs
 
     signatures = compute_signatures(docs, cfg, keep_shingles=False)
     postings = band_postings(signatures, cfg)
-    partial_refs = hash_exchange_apply(
-        postings,
-        "band_key",
-        lambda t: emit_pairs_partition(t, cfg.max_band_postings),
-        num_buckets,
-        collect=False,
-    )
-    thr = cfg.min_band_collisions
-
-    def combine_candidates(t: pa.Table) -> pa.Table:
-        out = reduce_pair_table(t, sum_cols=["n_partial"]).rename_columns(
-            ["a", "b", "n_collisions"]
-        )
-        if thr > 1:
-            out = out.filter(pa.compute.greater_equal(out["n_collisions"], thr))
-        return out
-
-    cand_refs = hash_exchange_apply(
-        partial_refs, "a", combine_candidates, num_buckets, collect=False
-    )
+    cand_refs = candidate_pair_refs(postings, cfg, num_buckets)
+    # NOTE: counted BEFORE the exact-member drop below (run_dedup counts
+    # after its driver-side drop) — the drop happens implicitly at the
+    # attach joins here, so the raw LSH candidate volume is the
+    # meaningful refs-only metric.
     metrics["candidate_pairs"] = _total(cand_refs)
     metrics["t_candidates"] = time.perf_counter() - t0
 
-    # --- refs-only exact-member pair filter -------------------------------
-    # Drop candidate pairs touching an exact-dup MEMBER (run_dedup's
-    # driver-side np.isin drop, as two co-partitioned anti-join rounds
-    # over the pair table — ids only, never payloads). Every dropped
-    # pair is mirrored by the member's byte-identical representative
-    # (identical signature => identical band pairs), and the sha edge
-    # reattaches the member, so connectivity is unchanged while the
-    # members' packed shingle sets stay OUT of the verify exchanges.
-    from raydedup.stages.exchange import reduce_join_split, split_dataset
+    # --- refs-only exact-member filter (demand-side) ----------------------
+    # Candidate pairs touching an exact-dup MEMBER are mirrored by the
+    # member's byte-identical representative (identical signature =>
+    # identical band pairs), and the sha edge reattaches the member — so
+    # instead of anti-joining the (large) pair table, the members are
+    # dropped from the SHINGLE DEMAND (tiny id tables, one co-partitioned
+    # round): a memberless doc gets no packed-shingle row, and the attach
+    # joins below drop its pairs via the lookup found-mask. Connectivity
+    # is unchanged while member shingle payloads never enter the verify
+    # exchanges and the pair table is never re-shuffled for filtering.
+    from raydedup.stages.exchange import (
+        reduce_join_resplit,
+        reduce_join_split,
+        split_dataset,
+    )
 
     @ray.remote
     def _member_table(t: pa.Table) -> pa.Table:
         return pa.table({"m": t.column("b")})
 
-    def _drop_member_pairs(col: str):
-        def kernel(left: pa.Table, right: pa.Table) -> pa.Table:
-            if left.num_rows == 0 or right.num_rows == 0:
-                return left
-            mem = np.unique(right.column("m").to_numpy(zero_copy_only=False))
-            v = left.column(col).to_numpy(zero_copy_only=False)
-            pos = np.minimum(np.searchsorted(mem, v), mem.shape[0] - 1)
-            return left.filter(pa.array(mem[pos] != v))
-
-        return kernel
-
     msplit = split_dataset(
         [_member_table.remote(r) for r in exact_refs], "m", num_buckets
-    )
-    fa = reduce_join_split(
-        split_dataset(cand_refs, "a", num_buckets),
-        msplit,
-        _drop_member_pairs("a"),
-        num_buckets,
-    )
-    cand_refs = reduce_join_split(
-        split_dataset(fa, "b", num_buckets),
-        msplit,
-        _drop_member_pairs("b"),
-        num_buckets,
     )
 
     # --- verification: refs-only semi-join + packed-shingle exchange ------
@@ -222,6 +193,17 @@ def run_dedup_scale(
         [_pair_id_table.remote(r) for r in cand_refs], "doc_id", num_buckets
     )
 
+    def _drop_member_ids(left: pa.Table, right: pa.Table) -> pa.Table:
+        # left = demanded candidate ids bucket, right = member ids bucket
+        if left.num_rows == 0 or right.num_rows == 0:
+            return left
+        mem = np.unique(right.column("m").to_numpy(zero_copy_only=False))
+        v = left.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(mem, v), mem.shape[0] - 1)
+        return left.filter(pa.array(mem[pos] != v))
+
+    idsplit = [reduce_join_split(idsplit, msplit, _drop_member_ids, num_buckets)]
+
     def filter_and_shingle(ids_tbl: pa.Table, docs_tbl: pa.Table) -> pa.Table:
         wanted = np.unique(ids_tbl.column("doc_id").to_numpy(zero_copy_only=False))
         if docs_tbl.num_rows and wanted.shape[0]:
@@ -236,10 +218,15 @@ def run_dedup_scale(
     shingled_refs = reduce_join_split(idsplit, dsplit, filter_and_shingle, num_buckets)
     shsplit = [shingled_refs]
 
+    # attach round 1 re-splits its output on ``b`` in-task (fused), so
+    # round 2 consumes the pieces without a separate split wave; pairs
+    # whose doc has no shingle row (exact members) drop at the attach
     psplit = split_dataset(cand_refs, "a", num_buckets)
-    r1 = reduce_join_split(psplit, shsplit, make_attach_a(), num_buckets)
+    r1 = reduce_join_resplit(
+        psplit, shsplit, make_attach_a(), "b", num_buckets, num_buckets
+    )
     verified_refs = reduce_join_split(
-        split_dataset(r1, "b", num_buckets),
+        r1,
         shsplit,
         make_attach_b_verify(cfg.jaccard_tau),
         num_buckets,
@@ -287,20 +274,19 @@ def run_dedup_scale(
 
         # the exploded postings inherited dsplit's doc_id bucketing, so
         # the forest (keyed on b, a doc_id) co-partitions with them
-        fp_filtered_refs = reduce_join_split(
+        # the member-drop join re-splits its output on fp_key IN-TASK
+        # (fused) — the emit wave consumes the pieces without another
+        # full pass over the posting table (the pipeline's biggest)
+        fp_wave = reduce_join_resplit(
             [fp_expl_refs],
             split_dataset(forest_refs, "b", num_buckets),
             drop_forest_members,
-            num_buckets,
-        )
-        fp_partial_refs = hash_exchange_apply(
-            fp_filtered_refs,
             "fp_key",
-            lambda t: _emit_fp_pairs(t, cfg.containment_max_postings),
             num_buckets,
-            collect=False,
+            num_buckets,
         )
         min_cov = cfg.containment_min_coverage
+        cont_cap = cfg.containment_max_postings
 
         def combine_containment(t: pa.Table) -> pa.Table:
             agg = reduce_pair_table(
@@ -312,9 +298,20 @@ def run_dedup_scale(
             cov = shared / np.maximum(np.minimum(na, nb), 1.0)
             return agg.select(["a", "b"]).filter(pa.array(cov >= min_cov))
 
-        cont_refs = hash_exchange_apply(
-            fp_partial_refs, "a", combine_containment, num_buckets, collect=False
+        # fused emit -> combine chain (emit wave re-splits on `a` in-task)
+        from raydedup.stages.exchange import _reduce_bucket, reduce_apply_resplit
+
+        cont_wave = reduce_apply_resplit(
+            fp_wave,
+            lambda t: _emit_fp_pairs(t, cont_cap),
+            "a",
+            num_buckets,
+            num_buckets,
         )
+        cont_refs = [
+            _reduce_bucket.remote(combine_containment, *[w[j] for w in cont_wave])
+            for j in range(num_buckets)
+        ]
         metrics["containment_pairs"] = _total(cont_refs)
         metrics["t_containment"] = (
             time.perf_counter() - t0 - metrics["t_candidates"] - metrics["t_verify"]

@@ -221,6 +221,53 @@ def emit_pairs_partition(t: pa.Table | pd.DataFrame, max_postings: int) -> pa.Ta
     )
 
 
+def candidate_pair_refs(
+    postings: Dataset | list, cfg: DedupConfig, num_buckets: int | None = None
+) -> list:
+    """Fused two-exchange chain postings -> per-bucket candidate pair
+    tables ``(a, b, n_collisions)`` as ObjectRefs (bucketed by hash(a)).
+
+    Exchange 1 co-locates band_key groups and emits partially-aggregated
+    pairs; its reduce tasks RE-SPLIT their output on ``a`` in-task
+    (reduce_apply_resplit), so exchange 2's combine wave consumes the
+    pieces directly — no intermediate materialize or split wave between
+    the two shuffles. Nothing returns to the driver.
+    """
+    from raydedup.stages.exchange import (
+        _reduce_bucket,
+        default_buckets,
+        reduce_apply_resplit,
+        split_dataset,
+    )
+    from raydedup.stages.pair_agg import reduce_pair_table
+
+    if num_buckets is None:
+        num_buckets = default_buckets()
+    max_postings = cfg.max_band_postings
+    thr = cfg.min_band_collisions
+
+    def combine(t: pa.Table) -> pa.Table:
+        out = reduce_pair_table(t, sum_cols=["n_partial"]).rename_columns(
+            ["a", "b", "n_collisions"]
+        )
+        if thr > 1:
+            out = out.filter(pa.compute.greater_equal(out["n_collisions"], thr))
+        return out
+
+    split1 = split_dataset(postings, "band_key", num_buckets)
+    wave = reduce_apply_resplit(
+        split1,
+        lambda t: emit_pairs_partition(t, max_postings),
+        "a",
+        num_buckets,
+        num_buckets,
+    )
+    return [
+        _reduce_bucket.remote(combine, *[w[j] for w in wave])
+        for j in range(num_buckets)
+    ]
+
+
 def postings_to_pairs(
     postings: Dataset, cfg: DedupConfig, num_buckets: int | None = None
 ) -> Dataset:
@@ -231,30 +278,19 @@ def postings_to_pairs(
     partitions (one shuffle group per bucket, vectorized pair emission
     inside — NOT one Python call per band key). num_buckets bounds
     per-task memory at scale: each task holds postings/num_buckets rows.
+    The cross-bucket combine runs distributed (fused with the emission
+    wave, see candidate_pair_refs); only the final pair list — small by
+    construction — reaches the driver (at extreme scale callers keep the
+    refs and write per-bucket Parquet instead).
     """
+    import ray
     import ray.data as rd
 
-    from raydedup.stages.exchange import hash_exchange_apply
-    from raydedup.stages.pair_agg import reduce_pair_table
-
-    max_postings = cfg.max_band_postings
-    partials = hash_exchange_apply(
-        postings,
-        "band_key",
-        lambda t: emit_pairs_partition(t, max_postings),
-        num_buckets=num_buckets,
-    )
-    # cross-bucket combine of the (already partially aggregated) pair
-    # rows — small by construction; at extreme scale this final combine
-    # would write per-bucket Parquet instead of returning to the driver
-    counted = reduce_pair_table(partials, sum_cols=["n_partial"]).rename_columns(
-        ["a", "b", "n_collisions"]
-    )
-    if cfg.min_band_collisions > 1:
-        counted = counted.filter(
-            pa.compute.greater_equal(counted["n_collisions"], cfg.min_band_collisions)
-        )
-    return rd.from_arrow(counted)
+    refs = candidate_pair_refs(postings, cfg, num_buckets)
+    parts = [t for t in ray.get(refs) if t.num_rows]
+    if not parts:
+        return rd.from_arrow(ray.get(refs[0]))
+    return rd.from_arrow(pa.concat_tables(parts))
 
 
 def band_size_stats(postings: Dataset, cfg: DedupConfig) -> dict:

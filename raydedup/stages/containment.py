@@ -192,20 +192,20 @@ def containment_pairs_from_postings(
     postings. Split out so run_dedup can materialize the (expensive)
     fingerprint scan on a side thread overlapping verification, then
     filter the postings by the clustering outcome before the exchange."""
+    import ray
     import ray.data as rd
 
-    from raydedup.stages.exchange import hash_exchange_apply
+    from raydedup.stages.exchange import (
+        _reduce_bucket,
+        default_buckets,
+        reduce_apply_resplit,
+        split_dataset,
+    )
     from raydedup.stages.pair_agg import reduce_pair_table
 
+    if num_buckets is None:
+        num_buckets = default_buckets()
     cap = cfg.containment_max_postings
-    # exchange 1: co-locate fp_key groups, emit per-bucket partial pairs
-    partial_refs = hash_exchange_apply(
-        postings,
-        "fp_key",
-        lambda t: _emit_fp_pairs(t, cap),
-        num_buckets=num_buckets,
-        collect=False,
-    )
     min_cov = cfg.containment_min_coverage
 
     def combine_and_score(t: pa.Table) -> pa.Table:
@@ -225,13 +225,23 @@ def containment_pairs_from_postings(
             }
         ).filter(pa.array(cov >= min_cov))
 
-    # exchange 2: cross-bucket combine keyed by `a` (a pair's partial
-    # rows always share `a`, so the reduce sees all of them); nothing
-    # heavier than the final pair list ever reaches the driver
-    out = hash_exchange_apply(
-        partial_refs, "a", combine_and_score, num_buckets=num_buckets
+    # exchange 1 co-locates fp_key groups and emits partial pairs; its
+    # reduce tasks RE-SPLIT the output on `a` in-task (fused), so
+    # exchange 2's combine (a pair's partial rows always share `a`)
+    # consumes the pieces directly — no intermediate split wave. Nothing
+    # heavier than the final filtered pair list reaches the driver.
+    split1 = split_dataset(postings, "fp_key", num_buckets)
+    wave = reduce_apply_resplit(
+        split1, lambda t: _emit_fp_pairs(t, cap), "a", num_buckets, num_buckets
     )
-    return rd.from_arrow(out)
+    out_refs = [
+        _reduce_bucket.remote(combine_and_score, *[w[j] for w in wave])
+        for j in range(num_buckets)
+    ]
+    parts = [t for t in ray.get(out_refs) if t.num_rows]
+    if not parts:
+        return rd.from_arrow(ray.get(out_refs[0]))
+    return rd.from_arrow(pa.concat_tables(parts))
 
 
 def containment_stats(docs: Dataset, cfg: DedupConfig) -> dict:

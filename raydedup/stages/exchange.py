@@ -40,16 +40,11 @@ def default_buckets() -> int:
     return int(min(64, max(16, 2 * cpus)))
 
 
-@ray.remote
-def _split_blocks(key_col: str, num_buckets: int, *blocks: pa.Table) -> list[pa.Table]:
-    # several input blocks per split task: the object count is
-    # O(split_tasks x buckets), not O(input_blocks x buckets) — tens of
-    # thousands of tiny plasma objects serialize on the raylet otherwise
-    nonempty = [b for b in blocks if b.num_rows]
-    if not nonempty:
-        empty = blocks[0].slice(0, 0)
-        return [empty] * num_buckets
-    block = pa.concat_tables(nonempty)
+def _split_table(block: pa.Table, key_col: str, num_buckets: int) -> list[pa.Table]:
+    """Hash-partition one in-memory table on ``key_col`` (vectorized
+    argsort + zero-copy slices)."""
+    if block.num_rows == 0:
+        return [block] * num_buckets
     keys = block.column(key_col).to_numpy(zero_copy_only=False)
     bucket = (keys % num_buckets + num_buckets) % num_buckets
     order = np.argsort(bucket, kind="stable")
@@ -63,11 +58,100 @@ def _split_blocks(key_col: str, num_buckets: int, *blocks: pa.Table) -> list[pa.
 
 
 @ray.remote
+def _split_blocks(key_col: str, num_buckets: int, *blocks: pa.Table) -> list[pa.Table]:
+    # several input blocks per split task: the object count is
+    # O(split_tasks x buckets), not O(input_blocks x buckets) — tens of
+    # thousands of tiny plasma objects serialize on the raylet otherwise
+    nonempty = [b for b in blocks if b.num_rows]
+    if not nonempty:
+        empty = blocks[0].slice(0, 0)
+        return [empty] * num_buckets
+    return _split_table(pa.concat_tables(nonempty), key_col, num_buckets)
+
+
+@ray.remote
 def _reduce_bucket(kernel: Callable[[pa.Table], pa.Table], *parts: pa.Table) -> pa.Table:
     nonempty = [p for p in parts if p.num_rows]
     if not nonempty:
         return kernel(parts[0]) if parts else pa.table({})
     return kernel(pa.concat_tables(nonempty))
+
+
+@ray.remote
+def _reduce_bucket_resplit(
+    kernel: Callable[[pa.Table], pa.Table],
+    out_key: str,
+    out_buckets: int,
+    *parts: pa.Table,
+) -> list[pa.Table]:
+    """Fused reduce + re-split: apply ``kernel`` to one bucket's rows and
+    hash-partition the OUTPUT on ``out_key`` in the same task — the next
+    reduce wave consumes the pieces directly, skipping a full split wave
+    (and its materialize barrier) between two chained exchanges."""
+    nonempty = [p for p in parts if p.num_rows]
+    t = kernel(pa.concat_tables(nonempty)) if nonempty else kernel(parts[0])
+    return _split_table(t, out_key, out_buckets)
+
+
+@ray.remote
+def _reduce_bucket_join_resplit(
+    kernel: Callable[[pa.Table, pa.Table], pa.Table],
+    n_left: int,
+    out_key: str,
+    out_buckets: int,
+    *parts: pa.Table,
+) -> list[pa.Table]:
+    """Fused join-reduce + re-split (two-sided variant)."""
+    left = [p for p in parts[:n_left] if p.num_rows]
+    right = [p for p in parts[n_left:] if p.num_rows]
+    lt = pa.concat_tables(left) if left else parts[0].slice(0, 0)
+    rt = pa.concat_tables(right) if right else parts[n_left].slice(0, 0)
+    return _split_table(kernel(lt, rt), out_key, out_buckets)
+
+
+def reduce_apply_resplit(
+    split_refs: list,
+    kernel: Callable[[pa.Table], pa.Table],
+    out_key: str,
+    out_buckets: int,
+    num_buckets: int,
+) -> list:
+    """Reduce each of ``num_buckets`` buckets with ``kernel`` and re-split
+    every result on ``out_key``. Returns the same wave shape as
+    split_dataset (``out[i][k]`` = reduce task i's out-bucket k), feedable
+    to reduce_join_split / another reduce wave without re-splitting."""
+    out = []
+    for k in range(num_buckets):
+        parts = [s[k] for s in split_refs]
+        out.append(
+            _reduce_bucket_resplit.options(num_returns=out_buckets).remote(
+                kernel, out_key, out_buckets, *parts
+            )
+        )
+    return out
+
+
+def reduce_join_resplit(
+    lsplit: list,
+    rsplit: list,
+    kernel: Callable[[pa.Table, pa.Table], pa.Table],
+    out_key: str,
+    out_buckets: int,
+    num_buckets: int,
+) -> list:
+    """Two-sided join-reduce whose per-bucket outputs are re-split on
+    ``out_key`` inside the reduce tasks (wave shape, see
+    reduce_apply_resplit)."""
+    out = []
+    for k in range(num_buckets):
+        lparts = [s[k] for s in lsplit]
+        rparts = [s[k] for s in rsplit]
+        out.append(
+            _reduce_bucket_join_resplit.options(num_returns=out_buckets).remote(
+                kernel, len(lparts), out_key, out_buckets, *lparts, *rparts
+            )
+        )
+    return out
 
 
 @ray.remote

@@ -200,18 +200,26 @@ def packed_shingle_table(docs_tbl: pa.Table, cfg: DedupConfig) -> pa.Table:
     )
 
 
-def lookup_packed(packed: pa.Table, keys: np.ndarray) -> pa.Array:
-    """Gather ``packed.shingles`` rows by doc_id via sort + searchsorted
-    (the bucket co-partition guarantees every key is present)."""
+def lookup_packed(packed: pa.Table, keys: np.ndarray) -> tuple[pa.Array, np.ndarray]:
+    """Gather ``packed.shingles`` rows by doc_id via sort + searchsorted.
+    Returns (values, found_mask): a key absent from the bucket gets an
+    arbitrary row and ``found[i] = False`` — callers DROP those pairs
+    (a doc excluded from the shingle demand, e.g. an exact-dup member
+    whose pairs are mirrored by its representative's)."""
     ids = packed.column("doc_id").to_numpy(zero_copy_only=False)
     if ids.shape[0] == 0:
-        return pa.array([b""] * keys.shape[0], type=pa.large_binary())
+        return (
+            pa.array([b""] * keys.shape[0], type=pa.large_binary()),
+            np.zeros(keys.shape[0], dtype=bool),
+        )
     order = np.argsort(ids, kind="stable")
-    pos = np.clip(np.searchsorted(ids[order], keys), 0, ids.shape[0] - 1)
+    sorted_ids = ids[order]
+    pos = np.clip(np.searchsorted(sorted_ids, keys), 0, ids.shape[0] - 1)
+    found = sorted_ids[pos] == keys
     col = packed.column("shingles")
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    return col.take(pa.array(order[pos].astype(np.int64)))
+    return col.take(pa.array(order[pos].astype(np.int64))), found
 
 
 def _jaccard_packed(sa: list, sb: list, tau: float) -> np.ndarray:
@@ -234,13 +242,15 @@ def make_attach_a():
                  "shingles_a": pa.array([], pa.large_binary())}
             )
         a = left.column("a").to_numpy(zero_copy_only=False)
-        return pa.table(
+        sha, found = lookup_packed(right, a)
+        out = pa.table(
             {
                 "a": left.column("a"),
                 "b": left.column("b"),
-                "shingles_a": lookup_packed(right, a),
+                "shingles_a": sha,
             }
         )
+        return out if found.all() else out.filter(pa.array(found))
 
     return attach_a
 
@@ -256,7 +266,15 @@ def make_attach_b_verify(tau: float):
                  "jaccard": pa.array([], pa.float64())}
             )
         b = left.column("b").to_numpy(zero_copy_only=False)
-        shb = lookup_packed(right, b)
+        shb, found = lookup_packed(right, b)
+        if not found.all():
+            left = left.filter(pa.array(found))
+            shb = shb.filter(pa.array(found))
+            if left.num_rows == 0:
+                return pa.table(
+                    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                     "jaccard": pa.array([], pa.float64())}
+                )
         jac = _jaccard_packed(
             left.column("shingles_a").to_pylist(), shb.to_pylist(), tau
         )
@@ -292,6 +310,7 @@ def verify_pairs_exchange(
 
     from raydedup.stages.exchange import (
         default_buckets,
+        reduce_join_resplit,
         reduce_join_split,
         split_dataset,
     )
@@ -313,10 +332,13 @@ def verify_pairs_exchange(
         num_buckets = default_buckets()
     dsplit = split_dataset(doc_packed, "doc_id", num_buckets)
     psplit = split_dataset(pairs.select_columns(["a", "b"]), "a", num_buckets)
-    r1 = reduce_join_split(psplit, dsplit, make_attach_a(), num_buckets)
-    r2split = split_dataset(r1, "b", num_buckets)
+    # round 1's reduce tasks re-split their output on ``b`` in-task
+    # (fused), so round 2 consumes the pieces without a split wave
+    r1 = reduce_join_resplit(
+        psplit, dsplit, make_attach_a(), "b", num_buckets, num_buckets
+    )
     r2 = reduce_join_split(
-        r2split, dsplit, make_attach_b_verify(cfg.jaccard_tau), num_buckets
+        r1, dsplit, make_attach_b_verify(cfg.jaccard_tau), num_buckets
     )
     parts = [t for t in ray.get(r2) if t.num_rows]
     if not parts:
