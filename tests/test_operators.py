@@ -53,6 +53,101 @@ def test_hash_exchange_groups_complete(rd):
     pd.testing.assert_frame_equal(got.astype("int64"), want)
 
 
+def test_fused_resplit_chain_matches_two_round_exchange(rd):
+    """reduce_apply_resplit must be equivalent to apply-then-split-then-
+    reduce: a fused two-exchange chain (group by k1, emit rows keyed k2,
+    combine by k2) gives the same result as the unfused pair of
+    hash_exchange_apply rounds."""
+    import ray
+
+    from raydedup.stages.exchange import (
+        _reduce_bucket,
+        hash_exchange_apply,
+        reduce_apply_resplit,
+        split_dataset,
+    )
+
+    n = 20_000
+    rng = np.random.Generator(np.random.PCG64(7))
+    k1 = rng.integers(-300, 300, size=n, dtype=np.int64)
+    v = rng.integers(0, 100, size=n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"k1": pa.array(k1), "v": pa.array(v)})).repartition(5)
+
+    def emit(t: pa.Table) -> pa.Table:
+        # per-k1-group partial: re-key each group onto k2 = k1 % 17
+        k = t.column("k1").to_numpy(zero_copy_only=False)
+        x = t.column("v").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, x = k[order], x[order]
+        b = np.empty(k.shape[0], dtype=bool)
+        b[0] = True
+        b[1:] = k[1:] != k[:-1]
+        st = np.flatnonzero(b)
+        return pa.table(
+            {
+                "k2": pa.array((k[st] % 17 + 17) % 17, type=pa.int64()),
+                "p": pa.array(np.add.reduceat(x, st), type=pa.int64()),
+            }
+        )
+
+    def combine(t: pa.Table) -> pa.Table:
+        k = t.column("k2").to_numpy(zero_copy_only=False)
+        x = t.column("p").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, x = k[order], x[order]
+        if k.shape[0] == 0:
+            return pa.table({"k2": pa.array([], pa.int64()), "s": pa.array([], pa.int64())})
+        b = np.empty(k.shape[0], dtype=bool)
+        b[0] = True
+        b[1:] = k[1:] != k[:-1]
+        st = np.flatnonzero(b)
+        return pa.table(
+            {
+                "k2": pa.array(k[st], type=pa.int64()),
+                "s": pa.array(np.add.reduceat(x, st), type=pa.int64()),
+            }
+        )
+
+    # unfused: two full exchange rounds
+    partial_refs = hash_exchange_apply(ds, "k1", emit, num_buckets=8, collect=False)
+    want = hash_exchange_apply(partial_refs, "k2", combine, num_buckets=8).to_pandas()
+
+    # fused: emit wave re-splits on k2 in-task
+    split1 = split_dataset(ds, "k1", 8)
+    wave = reduce_apply_resplit(split1, emit, "k2", 8, 8)
+    got_refs = [_reduce_bucket.remote(combine, *[w[j] for w in wave]) for j in range(8)]
+    got = pa.concat_tables([t for t in ray.get(got_refs) if t.num_rows]).to_pandas()
+
+    got = got.sort_values("k2").reset_index(drop=True)
+    want = want.sort_values("k2").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # and against the plain-pandas oracle
+    oracle = (
+        pd.DataFrame({"k2": (k1 % 17 + 17) % 17, "v": v})
+        .groupby("k2", as_index=False)["v"].sum()
+        .rename(columns={"v": "s"})
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), oracle.astype("int64"))
+
+
+def test_lookup_packed_found_mask(rd):
+    from raydedup.stages.verify import lookup_packed
+
+    packed = pa.table(
+        {
+            "doc_id": pa.array([10, 3, 7], type=pa.int64()),
+            "shingles": pa.array([b"ten", b"three", b"seven"], type=pa.large_binary()),
+        }
+    )
+    vals, found = lookup_packed(packed, np.array([3, 4, 10, 99], dtype=np.int64))
+    assert found.tolist() == [True, False, True, False]
+    assert vals[0].as_py() == b"three"
+    assert vals[2].as_py() == b"ten"
+    # empty bucket: nothing found
+    vals2, found2 = lookup_packed(packed.slice(0, 0), np.array([1], dtype=np.int64))
+    assert found2.tolist() == [False]
+
+
 # --- textstats --------------------------------------------------------------
 
 
