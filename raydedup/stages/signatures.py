@@ -25,7 +25,6 @@ from raydedup.hashing import (
     U64,
     FNV_OFFSET,
     FNV_PRIME,
-    POLY_B,
     fnv1a64,
     hash_strings_u64,
     mix64,
@@ -164,13 +163,7 @@ def rolling_hash_segments(
     flat = np.asarray(flat, dtype=U64)
     n = flat.shape[0]
     nw = n - k + 1
-    if nw <= 0:
-        h = np.empty(0, dtype=U64)
-    else:
-        h = np.zeros(nw, dtype=U64)
-        for j in range(k):
-            h = h * POLY_B + flat[j : j + nw]
-        h = mix64(h)
+    h = rolling_hash_u64(flat, k)  # O(n) prefix kernel (hashing.py)
     win_start = np.minimum(offsets[:-1], max(nw, 0))
     win_stop = np.maximum(offsets[1:] - k + 1, win_start)
     return h, win_start, win_stop
