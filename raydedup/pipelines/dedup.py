@@ -42,8 +42,8 @@ from raydedup.stages.candidates import (
 )
 from raydedup.stages.cluster import (
     assignments_table,
+    cluster_edges_arrays,
     cluster_pairs_actors,
-    cluster_pairs_driver,
 )
 from raydedup.stages.signatures import SignatureKernel
 from raydedup.stages.verify import verify_pairs, verify_pairs_small
@@ -369,10 +369,19 @@ def run_dedup(
         metrics["simhash_accepted"] = int(keep.sum())
 
     # --- clustering round 1: exact + verified LSH edges -------------------
-    def _cluster(edges_df: pd.DataFrame) -> dict[int, int]:
+    # components as two parallel arrays (member, root=component-min id):
+    # the vectorized min-label kernel and array broadcast replace the
+    # per-edge Python union-find + dict broadcast (both were fixed driver
+    # seconds that did not shrink with cluster size)
+    def _cluster(ea: np.ndarray, eb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         if cfg.cluster_backend == "actors":
-            return cluster_pairs_actors(edges_df, n_shards=cfg.n_cluster_shards)
-        return cluster_pairs_driver(edges_df)
+            comp = cluster_pairs_actors(
+                pd.DataFrame({"a": ea, "b": eb}), n_shards=cfg.n_cluster_shards
+            )
+            mem = np.fromiter(comp.keys(), dtype=np.int64, count=len(comp))
+            rt = np.fromiter(comp.values(), dtype=np.int64, count=len(comp))
+            return mem, rt
+        return cluster_edges_arrays(ea, eb)
 
     base_edges = pa.concat_tables(
         [
@@ -381,7 +390,10 @@ def run_dedup(
             hamming_edges.select(["a", "b"]),
         ]
     )
-    components = _cluster(base_edges.to_pandas())
+    members, roots = _cluster(
+        base_edges.column("a").to_numpy(zero_copy_only=False),
+        base_edges.column("b").to_numpy(zero_copy_only=False),
+    )
     t3 = time.perf_counter()
     metrics["t_cluster"] = t3 - t2
 
@@ -397,9 +409,7 @@ def run_dedup(
 
         # drop posting rows of NEAR-dup members (exact members were
         # filtered before the scan): only reps + unclustered docs sweep
-        non_reps = np.array(
-            [k for k, v in components.items() if k != v], dtype=np.int64
-        )
+        non_reps = members[members != roots]
         remaining = np.sort(np.setdiff1d(non_reps, exact_members_arr))
         postings_refs = cont_post_refs
         if remaining.shape[0]:
@@ -411,36 +421,37 @@ def run_dedup(
                 return t.filter(pa.array(~np.isin(ids, nr)))
 
             postings_refs = [_drop_non_reps.remote(nr_ref, r) for r in cont_post_refs]
+        tc0 = time.perf_counter()
         cont = containment_pairs_from_postings(postings_refs, cfg)
         cont_schema = pa.schema(
             [("a", pa.int64()), ("b", pa.int64()),
              ("shared", pa.int64()), ("coverage", pa.float64())]
         )
         containment_tbl = to_arrow_table(cont, empty_schema=cont_schema)
+        metrics["t_cont_exchange"] = time.perf_counter() - tc0
         metrics["containment_pairs"] = containment_tbl.num_rows
         if containment_tbl.num_rows:
-            star = pd.DataFrame(
-                {
-                    "a": np.fromiter(components.values(), dtype=np.int64, count=len(components)),
-                    "b": np.fromiter(components.keys(), dtype=np.int64, count=len(components)),
-                }
+            # round 2: star edges (root -> member) + containment links
+            members, roots = _cluster(
+                np.concatenate(
+                    [roots, containment_tbl.column("a").to_numpy(zero_copy_only=False)]
+                ),
+                np.concatenate(
+                    [members, containment_tbl.column("b").to_numpy(zero_copy_only=False)]
+                ),
             )
-            merged = pd.concat(
-                [star, containment_tbl.select(["a", "b"]).to_pandas()],
-                ignore_index=True,
-            )
-            components = _cluster(merged)
+            metrics["t_cont_recluster"] = time.perf_counter() - tc0 - metrics["t_cont_exchange"]
     metrics["t_containment"] = time.perf_counter() - t3
 
-    metrics["n_dup_docs"] = len(components)
-    metrics["n_clusters"] = len(set(components.values()))
-    clusters = assignments_table(docs, components)
+    metrics["n_dup_docs"] = int(members.shape[0])
+    metrics["n_clusters"] = int(np.unique(roots).shape[0])
+    clusters = assignments_table(docs, (members, roots))
     metrics["t_total"] = time.perf_counter() - t0
 
     return DedupResult(
         clusters=clusters,
         verified_pairs=verified_tbl,
         exact_edges=exact_edges,
-        components=components,
+        components=dict(zip(members.tolist(), roots.tolist())),
         metrics=metrics,
     )

@@ -164,6 +164,35 @@ def cluster_pairs_actors(
     return components
 
 
+def cluster_edges_arrays(
+    a: np.ndarray, b: np.ndarray, max_rounds: int = 64
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized in-memory connected components over an edge list:
+    min-label propagation with pointer jumping (no per-edge Python —
+    the driver union-find loop was a fixed ~0.7 s at 500k docs that
+    does not shrink with cluster size). Returns (members, roots) sorted
+    by member; root = component-min doc id, the same convention as
+    UnionFind (property-tested equivalent)."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    n = a.shape[0]
+    ea, eb = inv[:n], inv[n:]
+    label = np.arange(nodes.shape[0], dtype=np.int64)
+    for _ in range(max_rounds):
+        m = np.minimum(label[ea], label[eb])
+        new = label.copy()
+        np.minimum.at(new, ea, m)
+        np.minimum.at(new, eb, m)
+        while True:  # pointer jumping: compress chains within the round
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        if np.array_equal(new, label):
+            break
+        label = new
+    return nodes, nodes[label]
+
+
 def label_propagation_components(pairs: Dataset, max_rounds: int = 32) -> pd.DataFrame:
     """Pure-Dataset connected components via iterated min-label exchange
     (cross-check backend; hash-to-min style). Returns (doc_id, cluster_id)."""
@@ -196,18 +225,37 @@ def label_propagation_components(pairs: Dataset, max_rounds: int = 32) -> pd.Dat
 
 
 def assignments_table(
-    docs: Dataset, components: dict[int, int], id_col: str = "doc_id"
+    docs: Dataset,
+    components: dict[int, int] | tuple[np.ndarray, np.ndarray],
+    id_col: str = "doc_id",
 ) -> Dataset:
     """Full (doc_id, cluster_id, is_representative) assignment: docs not in
     any component are singleton clusters of themselves. The component map
-    (dup docs only — small side) is broadcast via ray.put and applied in a
-    stateless map_batches, no shuffle."""
-    comp_ref = ray.put(components)
+    (dup docs only — small side) is broadcast via ray.put as two SORTED
+    numpy arrays (plasma serves numpy zero-copy; a dict broadcast
+    re-pickles per task and forces a per-row Python loop) and applied
+    with a vectorized searchsorted lookup in a stateless map_batches."""
+    if isinstance(components, dict):
+        members = np.fromiter(components.keys(), dtype=np.int64, count=len(components))
+        roots = np.fromiter(components.values(), dtype=np.int64, count=len(components))
+    else:
+        members, roots = components
+        members = np.asarray(members, dtype=np.int64)
+        roots = np.asarray(roots, dtype=np.int64)
+    order = np.argsort(members, kind="stable")
+    mem_ref = ray.put(np.ascontiguousarray(members[order]))
+    root_ref = ray.put(np.ascontiguousarray(roots[order]))
 
     def assign(batch: pa.Table) -> pa.Table:
-        comp = ray.get(comp_ref)
+        mem = ray.get(mem_ref)
+        root = ray.get(root_ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        out = np.fromiter((comp.get(int(i), int(i)) for i in ids), dtype=np.int64, count=ids.shape[0])
+        if mem.shape[0]:
+            pos = np.minimum(np.searchsorted(mem, ids), mem.shape[0] - 1)
+            hit = mem[pos] == ids
+            out = np.where(hit, root[pos], ids)
+        else:
+            out = ids
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),

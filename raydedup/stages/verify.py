@@ -67,6 +67,38 @@ def _auto_partitions() -> int:
     return max(2, min(64, cpus // 2))
 
 
+import ray as _ray
+
+
+@_ray.remote
+def _pack_shingle_broadcast(*tables: pa.Table):
+    """Concat + doc_id-sort + flatten the candidate shingle blocks into
+    the three flat numpy broadcast arrays (sorted ids, offsets, packed
+    shingle data). Runs as a task so the bytes never visit the driver;
+    plasma serves the numpy results zero-copy to every verify task."""
+    nonempty = [t for t in tables if t.num_rows]
+    if not nonempty:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.zeros(1, dtype=np.int64),
+            np.empty(0, dtype=np.uint64),
+        )
+    subset = pa.concat_tables(nonempty)
+    order = pa.compute.sort_indices(subset, sort_keys=[("doc_id", "ascending")])
+    subset = subset.take(order).combine_chunks()
+    ids_sorted = np.ascontiguousarray(
+        subset.column("doc_id").to_numpy(zero_copy_only=False)
+    )
+    lens = subset.column("n").to_numpy(zero_copy_only=False)
+    sh_col = subset.column("shingles")
+    if isinstance(sh_col, pa.ChunkedArray):
+        sh_col = sh_col.combine_chunks()
+    flat_all = sh_col.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+    offs = np.zeros(lens.shape[0] + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    return ids_sorted, offs, np.ascontiguousarray(flat_all)
+
+
 def verify_pairs_small(
     pairs: Dataset,
     docs: Dataset,
@@ -87,7 +119,6 @@ def verify_pairs_small(
     import ray
 
     from raydedup.stages.signatures import batch_shingle_sets
-    from raydedup.util import to_arrow_table
 
     ids_ref = ray.put(np.sort(pair_doc_ids))
 
@@ -116,27 +147,18 @@ def verify_pairs_small(
             }
         )
 
-    subset = to_arrow_table(
-        docs.select_columns(["doc_id", "text"]).map_batches(
-            shingle_candidates, batch_format="pyarrow"
-        )
+    # pack (concat + sort + flatten) in ONE remote task: the driver holds
+    # only the three ObjectRefs — collecting ~|candidate docs| x |shingle
+    # set| bytes to the driver and re-putting them was a fixed driver
+    # cost (~seconds at 500k docs) that does not shrink with cluster size
+    shingle_blocks = list(
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(shingle_candidates, batch_format="pyarrow")
+        .to_arrow_refs()
     )
-    order = pa.compute.sort_indices(subset, sort_keys=[("doc_id", "ascending")])
-    subset = subset.take(order).combine_chunks()
-    ids_sorted = np.ascontiguousarray(
-        subset.column("doc_id").to_numpy(zero_copy_only=False)
-    )
-    lens = subset.column("n").to_numpy(zero_copy_only=False)
-    sh_col = subset.column("shingles")
-    if isinstance(sh_col, pa.ChunkedArray):
-        sh_col = sh_col.combine_chunks()
-    flat_all = sh_col.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
-    offs = np.zeros(lens.shape[0] + 1, dtype=np.int64)
-    np.cumsum(lens, out=offs[1:])
-    # three flat numpy arrays: plasma serves them zero-copy to every task
-    bids_ref = ray.put(ids_sorted)
-    offs_ref = ray.put(offs)
-    data_ref = ray.put(np.ascontiguousarray(flat_all))
+    bids_ref, offs_ref, data_ref = _pack_shingle_broadcast.options(
+        num_returns=3
+    ).remote(*shingle_blocks)
     tau = cfg.jaccard_tau
 
     def verify_batch(t: pa.Table) -> pa.Table:

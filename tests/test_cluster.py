@@ -71,3 +71,36 @@ def test_actor_backend_chain_topology(ray_session):
     got = cluster_pairs_actors(df, n_shards=4, final_threshold=10)
     assert set(got.values()) == {0}
     assert len(got) == n - 1 or len(got) == n  # root maps to itself optionally
+
+
+def test_vectorized_cc_matches_union_find(ray_session):
+    """cluster_edges_arrays (min-label + pointer jumping) must equal the
+    per-edge union-find on random edge sets, including chains, self
+    loops and duplicate edges."""
+    import numpy as np
+
+    from raydedup.stages.cluster import cluster_edges_arrays
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    for trial in range(20):
+        n_nodes = int(rng.integers(2, 200))
+        n_edges = int(rng.integers(1, 400))
+        a = rng.integers(0, n_nodes, size=n_edges).astype(np.int64) * 7 + 3
+        b = rng.integers(0, n_nodes, size=n_edges).astype(np.int64) * 7 + 3
+        df = pd.DataFrame({"a": a, "b": b})
+        want = cluster_pairs_driver(df)
+        mem, root = cluster_edges_arrays(a, b)
+        got = dict(zip(mem.tolist(), root.tolist()))
+        assert got == dict(sorted(want.items())) or got == want, f"trial {trial}"
+
+
+def test_vectorized_cc_long_chain(ray_session):
+    import numpy as np
+
+    from raydedup.stages.cluster import cluster_edges_arrays
+
+    # a 10k-node path graph: worst case for label propagation depth
+    ids = np.arange(10_000, dtype=np.int64) + 5
+    mem, root = cluster_edges_arrays(ids[:-1], ids[1:])
+    assert np.all(root == 5)
+    assert set(mem.tolist()) == set(ids.tolist())
