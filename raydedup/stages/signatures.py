@@ -95,7 +95,11 @@ def batch_word_hashes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     n = len(arr)
     if n == 0:
         return np.empty(0, dtype=U64), np.zeros(1, dtype=np.int64)
-    tokens = pc.utf8_split_whitespace(pc.ascii_lower(arr))
+    # split BEFORE lowering: whitespace splitting is case-independent, so
+    # lowering only the (small) token dictionary below skips a full copy
+    # + re-read of the text buffer — the kernel is DRAM-bandwidth-bound
+    # under a full task pool, so whole-buffer passes cost scaling
+    tokens = pc.utf8_split_whitespace(arr)
     offs = tokens.offsets.to_numpy().astype(np.int64)
     vals = tokens.values
     if offs[0] != 0 or len(vals) != offs[-1]:  # sliced ListArray guard
@@ -107,7 +111,9 @@ def batch_word_hashes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     new_offs = cum[offs]
     kept = vals.filter(pa.array(keep))
     enc = kept.dictionary_encode()
-    dict_words = enc.dictionary.to_numpy(zero_copy_only=False)
+    # case variants are distinct dictionary entries here, but each hashes
+    # via its lowered form — identical values to lowering the full text
+    dict_words = pc.ascii_lower(enc.dictionary).to_numpy(zero_copy_only=False)
     dict_hashes = hash_strings_u64(dict_words, mixed=False)
     idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     return dict_hashes[idx], new_offs
