@@ -63,12 +63,23 @@ def run_bench() -> dict:
         lambda t: t.slice(0, 1), batch_format="pyarrow"
     ).count()
 
-    t0 = time.perf_counter()
-    docs = pages_to_docs(read_pages(paths["pages"]))
-    res = run_dedup(docs, cfg, containment=True)
-    n_assigned = res.clusters.count()
-    headline = time.perf_counter() - t0
+    # The sandbox host's speed drifts +-30-50% over minutes (hypervisor
+    # noise): repeat the timed region and take the minimum — the least-
+    # interference estimate of steady-state throughput. The scaling
+    # harness sets reps=1 (it interleaves lo/hi runs itself).
+    reps = int(os.environ.get("GRAFT_HEADLINE_REPS", "3"))
+    runs: list[tuple[float, object]] = []
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        docs = pages_to_docs(read_pages(paths["pages"]))
+        res = run_dedup(docs, cfg, containment=True)
+        n_assigned = res.clusters.count()
+        runs.append((time.perf_counter() - t0, res))
+    headline, res = min(runs, key=lambda r: r[0])
     queries["dedup_full"] = headline
+    if len(runs) > 1:
+        for i, (sec, _) in enumerate(runs):
+            queries[f"dedup_full_run{i}"] = sec
     queries["dedup_exact_stage"] = res.metrics["t_exact"]
     queries["dedup_sig_candidates_stage"] = res.metrics["t_sig_candidates"]
     queries["dedup_lsh_verify_stage"] = res.metrics["t_candidates_verify"]
@@ -181,6 +192,7 @@ def run_scaling() -> dict:
             GRAFT_BENCH_DOCS=str(SCALING_DOCS),
             GRAFT_BENCH_DIR=f"/tmp/raydedup_bench_{SCALING_DOCS}",
             GRAFT_HEADLINE_ONLY="1",
+            GRAFT_HEADLINE_REPS="1",
         )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
