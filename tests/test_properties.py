@@ -125,3 +125,48 @@ def test_rolling_hash_locality(vals):
     h2 = rolling_hash_u64(twice, k)
     np.testing.assert_array_equal(h, h2[: h.shape[0]])
     np.testing.assert_array_equal(h, h2[arr.shape[0] :])
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=200),
+    st.integers(min_value=1, max_value=60),
+    st.sampled_from(["uint64", "uint8"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_rolling_hash_prefix_equals_horner(vals, k, dtype):
+    """The O(n) prefix-trick branch (N >= 64, k > 2) must be bit-identical
+    to the plain Horner evaluation for every (N, k, symbol dtype)."""
+    from raydedup.hashing import POLY_B, U64
+
+    arr = np.array(vals, dtype=np.uint64)
+    if dtype == "uint8":
+        arr = (arr & 0xFF).astype(np.uint8)
+    n = arr.shape[0] - k + 1
+    d = arr.astype(U64)
+    if n <= 0:
+        expected = np.empty(0, dtype=U64)
+    else:
+        h = np.zeros(n, dtype=U64)
+        for j in range(k):
+            h = h * POLY_B + d[j : j + n]
+        expected = mix64(h)
+    np.testing.assert_array_equal(rolling_hash_u64(arr, k), expected)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=300),
+    st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=60, deadline=None)
+def test_sliding_min_equals_naive(vals, s):
+    """_sliding_min (O(n) block two-scan) == naive per-window minimum."""
+    from raydedup.stages.containment import _sliding_min
+
+    h = np.array(vals, dtype=np.uint64)
+    m = h.shape[0] - s + 1
+    got = _sliding_min(h, s)
+    if m <= 0:
+        assert got.shape == (0,)
+    else:
+        expected = np.array([h[i : i + s].min() for i in range(m)], dtype=np.uint64)
+        np.testing.assert_array_equal(got, expected)
