@@ -108,6 +108,18 @@ def _q_jaccard_pairs(sf_dir: str):
     return jaccard_pairs_bruteforce(_docs(sf_dir), min_jaccard=0.2)
 
 
+def _q_jaccard_char_ngrams(sf_dir: str):
+    """J4/A7 char-n-gram variant: all-pairs exact character-8-gram
+    Jaccard >= 0.2 (the `shingle_mode="char"` config path of the same
+    brute-force kernel; n-grams over lowered text, utf-8 bytes == code
+    points on the ASCII corpus so DuckDB substr() reproduces the sets)."""
+    from raydedup.config import DedupConfig
+    from raydedup.stages.bruteforce import jaccard_pairs_bruteforce
+
+    cfg = DedupConfig(shingle_mode="char", char_shingle_k=8)
+    return jaccard_pairs_bruteforce(_docs(sf_dir), cfg=cfg, min_jaccard=0.2)
+
+
 def _q_containment_pairs(sf_dir: str):
     """W1 containment: docs whose text is a proper substring of another."""
     from raydedup.stages.bruteforce import containment_pairs_exact
@@ -626,6 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
         "jaccard_pairs": _q_jaccard_pairs,
+        "jaccard_char_ngrams": _q_jaccard_char_ngrams,
         "containment_pairs": _q_containment_pairs,
         "knn_cosine": _q_knn_cosine,
         "embedding_neardup": _q_embedding_neardup,
@@ -1279,6 +1292,34 @@ def oracle_sql() -> dict[str, str]:
         inter AS (
           SELECT a.doc_id AS ad, b.doc_id AS bd, count(*) AS ni
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT ad AS a, bd AS b,
+               CAST(ni AS BIGINT) AS n_inter,
+               CAST(sa.n + sb.n - ni AS BIGINT) AS n_union,
+               ni * 1.0 / (sa.n + sb.n - ni) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = ad
+        JOIN sizes sb ON sb.doc_id = bd
+        WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.2
+        ORDER BY a, b
+        """,
+        # char-8-gram variant: substr() by character == the engine's
+        # utf-8-byte windows on the ASCII corpus; lower() == str.lower()
+        "jaccard_char_ngrams": """
+        WITH pos AS (
+          SELECT doc_id, lower(text) AS t,
+                 unnest(generate_series(1, length(text) - 7)) AS i
+          FROM documents
+        ),
+        g AS (
+          SELECT DISTINCT doc_id, substr(t, CAST(i AS INTEGER), 8) AS gram
+          FROM pos
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT ga.doc_id AS ad, gb.doc_id AS bd, count(*) AS ni
+          FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
           GROUP BY 1, 2
         )
         SELECT ad AS a, bd AS b,

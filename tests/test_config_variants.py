@@ -102,3 +102,27 @@ def test_oph_estimator_quality():
     shuffled = sets[0].copy()
     rng.shuffle(shuffled)
     assert np.array_equal(oph_minhash_batch([shuffled], 128), oph_minhash_batch([sets[0]], 128))
+
+
+def test_char_ngram_jaccard_allpairs(ray_session):
+    """Char-8-gram all-pairs Jaccard (the jaccard_char_ngrams query):
+    a typo-level edit keeps char similarity high while word 5-gram
+    shingles see every window around the edited word change."""
+    import ray.data as rd
+    import pyarrow as pa
+    from raydedup.stages.bruteforce import jaccard_pairs_bruteforce
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    typo = base.replace("jumps", "jumqs")  # one in-word char edit
+    other = "completely unrelated content about maritime navigation charts " * 4
+    docs = rd.from_arrow(
+        pa.table({"doc_id": [1, 2, 3], "text": [base, typo, other]})
+    )
+    cfg = DedupConfig(shingle_mode="char", char_shingle_k=8)
+    df = jaccard_pairs_bruteforce(docs, cfg=cfg, min_jaccard=0.5)
+    assert list(zip(df.a, df.b)) == [(1, 2)]
+    assert df.jaccard.iloc[0] > 0.7
+    # word 5-grams on the same pair score lower than char 8-grams
+    word_df = jaccard_pairs_bruteforce(docs, cfg=DedupConfig(), min_jaccard=0.0)
+    w = word_df[(word_df.a == 1) & (word_df.b == 2)].jaccard.iloc[0]
+    assert w < df.jaccard.iloc[0]
