@@ -82,6 +82,22 @@ def run_dedup_scale(
     metrics: dict[str, Any] = {}
     docs = docs.materialize()
 
+    from raydedup.stages.exchange import (
+        reduce_join_resplit,
+        reduce_join_split,
+        split_dataset,
+    )
+
+    # --- corpus text split FIRST (async) -----------------------------------
+    # The full-text split is the pipeline's largest byte mover and depends
+    # only on the input; every downstream join (shingle demand, containment
+    # explode) consumes it. Launching its tasks before the signature stage
+    # overlaps the text movement with signature compute instead of paying
+    # for it serially after the candidate barrier (the residual gap vs
+    # run_dedup's id-broadcast verify, BASELINE.md).
+    doc_text = docs.select_columns(["doc_id", "text"])
+    dsplit = split_dataset(doc_text, "doc_id", num_buckets)
+
     # --- exact sha edges (refs): same pure-NumPy kernels as run_dedup -----
     from raydedup.pipelines.dedup import sha_emit_table, sha_key_table
 
@@ -104,9 +120,10 @@ def run_dedup_scale(
     # NOTE: counted BEFORE the exact-member drop below (run_dedup counts
     # after its driver-side drop) — the drop happens implicitly at the
     # attach joins here, so the raw LSH candidate volume is the
-    # meaningful refs-only metric.
-    metrics["candidate_pairs"] = _total(cand_refs)
-    metrics["t_candidates"] = time.perf_counter() - t0
+    # meaningful refs-only metric. Count tasks are submitted now but
+    # ray.get'd only at the END: a blocking count here is a full stage
+    # barrier that serializes candidates -> verify on the driver.
+    cand_count_futs = [_count_rows.remote(r) for r in cand_refs]
 
     # --- refs-only exact-member filter (demand-side) ----------------------
     # Candidate pairs touching an exact-dup MEMBER are mirrored by the
@@ -118,12 +135,6 @@ def run_dedup_scale(
     # joins below drop its pairs via the lookup found-mask. Connectivity
     # is unchanged while member shingle payloads never enter the verify
     # exchanges and the pair table is never re-shuffled for filtering.
-    from raydedup.stages.exchange import (
-        reduce_join_resplit,
-        reduce_join_split,
-        split_dataset,
-    )
-
     @ray.remote
     def _member_table(t: pa.Table) -> pa.Table:
         return pa.table({"m": t.column("b")})
@@ -146,9 +157,6 @@ def run_dedup_scale(
         make_attach_b_verify,
         packed_shingle_table,
     )
-
-    doc_text = docs.select_columns(["doc_id", "text"])
-    dsplit = split_dataset(doc_text, "doc_id", num_buckets)
 
     # --- containment explode, OVERLAPPED with verify + clustering ---------
     # The winnowing text scan only needs docs minus EXACT members (known
@@ -231,8 +239,9 @@ def run_dedup_scale(
         make_attach_b_verify(cfg.jaccard_tau),
         num_buckets,
     )
-    metrics["verified_pairs"] = _total(verified_refs)
-    metrics["t_verify"] = time.perf_counter() - t0 - metrics["t_candidates"]
+    # deferred count (see candidate_pairs note): no driver barrier between
+    # verification and clustering submission
+    ver_count_futs = [_count_rows.remote(r) for r in verified_refs]
 
     # --- clustering round 1: exact + verified LSH edges -------------------
     # the shard actor pool is spawned ONCE and reused by the containment
@@ -312,10 +321,10 @@ def run_dedup_scale(
             _reduce_bucket.remote(combine_containment, *[w[j] for w in cont_wave])
             for j in range(num_buckets)
         ]
+        # this count is a REQUIRED barrier: whether round-2 clustering
+        # runs depends on it (and round 2 consumes the containment refs)
         metrics["containment_pairs"] = _total(cont_refs)
-        metrics["t_containment"] = (
-            time.perf_counter() - t0 - metrics["t_candidates"] - metrics["t_verify"]
-        )
+        metrics["t_containment_done"] = time.perf_counter() - t0
         if metrics["containment_pairs"]:
             # round 2: merge containment links into the forest (the
             # forest's own edges re-attach the members transitively) —
@@ -334,7 +343,12 @@ def run_dedup_scale(
         for s in uf_shards:
             ray.kill(s)
 
-    metrics["n_dup_docs"] = _total(forest_refs)
+    forest_count_futs = [_count_rows.remote(r) for r in forest_refs]
     clusters = assignments_exchange(docs, forest_refs, num_buckets=min(num_buckets, 32))
+    # resolve the deferred metric counts (their tasks ran alongside the
+    # pipeline; this get is after all real work has been submitted)
+    metrics["candidate_pairs"] = int(sum(ray.get(cand_count_futs)))
+    metrics["verified_pairs"] = int(sum(ray.get(ver_count_futs)))
+    metrics["n_dup_docs"] = int(sum(ray.get(forest_count_futs)))
     metrics["t_total"] = time.perf_counter() - t0
     return DedupScaleResult(clusters=clusters, metrics=metrics)
