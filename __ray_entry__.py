@@ -57,6 +57,60 @@ def _q_dedup_pipeline(sf_dir: str):
     return res.clusters.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_dedup_increment(sf_dir: str):
+    """Incremental dedup (pipelines/increment.py): docs with doc_id <
+    4n/5 form the frozen base (standard dedup, containment off); the
+    remaining fifth arrives as an increment — deduped among itself,
+    matched against the base (LSH cross-candidates + sha path, exact-
+    Jaccard verified), each new component attached to the old cluster of
+    its best match (max jaccard, tie -> min cluster_id) or rooted at its
+    minimal new doc id."""
+    import pyarrow as pa
+
+    from raydedup.config import DedupConfig
+    from raydedup.pipelines.dedup import compute_signatures, run_dedup
+    from raydedup.pipelines.increment import (
+        cross_verified_pairs,
+        increment_assignments,
+    )
+
+    cfg = DedupConfig(batch_size=1024)
+    docs = _docs(sf_dir).materialize()
+    thr = 4 * docs.count() // 5
+
+    def _keep(lo, hi):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids >= lo) & (ids < hi)))
+
+        return fn
+
+    base = docs.map_batches(_keep(np.iinfo(np.int64).min, thr), batch_format="pyarrow").materialize()
+    new = docs.map_batches(_keep(thr, np.iinfo(np.int64).max), batch_format="pyarrow").materialize()
+
+    base_cl = run_dedup(base, cfg, containment=False).clusters.to_pandas()
+    nres = run_dedup(new, cfg, containment=False)
+    nn = pa.concat_tables(
+        [nres.verified_pairs.select(["a", "b"]), nres.exact_edges.select(["a", "b"])]
+    )
+    cross = cross_verified_pairs(
+        compute_signatures(base, cfg, keep_shingles=False),
+        compute_signatures(new, cfg, keep_shingles=False),
+        base,
+        new,
+        cfg,
+    )
+    new_ids = new.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy(np.int64)
+    assign = increment_assignments(
+        new_ids, nn, cross, base_cl[["doc_id", "cluster_id"]]
+    )
+    out = pd.concat(
+        [base_cl[["doc_id", "cluster_id", "is_representative"]], assign],
+        ignore_index=True,
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_exact_dup_pairs(sf_dir: str):
     """D1: exact dedup pairs (rep=min doc_id per identical text, member)."""
     from raydedup.pipelines.dedup import exact_dedup_edges
@@ -633,6 +687,7 @@ def _q_sliding_windows(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dedup_pipeline": _q_dedup_pipeline,
+        "dedup_increment": _q_dedup_increment,
         "exact_dup_pairs": _q_exact_dup_pairs,
         "doc_stats_by_lang": _q_doc_stats_by_lang,
         "token_counts": _q_token_counts,
@@ -1444,6 +1499,78 @@ def oracle_sql() -> dict[str, str]:
         # LSH/fingerprint outputs against an independent scalar
         # implementation of the same math
         "dedup_pipeline": q_dedup_pipeline_sql(),
+        # incremental dedup: true-Jaccard edges stand in for the engine's
+        # (band-candidate AND jaccard>=tau) edge set — equivalence on this
+        # corpus is exactly what the hash-green dedup_pipeline oracle
+        # establishes (every true-J>=0.8 pair collides in some band)
+        "dedup_increment": _SHINGLES_CTE
+        + """
+        , sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        params AS (SELECT 4 * count(*) // 5 AS thr FROM documents),
+        jac AS MATERIALIZED (
+          SELECT a.doc_id AS a, b.doc_id AS b,
+                 count(*) * 1.0 / (max(za.n) + max(zb.n) - count(*)) AS j
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          JOIN sizes za ON za.doc_id = a.doc_id
+          JOIN sizes zb ON zb.doc_id = b.doc_id
+          GROUP BY 1, 2
+        ),
+        edges AS (SELECT a, b FROM jac WHERE j >= 0.8),
+        base_docs AS (SELECT doc_id FROM documents, params WHERE doc_id < thr),
+        new_docs AS (SELECT doc_id FROM documents, params WHERE doc_id >= thr),
+        bsym AS (
+          SELECT a AS x, b AS y FROM edges, params WHERE a < thr AND b < thr
+          UNION
+          SELECT b, a FROM edges, params WHERE a < thr AND b < thr
+        ),
+        breach AS MATERIALIZED (
+          WITH RECURSIVE walk(doc, r) AS (
+            SELECT doc_id, doc_id FROM base_docs
+            UNION
+            SELECT e.y, walk.r FROM walk JOIN bsym e ON e.x = walk.doc
+          )
+          SELECT doc, min(r) AS root FROM walk GROUP BY doc
+        ),
+        nsym AS (
+          SELECT a AS x, b AS y FROM edges, params WHERE a >= thr AND b >= thr
+          UNION
+          SELECT b, a FROM edges, params WHERE a >= thr AND b >= thr
+        ),
+        nreach AS MATERIALIZED (
+          WITH RECURSIVE walk(doc, r) AS (
+            SELECT doc_id, doc_id FROM new_docs
+            UNION
+            SELECT e.y, walk.r FROM walk JOIN nsym e ON e.x = walk.doc
+          )
+          SELECT doc, min(r) AS root FROM walk GROUP BY doc
+        ),
+        attach AS (
+          -- jac has a < b and base ids < thr <= new ids, so a=old, b=new
+          SELECT nr.root AS nroot, br.root AS cl, c.j
+          FROM (SELECT a, b, j FROM jac, params
+                WHERE j >= 0.8 AND a < thr AND b >= thr) c
+          JOIN nreach nr ON nr.doc = c.b
+          JOIN breach br ON br.doc = c.a
+        ),
+        best AS (
+          SELECT nroot, cl FROM (
+            SELECT nroot, cl,
+                   row_number() OVER (PARTITION BY nroot ORDER BY j DESC, cl ASC) AS rn
+            FROM attach
+          ) WHERE rn = 1
+        ),
+        final AS (
+          SELECT doc AS doc_id, root AS cluster_id FROM breach
+          UNION ALL
+          SELECT nr.doc, coalesce(best.cl, nr.root)
+          FROM nreach nr LEFT JOIN best ON best.nroot = nr.root
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(cluster_id AS BIGINT) AS cluster_id,
+               doc_id = cluster_id AS is_representative
+        FROM final
+        ORDER BY doc_id
+        """,
         "store_query": q_store_query_sql(),
         "knn_cosine_batch": """
             WITH qs AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 3),

@@ -137,6 +137,15 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_increment(args: argparse.Namespace) -> int:
+    _init_ray()
+    from raydedup.pipelines.increment import dedup_increment
+
+    out = dedup_increment(args.index, args.clusters, args.pages, _cfg_from_args(args))
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def cmd_stats(args: argparse.Namespace) -> int:
     _init_ray()
     import ray.data as rd
@@ -217,6 +226,17 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--set", action="append", metavar="KEY=VALUE",
                    help="override a DedupConfig key (repeatable)")
     s.set_defaults(fn=cmd_dedup)
+
+    s = sub.add_parser(
+        "increment",
+        help="fold new pages into an existing index + frozen clusters",
+    )
+    s.add_argument("index")
+    s.add_argument("clusters")
+    s.add_argument("pages")
+    s.add_argument("--set", action="append", metavar="KEY=VALUE",
+                   help="override a DedupConfig key (repeatable)")
+    s.set_defaults(fn=cmd_increment)
 
     s = sub.add_parser("stats", help="index statistics")
     s.add_argument("index")

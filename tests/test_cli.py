@@ -71,3 +71,12 @@ def test_dedup_verb_set_changes_verified_pairs(
     n_strict = strict["pairs"]["n_verified"]
     n_loose = loose["pairs"]["n_verified"]
     assert n_loose > n_strict
+
+
+def test_increment_verb_wiring():
+    from raydedup.cli import cmd_increment
+
+    p = build_parser()
+    args = p.parse_args(["increment", "/tmp/idx", "/tmp/cl", "/tmp/pages"])
+    assert args.fn is cmd_increment
+    assert (args.index, args.clusters, args.pages) == ("/tmp/idx", "/tmp/cl", "/tmp/pages")

@@ -1,0 +1,178 @@
+"""Incremental dedup (pipelines/increment.py): fold a new shard into an
+existing index + frozen cluster assignment. Mirrors the reference's
+store-then-query incremental contract (cli/Store.java, cli/Query.java):
+old ids never change; new docs attach by best verified match."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from raydedup.config import DedupConfig
+from raydedup.pipelines.dedup import run_dedup
+from raydedup.pipelines.increment import dedup_increment, increment_assignments
+from raydedup.sources.pages import pages_to_docs, read_pages
+from raydedup.stages.extract import doc_ids_from_urls
+
+
+@pytest.fixture(scope="module")
+def split_corpus(ray_session, tmp_path_factory, small_corpus):
+    """Base = first 3 pages shards (indexed + clustered), increment =
+    the 4th shard."""
+    spec, paths = small_corpus
+    root = tmp_path_factory.mktemp("incr")
+    files = sorted(glob.glob(os.path.join(paths["pages"], "*.parquet")))
+    assert len(files) >= 2
+    base_dir, inc_dir = str(root / "base_pages"), str(root / "inc_pages")
+    os.makedirs(base_dir)
+    os.makedirs(inc_dir)
+    for f in files[:-1]:
+        shutil.copy(f, base_dir)
+    shutil.copy(files[-1], inc_dir)
+
+    index_dir = str(root / "index")
+    clusters_dir = str(root / "clusters")
+    from raydedup.pipelines.query import build_index
+
+    cfg = DedupConfig(batch_size=256)
+    build_index(base_dir, index_dir, cfg)
+    base_docs = pages_to_docs(read_pages(base_dir))
+    res = run_dedup(base_docs, cfg, containment=False)
+    res.clusters.write_parquet(clusters_dir)
+    base_cl = res.clusters.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return paths, cfg, index_dir, clusters_dir, inc_dir, base_cl
+
+
+@pytest.fixture(scope="module")
+def incremented(split_corpus):
+    paths, cfg, index_dir, clusters_dir, inc_dir, base_cl = split_corpus
+    info = dedup_increment(index_dir, clusters_dir, inc_dir, cfg)
+    combined = (
+        rd.read_parquet(clusters_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    return paths, cfg, base_cl, info, combined
+
+
+def test_old_assignments_frozen(incremented):
+    paths, cfg, base_cl, info, combined = incremented
+    merged = combined.merge(base_cl, on="doc_id", how="inner", suffixes=("", "_old"))
+    assert (merged.cluster_id == merged.cluster_id_old).all()
+    assert (merged.is_representative == merged.is_representative_old).all()
+
+
+def test_assignment_total_and_unique(incremented):
+    paths, cfg, base_cl, info, combined = incremented
+    assert combined.doc_id.is_unique
+    assert info["new_docs"] > 0
+    assert len(combined) == len(base_cl) + info["new_docs"]
+
+
+def test_full_corpus_recall_and_no_false_merges(incremented):
+    """Planted exact/near pairs (jaccard_true >= 0.8) must co-cluster in
+    the COMBINED assignment regardless of which side of the split each
+    endpoint landed on; boilerplate twins must not merge."""
+    paths, cfg, base_cl, info, combined = incremented
+    oc = pq.read_table(paths["oracle_clusters"]).to_pandas()
+    op = pq.read_table(paths["oracle_pairs"]).to_pandas()
+    url2id = dict(zip(oc.url, doc_ids_from_urls(oc.url.tolist())))
+    cmap = dict(zip(combined.doc_id, combined.cluster_id))
+    incl = op[(op.kind.isin(["exact", "near"])) & (op.jaccard_true >= 0.8)]
+    hits = sum(
+        cmap[url2id[a]] == cmap[url2id[b]] for a, b in zip(incl.a_url, incl.b_url)
+    )
+    assert hits / max(len(incl), 1) >= 0.99
+    bp = op[op.kind == "boilerplate-twin"]
+    merges = sum(
+        cmap[url2id[a]] == cmap[url2id[b]] for a, b in zip(bp.a_url, bp.b_url)
+    )
+    assert merges == 0
+
+
+def test_increment_deterministic(split_corpus, tmp_path_factory):
+    """Same increment into a fresh copy of the clusters dir -> identical
+    new rows."""
+    paths, cfg, index_dir, clusters_dir, inc_dir, base_cl = split_corpus
+    first = rd.read_parquet(clusters_dir).to_pandas()
+    new_rows1 = (
+        first[~first.doc_id.isin(base_cl.doc_id)]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    root2 = tmp_path_factory.mktemp("incr2")
+    clusters2 = str(root2 / "clusters")
+    index2 = str(root2 / "index")
+    # fresh index built from the SAME base pages (deterministic store),
+    # fresh clusters dir seeded with the base assignment only
+    os.makedirs(clusters2)
+    base_only = pd.concat([base_cl], ignore_index=True)
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.Table.from_pandas(base_only, preserve_index=False),
+        os.path.join(clusters2, "base.parquet"),
+    )
+    # rebuild index from base pages by copying the existing one minus
+    # increment shards is fiddly; simplest deterministic path: re-store
+    base_pages = os.path.join(os.path.dirname(inc_dir), "base_pages")
+    from raydedup.pipelines.query import build_index
+
+    build_index(base_pages, index2, cfg)
+    dedup_increment(index2, clusters2, inc_dir, cfg)
+    second = rd.read_parquet(clusters2).to_pandas()
+    new_rows2 = (
+        second[~second.doc_id.isin(base_cl.doc_id)]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(new_rows1, new_rows2)
+
+
+def test_increment_assignments_unit():
+    """Pure assignment logic: attachment beats fresh root; max-jaccard
+    then min-cluster tie-break; unattached component roots at min id."""
+    import pyarrow as pa
+
+    new_ids = np.array([10, 11, 12, 20, 30], dtype=np.int64)
+    nn = pa.table({"a": [10, 11], "b": [11, 12]})  # {10,11,12}, {20}, {30}
+    cross = pa.table(
+        {
+            "a": pa.array([12, 12, 20], type=pa.int64()),
+            "b": pa.array([100, 200, 300], type=pa.int64()),
+            "jaccard": pa.array([0.9, 0.95, 0.85], type=pa.float64()),
+        }
+    )
+    old = pd.DataFrame({"doc_id": [100, 200, 300], "cluster_id": [1, 2, 3]})
+    out = increment_assignments(new_ids, nn, cross, old).set_index("doc_id")
+    # component {10,11,12} attaches via its best match (0.95 -> cluster 2)
+    assert out.loc[10, "cluster_id"] == 2
+    assert out.loc[11, "cluster_id"] == 2
+    assert out.loc[12, "cluster_id"] == 2
+    # singleton 20 attaches to cluster 3
+    assert out.loc[20, "cluster_id"] == 3
+    # 30 has no attachment: fresh cluster rooted at itself
+    assert out.loc[30, "cluster_id"] == 30
+    assert bool(out.loc[30, "is_representative"])
+    assert not bool(out.loc[10, "is_representative"])
+
+
+def test_increment_tie_breaks_min_cluster():
+    import pyarrow as pa
+
+    new_ids = np.array([5], dtype=np.int64)
+    nn = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    cross = pa.table(
+        {
+            "a": pa.array([5, 5], type=pa.int64()),
+            "b": pa.array([100, 200], type=pa.int64()),
+            "jaccard": pa.array([0.9, 0.9], type=pa.float64()),
+        }
+    )
+    old = pd.DataFrame({"doc_id": [100, 200], "cluster_id": [7, 4]})
+    out = increment_assignments(new_ids, nn, cross, old)
+    assert out.cluster_id.tolist() == [4]
