@@ -62,7 +62,7 @@ def cross_verified_pairs(
     from raydedup.stages.candidates import band_postings
     from raydedup.stages.exchange import hash_exchange_apply
     from raydedup.stages.pair_agg import reduce_pair_table
-    from raydedup.stages.verify import verify_pairs_small
+    from raydedup.stages.verify import verify_pairs_exchange, verify_pairs_small
 
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -142,10 +142,14 @@ def cross_verified_pairs(
             keep_old, batch_format="pyarrow"
         )
     )
-    return to_arrow_table(
-        verify_pairs_small(rd.from_arrow(cand), union_docs, cfg, pair_docs),
-        empty_schema=_EMPTY_CROSS,
-    )
+    # same adaptive switch as run_dedup: broadcast lookup for small
+    # candidate-doc sets, hash-partitioned exchange join for big ones
+    if pair_docs.shape[0] <= cfg.verify_broadcast_max_docs:
+        return to_arrow_table(
+            verify_pairs_small(rd.from_arrow(cand), union_docs, cfg, pair_docs),
+            empty_schema=_EMPTY_CROSS,
+        )
+    return verify_pairs_exchange(rd.from_arrow(cand), union_docs, cfg, pair_docs)
 
 
 def increment_assignments(

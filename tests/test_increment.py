@@ -133,6 +133,62 @@ def test_increment_deterministic(split_corpus, tmp_path_factory):
     pd.testing.assert_frame_equal(new_rows1, new_rows2)
 
 
+def test_cross_verify_exchange_path_matches_broadcast(ray_session):
+    """cross_verified_pairs picks broadcast vs exchange verification on
+    cfg.verify_broadcast_max_docs; both paths must emit the same verified
+    cross edges. Planted: near-dup (old 1 ~ new 101), exact dup (old 2 ==
+    new 102), and unrelated texts."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from raydedup.pipelines.dedup import compute_signatures
+    from raydedup.pipelines.increment import cross_verified_pairs
+
+    words = [f"w{i}" for i in range(400)]
+
+    def text(n, seed):
+        r = np.random.default_rng(seed)
+        return " ".join(r.choice(words, size=n).tolist())
+
+    base_text = text(300, 1)
+    near = base_text + " " + text(12, 2)  # high-Jaccard variant
+    exact = text(250, 3)
+
+    def tbl(ids, texts):
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "text_sha256": pa.array(
+                    [hashlib.sha256(t.encode()).digest() for t in texts],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    old_docs = rd.from_arrow(
+        tbl([1, 2, 3], [base_text, exact, text(280, 4)])
+    ).materialize()
+    new_docs = rd.from_arrow(
+        tbl([101, 102, 103], [near, exact, text(260, 5)])
+    ).materialize()
+    cfg = DedupConfig(batch_size=64)
+    old_sigs = compute_signatures(old_docs, cfg, keep_shingles=False)
+    new_sigs = compute_signatures(new_docs, cfg, keep_shingles=False)
+
+    def run(c):
+        t = cross_verified_pairs(old_sigs, new_sigs, old_docs, new_docs, c)
+        return (
+            t.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        )
+
+    broad = run(cfg)
+    exch = run(cfg.with_overrides(verify_broadcast_max_docs=1))
+    assert set(zip(broad.a, broad.b)) >= {(101, 1), (102, 2)}
+    pd.testing.assert_frame_equal(broad, exch)
+
+
 def test_increment_assignments_unit():
     """Pure assignment logic: attachment beats fresh root; max-jaccard
     then min-cluster tie-break; unattached component roots at min id."""
