@@ -133,6 +133,40 @@ def test_increment_deterministic(split_corpus, tmp_path_factory):
     pd.testing.assert_frame_equal(new_rows1, new_rows2)
 
 
+def test_increment_rerun_is_idempotent(incremented, split_corpus):
+    """Re-folding the SAME increment shard: every doc_id already has a
+    frozen row, so no new rows are appended and the assignment is
+    byte-identical."""
+    paths, cfg, index_dir, clusters_dir, inc_dir, base_cl = split_corpus
+    _, _, _, info1, combined = incremented
+    info2 = dedup_increment(index_dir, clusters_dir, inc_dir, cfg)
+    assert info2["new_docs"] == 0
+    again = (
+        rd.read_parquet(clusters_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(combined, again)
+
+
+def test_increment_bootstraps_empty_index(ray_session, split_corpus, tmp_path_factory):
+    """First increment into an EMPTY index dir: behaves like a plain
+    dedup of the increment (every component roots at its min new id)."""
+    paths, cfg, index_dir, clusters_dir, inc_dir, base_cl = split_corpus
+    root = tmp_path_factory.mktemp("boot")
+    info = dedup_increment(str(root / "index"), str(root / "clusters"), inc_dir, cfg)
+    assert info["new_docs"] > 0
+    cl = rd.read_parquet(str(root / "clusters")).to_pandas()
+    assert cl.doc_id.is_unique
+    # min-id root convention: every cluster id is a member doc id
+    assert set(cl.cluster_id).issubset(set(cl.doc_id))
+    mins = cl.groupby("cluster_id")["doc_id"].min()
+    assert (mins.values == mins.index.values).all()
+    reps = cl[cl.is_representative]
+    assert (reps.doc_id == reps.cluster_id).all()
+
+
 def test_cross_verify_exchange_path_matches_broadcast(ray_session):
     """cross_verified_pairs picks broadcast vs exchange verification on
     cfg.verify_broadcast_max_docs; both paths must emit the same verified
