@@ -6,10 +6,18 @@ Verb map (Panako ``cli/*`` -> here):
   monitor    windowed containment of one long text (cli/Monitor.java)
   same       direct two-text similarity check      (cli/Same.java)
   dedup      full self-join dedup + clustering     (cli/Deduplication.java)
+  increment  fold new pages into a frozen index    (cli/Store.java + Query.java)
+  config     print the configuration in use        (cli/Configuration.java)
+  print      fingerprints of text files to stdout  (cli/Print.java)
+  metadata   stored metadata for urls              (cli/Metadata.java)
   stats      index/corpus statistics               (cli/Stats.java)
   resolve    url -> doc_id                         (cli/Resolve.java)
-  delete     remove docs from an index             (cli/Delete.java)
+  delete     remove docs (by url) from an index    (cli/Delete.java)
   clear      delete an index/checkpoint dir        (cli/Clear.java)
+
+Out of scope: cli/Play.java (audio playback); cli/Load.java's bulk
+KV-dump load is subsumed by the resumable store manifest
+(state/checkpoint.py).
 
 Usage: python -m raydedup.cli <verb> [args...]  (run `<verb> -h` for
 flags). Owns its Ray session (the driver contract in __ray_entry__
@@ -146,6 +154,97 @@ def cmd_increment(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_config(args: argparse.Namespace) -> int:
+    """Print the configuration currently in use, one ``key=value`` per
+    line — the reference's ``panako config`` (``cli/Configuration.java:
+    44-52``: every ``Key`` printed with its effective value). ``--set``
+    overrides are applied first, so this shows exactly what a run with
+    the same flags would use."""
+    import dataclasses
+
+    cfg = _cfg_from_args(args)
+    print("# Configuration currently in use:")
+    for k, v in sorted(dataclasses.asdict(cfg).items()):
+        print(f"{k}={v}")
+    return 0
+
+
+def cmd_print(args: argparse.Namespace) -> int:
+    """Print the fingerprints for text file(s) to stdout — the
+    reference's ``panako print`` (``cli/Print.java``: per input file,
+    dump the strategy's fingerprints; ``-ep`` prints only event points).
+    Here: one JSON line per file with sha256, token/shingle counts, the
+    MinHash signature, LSH band keys and SimHash; ``--fp-only`` prints
+    only the winnowed containment fingerprints (the event-point analog),
+    one per line. Pure kernels — no Ray session needed."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from raydedup.stages.containment import winnowed_fingerprints
+    from raydedup.stages.signatures import SignatureKernel, tokenize
+
+    cfg = _cfg_from_args(args)
+    kernel = SignatureKernel(cfg, keep_shingles=True)
+    for path in args.files:
+        text = open(path).read()
+        if args.fp_only:
+            fps = winnowed_fingerprints(
+                text, cfg.containment_window, cfg.containment_stride
+            )
+            for fp in fps.tolist():
+                print(f"{path}\t{fp:016x}")
+            continue
+        out = kernel(
+            pa.table({"doc_id": pa.array([0], pa.int64()), "text": [text]})
+        )
+        row = {
+            "file": path,
+            "sha256": hashlib.sha256(text.encode("utf-8")).hexdigest(),
+            "n_tokens": len(tokenize(text)),
+            "n_shingles": int(out.column("n_shingles")[0].as_py()),
+            "minhash": out.column("minhash")[0].as_py(),
+            # band/simhash values are int64 bit-views of uint64: mask to
+            # unsigned before hex-formatting
+            "band_keys": [
+                f"{b & 0xFFFFFFFFFFFFFFFF:016x}" for b in out.column("bands")[0].as_py()
+            ],
+            "simhash": f"{out.column('simhash')[0].as_py() & 0xFFFFFFFFFFFFFFFF:016x}",
+        }
+        print(json.dumps(row))
+    return 0
+
+
+def cmd_metadata(args: argparse.Namespace) -> int:
+    """Print the stored metadata for url(s) — the reference's ``panako
+    metadata`` (``cli/Metadata.java:55-63``: per file, print the stored
+    resource metadata or '<name> is not indexed.'). Reads only the
+    needed columns from the index's docs parquet; no Ray session."""
+    import pyarrow.dataset as pads
+
+    from raydedup.stages.extract import doc_ids_from_urls
+
+    docs_dir = os.path.join(args.index, "docs")
+    if not os.path.isdir(docs_dir):
+        raise SystemExit(f"{args.index}: not an index dir (no docs/)")
+    ids = doc_ids_from_urls(list(args.urls)).view("int64")
+    dset = pads.dataset(docs_dir, format="parquet")
+    cols = [c for c in dset.schema.names if c != "text"]
+    tbl = dset.to_table(
+        columns=cols, filter=pads.field("doc_id").isin(ids.tolist())
+    )
+    found = {}
+    for row in tbl.to_pylist():
+        row["text_sha256"] = row["text_sha256"].hex()
+        found[row["doc_id"]] = row
+    for url, did in zip(args.urls, ids.tolist()):
+        if did in found:
+            print(json.dumps({"url": url, **found[did]}))
+        else:
+            print(f"{url} is not indexed.")
+    return 0
+
+
 def cmd_stats(args: argparse.Namespace) -> int:
     _init_ray()
     import ray.data as rd
@@ -237,6 +336,24 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--set", action="append", metavar="KEY=VALUE",
                    help="override a DedupConfig key (repeatable)")
     s.set_defaults(fn=cmd_increment)
+
+    s = sub.add_parser("config", help="print the configuration in use")
+    s.add_argument("--set", action="append", metavar="KEY=VALUE",
+                   help="override a DedupConfig key (repeatable)")
+    s.set_defaults(fn=cmd_config)
+
+    s = sub.add_parser("print", help="print fingerprints for text files")
+    s.add_argument("files", nargs="+")
+    s.add_argument("--fp-only", action="store_true",
+                   help="print only winnowed containment fingerprints")
+    s.add_argument("--set", action="append", metavar="KEY=VALUE",
+                   help="override a DedupConfig key (repeatable)")
+    s.set_defaults(fn=cmd_print)
+
+    s = sub.add_parser("metadata", help="print stored metadata for urls")
+    s.add_argument("index")
+    s.add_argument("urls", nargs="+")
+    s.set_defaults(fn=cmd_metadata)
 
     s = sub.add_parser("stats", help="index statistics")
     s.add_argument("index")

@@ -73,6 +73,94 @@ def test_dedup_verb_set_changes_verified_pairs(
     assert n_loose > n_strict
 
 
+def test_config_verb_prints_effective_overrides(capsys):
+    rc = main(["config", "--set", "jaccard_tau=0.7"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    kv = dict(l.split("=", 1) for l in lines if "=" in l)
+    assert kv["jaccard_tau"] == "0.7"
+    import dataclasses
+
+    from raydedup.config import DedupConfig
+
+    assert set(kv) == {f.name for f in dataclasses.fields(DedupConfig)}
+
+
+def test_print_verb_matches_pipeline_kernel(tmp_path, capsys):
+    """`print FILE` emits the SAME minhash/bands/simhash the pipeline's
+    SignatureKernel computes for that text."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raydedup.config import DedupConfig
+    from raydedup.stages.signatures import SignatureKernel
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    f = tmp_path / "doc.txt"
+    f.write_text(text)
+    rc = main(["print", str(f)])
+    assert rc == 0
+    row = json.loads(capsys.readouterr().out.strip())
+    out = SignatureKernel(DedupConfig(), keep_shingles=True)(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "text": [text]})
+    )
+    assert row["minhash"] == out.column("minhash")[0].as_py()
+    assert row["n_shingles"] == out.column("n_shingles")[0].as_py()
+    want_bands = [
+        f"{b & 0xFFFFFFFFFFFFFFFF:016x}" for b in out.column("bands")[0].as_py()
+    ]
+    assert row["band_keys"] == want_bands
+    assert (
+        int(row["simhash"], 16)
+        == out.column("simhash")[0].as_py() & 0xFFFFFFFFFFFFFFFF
+    )
+
+
+def test_print_fp_only_matches_winnowed(tmp_path, capsys):
+    from raydedup.config import DedupConfig
+    from raydedup.stages.containment import winnowed_fingerprints
+
+    text = "one two three four five six seven eight nine ten " * 5
+    f = tmp_path / "doc.txt"
+    f.write_text(text)
+    rc = main(["print", "--fp-only", str(f)])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    cfg = DedupConfig()
+    want = winnowed_fingerprints(
+        text, cfg.containment_window, cfg.containment_stride
+    )
+    got = [int(l.split("\t")[1], 16) for l in lines]
+    assert got == want.tolist()
+
+
+def test_metadata_verb(ray_session, small_corpus, tmp_path, capsys, monkeypatch):
+    """Stored url -> its docs row (sans text); unknown url -> 'is not
+    indexed.' (cli/Metadata.java:55-63)."""
+    import pyarrow.parquet as pq
+
+    import raydedup.cli as cli
+
+    monkeypatch.setattr(cli, "_shutdown_ray", lambda: None)
+    spec, paths = small_corpus
+    idx = str(tmp_path / "meta_idx")
+    rc = main(["store", paths["pages"], idx])
+    assert rc == 0
+    capsys.readouterr()
+    import glob as g
+
+    one = pq.read_table(
+        sorted(g.glob(os.path.join(idx, "docs", "*.parquet")))[0],
+        columns=["url"],
+    ).column("url")[0].as_py()
+    rc = main(["metadata", idx, one, "http://nowhere.example/xyz"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    row = json.loads(out[0])
+    assert row["url"] == one and "doc_id" in row and "text" not in row
+    assert out[1] == "http://nowhere.example/xyz is not indexed."
+
+
 def test_increment_verb_wiring():
     from raydedup.cli import cmd_increment
 
