@@ -118,7 +118,7 @@ def cmd_monitor(args: argparse.Namespace) -> int:
     _init_ray()
     from raydedup.pipelines.query import monitor_text
 
-    text = open(args.textfile).read()
+    text = open(args.textfile, encoding="utf-8").read()
     df = monitor_text(args.index, text, _cfg_from_args(args))
     print(df.to_csv(index=False))
     return 0
@@ -127,8 +127,8 @@ def cmd_monitor(args: argparse.Namespace) -> int:
 def cmd_same(args: argparse.Namespace) -> int:
     from raydedup.stages.bruteforce import same_check
 
-    a = open(args.a).read()
-    b = open(args.b).read()
+    a = open(args.a, encoding="utf-8").read()
+    b = open(args.b, encoding="utf-8").read()
     print(json.dumps(same_check(a, b)))
     return 0
 
@@ -185,9 +185,9 @@ def cmd_print(args: argparse.Namespace) -> int:
     from raydedup.stages.signatures import SignatureKernel, tokenize
 
     cfg = _cfg_from_args(args)
-    kernel = SignatureKernel(cfg, keep_shingles=True)
+    kernel = SignatureKernel(cfg, keep_shingles=False)
     for path in args.files:
-        text = open(path).read()
+        text = open(path, encoding="utf-8").read()
         if args.fp_only:
             fps = winnowed_fingerprints(
                 text, cfg.containment_window, cfg.containment_stride
@@ -204,12 +204,8 @@ def cmd_print(args: argparse.Namespace) -> int:
             "n_tokens": len(tokenize(text)),
             "n_shingles": int(out.column("n_shingles")[0].as_py()),
             "minhash": out.column("minhash")[0].as_py(),
-            # band/simhash values are int64 bit-views of uint64: mask to
-            # unsigned before hex-formatting
-            "band_keys": [
-                f"{b & 0xFFFFFFFFFFFFFFFF:016x}" for b in out.column("bands")[0].as_py()
-            ],
-            "simhash": f"{out.column('simhash')[0].as_py() & 0xFFFFFFFFFFFFFFFF:016x}",
+            "band_keys": [f"{b:016x}" for b in out.column("bands")[0].as_py()],
+            "simhash": f"{out.column('simhash')[0].as_py():016x}",
         }
         print(json.dumps(row))
     return 0
@@ -227,7 +223,7 @@ def cmd_metadata(args: argparse.Namespace) -> int:
     docs_dir = os.path.join(args.index, "docs")
     if not os.path.isdir(docs_dir):
         raise SystemExit(f"{args.index}: not an index dir (no docs/)")
-    ids = doc_ids_from_urls(list(args.urls)).view("int64")
+    ids = doc_ids_from_urls(list(args.urls))
     dset = pads.dataset(docs_dir, format="parquet")
     cols = [c for c in dset.schema.names if c != "text"]
     tbl = dset.to_table(

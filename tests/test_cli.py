@@ -73,7 +73,11 @@ def test_dedup_verb_set_changes_verified_pairs(
     assert n_loose > n_strict
 
 
-def test_config_verb_prints_effective_overrides(capsys):
+def test_config_verb_prints_effective_overrides(capsys, monkeypatch):
+    import raydedup.cli as cli
+
+    # main()'s finally would tear down the session-scoped Ray fixture
+    monkeypatch.setattr(cli, "_shutdown_ray", lambda: None)
     rc = main(["config", "--set", "jaccard_tau=0.7"])
     assert rc == 0
     lines = capsys.readouterr().out.strip().splitlines()
@@ -86,15 +90,17 @@ def test_config_verb_prints_effective_overrides(capsys):
     assert set(kv) == {f.name for f in dataclasses.fields(DedupConfig)}
 
 
-def test_print_verb_matches_pipeline_kernel(tmp_path, capsys):
+def test_print_verb_matches_pipeline_kernel(tmp_path, capsys, monkeypatch):
     """`print FILE` emits the SAME minhash/bands/simhash the pipeline's
     SignatureKernel computes for that text."""
-    import numpy as np
     import pyarrow as pa
+
+    import raydedup.cli as cli
 
     from raydedup.config import DedupConfig
     from raydedup.stages.signatures import SignatureKernel
 
+    monkeypatch.setattr(cli, "_shutdown_ray", lambda: None)
     text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
     f = tmp_path / "doc.txt"
     f.write_text(text)
@@ -106,20 +112,18 @@ def test_print_verb_matches_pipeline_kernel(tmp_path, capsys):
     )
     assert row["minhash"] == out.column("minhash")[0].as_py()
     assert row["n_shingles"] == out.column("n_shingles")[0].as_py()
-    want_bands = [
-        f"{b & 0xFFFFFFFFFFFFFFFF:016x}" for b in out.column("bands")[0].as_py()
-    ]
+    want_bands = [f"{b:016x}" for b in out.column("bands")[0].as_py()]
     assert row["band_keys"] == want_bands
-    assert (
-        int(row["simhash"], 16)
-        == out.column("simhash")[0].as_py() & 0xFFFFFFFFFFFFFFFF
-    )
+    assert int(row["simhash"], 16) == out.column("simhash")[0].as_py()
 
 
-def test_print_fp_only_matches_winnowed(tmp_path, capsys):
+def test_print_fp_only_matches_winnowed(tmp_path, capsys, monkeypatch):
+    import raydedup.cli as cli
+
     from raydedup.config import DedupConfig
     from raydedup.stages.containment import winnowed_fingerprints
 
+    monkeypatch.setattr(cli, "_shutdown_ray", lambda: None)
     text = "one two three four five six seven eight nine ten " * 5
     f = tmp_path / "doc.txt"
     f.write_text(text)

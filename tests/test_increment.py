@@ -134,9 +134,8 @@ def test_increment_deterministic(split_corpus, tmp_path_factory):
 
 
 def test_increment_rerun_is_idempotent(incremented, split_corpus):
-    """Re-folding the SAME increment shard: every doc_id already has a
-    frozen row, so no new rows are appended and the assignment is
-    byte-identical."""
+    """Re-folding the SAME increment shard is a no-op via the store
+    manifest's shard skip (basename:size key)."""
     paths, cfg, index_dir, clusters_dir, inc_dir, base_cl = split_corpus
     _, _, _, info1, combined = incremented
     info2 = dedup_increment(index_dir, clusters_dir, inc_dir, cfg)
@@ -147,6 +146,34 @@ def test_increment_rerun_is_idempotent(incremented, split_corpus):
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+    pd.testing.assert_frame_equal(combined, again)
+
+
+def test_increment_renamed_shard_drops_frozen_rows(
+    incremented, split_corpus, tmp_path_factory
+):
+    """Same pages arriving under a RENAMED shard file bypass the
+    manifest skip (key is basename:size), so the frozen-row filter
+    (_seen_mask) must drop every already-assigned doc_id — no duplicate
+    rows, assignment values unchanged."""
+    paths, cfg, index_dir, clusters_dir, inc_dir, base_cl = split_corpus
+    _, _, _, _, combined = incremented
+    root = tmp_path_factory.mktemp("renamed")
+    idx2, cl2, inc2 = str(root / "index"), str(root / "clusters"), str(root / "inc")
+    shutil.copytree(index_dir, idx2)
+    shutil.copytree(clusters_dir, cl2)
+    os.makedirs(inc2)
+    for f in glob.glob(os.path.join(inc_dir, "*.parquet")):
+        shutil.copy(f, os.path.join(inc2, "renamed-" + os.path.basename(f)))
+    info = dedup_increment(idx2, cl2, inc2, cfg)
+    assert info["new_docs"] == 0
+    again = (
+        rd.read_parquet(cl2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert again.doc_id.is_unique
     pd.testing.assert_frame_equal(combined, again)
 
 
