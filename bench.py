@@ -132,6 +132,28 @@ def run_bench() -> dict:
     sres.clusters.count()
     queries["dedup_scale_full"] = time.perf_counter() - t
 
+    # incremental fold: a fresh 10%-size shard (different seed) into the
+    # index built above + the headline run's clusters — measures the
+    # steady-state cost of folding new crawl shards into a live store
+    from raydedup.corpus import CorpusSpec as _CS
+    from raydedup.pipelines.increment import dedup_increment
+
+    inc_docs = max(BENCH_DOCS // 10, 1000)
+    inc_paths = materialize_corpus(
+        f"/tmp/raydedup_bench_inc_{inc_docs}",
+        _CS(n_docs=inc_docs, seed=7, url_prefix="inc-"),
+        n_files=4,
+    )
+    inc_clusters = "/tmp/raydedup_bench_inc_clusters"
+    shutil.rmtree(inc_clusters, ignore_errors=True)
+    res.clusters.write_parquet(inc_clusters)
+    t = time.perf_counter()
+    inc_info = dedup_increment(
+        "/tmp/raydedup_bench_index", inc_clusters, inc_paths["pages"], cfg
+    )
+    queries["increment_fold_bench"] = time.perf_counter() - t
+    queries["increment_fold_docs"] = float(inc_info["new_docs"])
+
     # signature-scheme comparison at bench scale (classic 128-perm vs
     # one-permutation hashing): same corpus, same banding layout
     for scheme in ("classic", "oph"):

@@ -56,6 +56,9 @@ class CorpusSpec:
     large_groups: int = 2  # number of size-~50 groups when n_docs >= 2000
     large_group_size: int = 50
     shingle_k: int = 5  # for jaccard_true in the oracle
+    # host-name prefix so two corpora (e.g. a base store and an
+    # increment shard) get DISJOINT urls and therefore doc_ids
+    url_prefix: str = ""
 
 
 def _vocab(spec: CorpusSpec) -> tuple[np.ndarray, np.ndarray]:
@@ -195,7 +198,10 @@ def build_corpus(spec: CorpusSpec) -> dict[str, pa.Table]:
     n = len(doc_tokens)
 
     texts = [" ".join(words[t]) for t in doc_tokens]
-    urls = [f"https://site{groups[i] % 97}.example/p/{i:07d}" for i in range(n)]
+    urls = [
+        f"https://{spec.url_prefix}site{groups[i] % 97}.example/p/{i:07d}"
+        for i in range(n)
+    ]
     ts = (np.int64(1_700_000_000_000_000) + np.arange(n, dtype=np.int64) * 1_000_003)
     langs = np.where(rng.random(n) < 0.95, "en", rng.choice(_LANGS[1:], size=n))
 
