@@ -154,6 +154,130 @@ def test_rolling_hash_prefix_equals_horner(vals, k, dtype):
 
 
 @given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=300
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_minhash_batch_equals_naive(doc_sets):
+    """The L2-chunked reduceat kernel == the per-doc naive formula
+    min((s*a + b) mod 2^64) >> 32, for set sizes straddling the
+    512-shingle chunk boundary."""
+    from raydedup.stages.signatures import minhash_batch, minhash_perms
+
+    sets = [np.unique(np.array(v, dtype=np.uint64)) for v in doc_sets]
+    a, b = minhash_perms(CFG)
+    got = minhash_batch(sets, a, b)
+    for d, s in enumerate(sets):
+        with np.errstate(over="ignore"):
+            vals = s[:, None] * a[None, :] + b[None, :]
+        want = (vals.min(axis=0) >> np.uint64(32)).astype(np.uint32)
+        np.testing.assert_array_equal(got[d], want)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2**64 - 1),
+                st.integers(min_value=1, max_value=50),
+            ),
+            min_size=1,
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_simhash_batch_equals_naive(doc_tokens):
+    """The unpackbits/reduceat kernel == the textbook bitwise-majority
+    SimHash, including across the 4096-token chunk boundary."""
+    from raydedup.stages.signatures import simhash_batch
+
+    token_sets = []
+    for toks in doc_tokens:
+        h = np.array([t[0] for t in toks], dtype=np.uint64)
+        w = np.array([t[1] for t in toks], dtype=np.int64)
+        # kernel contract: unique hashes with counts
+        uh, idx = np.unique(h, return_index=True)
+        token_sets.append((uh, w[idx]))
+    got = simhash_batch(token_sets)
+    for d, (uh, w) in enumerate(token_sets):
+        acc = np.zeros(64, dtype=np.int64)
+        for hv, wv in zip(uh.tolist(), w.tolist()):
+            for j in range(64):
+                acc[j] += wv if (hv >> j) & 1 else -wv
+        want = 0
+        for j in range(64):
+            if acc[j] > 0:
+                want |= 1 << j
+        assert int(got[d]) == want
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=60
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_oph_batch_composition_independence(doc_sets):
+    """A doc's OPH signature must not depend on its batch neighbours."""
+    from raydedup.stages.signatures import oph_minhash_batch
+
+    sets = [np.unique(np.array(v, dtype=np.uint64)) for v in doc_sets]
+    whole = oph_minhash_batch(sets, CFG.n_perms)
+    solo = np.vstack([oph_minhash_batch([s], CFG.n_perms) for s in sets])
+    np.testing.assert_array_equal(whole, solo)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=9, max_codepoint=126),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_batch_word_hashes_equals_per_doc_path(texts):
+    """The vectorized Arrow front half (split/dict-encode/ascii_lower)
+    is bit-identical to tokenize + per-word hashing for ASCII input —
+    the SignatureKernel routes per-doc based on string_is_ascii, so any
+    divergence makes results depend on batch composition."""
+    import pyarrow as pa
+
+    from raydedup.stages.signatures import (
+        _WordHashCache,
+        batch_word_hashes,
+        tokenize,
+    )
+
+    arr = pa.array(texts, type=pa.string())
+    flat, offs = batch_word_hashes(arr)
+    cache = _WordHashCache()
+    for d, t in enumerate(texts):
+        words = tokenize(t)
+        want = (
+            cache.hash_words(words)
+            if words
+            else np.empty(0, dtype=np.uint64)
+        )
+        np.testing.assert_array_equal(flat[offs[d] : offs[d + 1]], want)
+
+
+@given(
     st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=300),
     st.integers(min_value=1, max_value=50),
 )
