@@ -181,6 +181,30 @@ def _q_containment_pairs(sf_dir: str):
     return containment_pairs_exact(_docs(sf_dir))
 
 
+def _q_matched_segments(sf_dir: str):
+    """Matched-segment extraction over the exact containment pairs: the
+    token-level longest common substring per pair — Panako's matched
+    start/stop reporting (strategy/QueryResult.java:31-73) transplanted
+    to token offsets."""
+    from raydedup.stages.bruteforce import containment_pairs_exact
+    from raydedup.stages.lcs import matched_segments
+
+    docs = _docs(sf_dir).materialize()
+    pairs = containment_pairs_exact(docs)
+    tbl = pa.table(
+        {
+            "a": pa.array(pairs["a"].to_numpy(dtype=np.int64), pa.int64()),
+            "b": pa.array(pairs["b"].to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )
+    df = matched_segments(tbl, docs).to_pandas()
+    return (
+        df[["a", "b", "lcs_tokens", "lcs_ratio"]]
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_knn_cosine(sf_dir: str):
     """ANN baseline: exact top-10 cosine vs the vec_id=0 embedding."""
     from raydedup.stages.ann import knn_cosine_bruteforce
@@ -695,6 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "jaccard_char_ngrams": _q_jaccard_char_ngrams,
         "containment_pairs": _q_containment_pairs,
+        "matched_segments": _q_matched_segments,
         "knn_cosine": _q_knn_cosine,
         "embedding_neardup": _q_embedding_neardup,
         "events_hourly": _q_events_hourly,
@@ -1394,6 +1419,60 @@ def oracle_sql() -> dict[str, str]:
              AND length(a.text) < length(b.text)
              AND position(a.text in b.text) > 0
             ORDER BY a, b
+        """,
+        # token-level longest common substring per containment pair via
+        # the diagonal-run (gaps-and-islands) formulation: token-match
+        # positions grouped by diagonal i-j, run length = consecutive-i
+        # island size, LCS = max run. The engine computes the same
+        # quantity by binary search on rolling-hash windows.
+        "matched_segments": """
+        WITH cpairs AS (
+          SELECT a.doc_id AS a, b.doc_id AS b
+          FROM documents a JOIN documents b
+            ON a.doc_id != b.doc_id
+           AND length(a.text) < length(b.text)
+           AND position(a.text in b.text) > 0
+        ),
+        pdocs AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT a AS doc_id FROM cpairs UNION ALL SELECT b FROM cpairs
+          )
+        ),
+        tokl AS (
+          SELECT d.doc_id,
+                 string_split_regex(trim(lower(d.text)), '\\s+') AS toks
+          FROM documents d JOIN pdocs p ON p.doc_id = d.doc_id
+        ),
+        tok AS (
+          SELECT doc_id, unnest(toks) AS tok,
+                 unnest(range(1, len(toks) + 1)) AS i
+          FROM tokl
+        ),
+        tokn AS (SELECT doc_id, len(toks) AS n FROM tokl),
+        m AS (
+          SELECT p.a, p.b, ta.i AS i, tb.i AS j
+          FROM cpairs p
+          JOIN tok ta ON ta.doc_id = p.a
+          JOIN tok tb ON tb.doc_id = p.b AND tb.tok = ta.tok
+        ),
+        runs AS (
+          SELECT a, b, i - j AS diag,
+                 i - row_number() OVER (PARTITION BY a, b, i - j ORDER BY i)
+                   AS grp
+          FROM m
+        ),
+        lens AS (
+          SELECT a, b, count(*) AS len FROM runs GROUP BY a, b, diag, grp
+        )
+        SELECT c.a, c.b,
+               CAST(coalesce(max(l.len), 0) AS BIGINT) AS lcs_tokens,
+               coalesce(max(l.len), 0) * 1.0 / least(na.n, nb.n) AS lcs_ratio
+        FROM cpairs c
+        LEFT JOIN lens l ON l.a = c.a AND l.b = c.b
+        JOIN tokn na ON na.doc_id = c.a
+        JOIN tokn nb ON nb.doc_id = c.b
+        GROUP BY c.a, c.b, na.n, nb.n
+        ORDER BY c.a, c.b
         """,
         "knn_cosine": """
             SELECT b.vec_id,
