@@ -205,6 +205,42 @@ def _q_matched_segments(sf_dir: str):
     )
 
 
+def _q_decontaminate(sf_dir: str):
+    """Cross-corpus decontamination: docs with (doc_id & 15) == 0 play
+    the eval set, the rest are train; a train doc is contaminated when
+    it shares any word-5-gram shingle with the eval corpus (the
+    query-against-index contract, cli/Query.java:60-93, on two
+    corpora). Train docs with < 5 tokens are excluded — they have no
+    5-gram shingles (mirrors the SQL shingle CTE)."""
+    import pyarrow.compute as pc
+
+    from raydedup.config import DedupConfig
+    from raydedup.pipelines.decontaminate import decontaminate
+    from raydedup.stages.signatures import tokenize
+
+    cfg = DedupConfig()
+    docs = _docs(sf_dir).materialize()
+
+    def split(t: pa.Table, want_eval: bool) -> pa.Table:
+        sel = pc.equal(pc.bit_wise_and(t.column("doc_id"), 15), 0)
+        return t.filter(sel if want_eval else pc.invert(sel))
+
+    def long_enough(t: pa.Table) -> pa.Table:
+        keep = [len(tokenize(x)) >= cfg.shingle_k for x in t.column("text").to_pylist()]
+        return t.filter(pa.array(keep))
+
+    ev = docs.map_batches(lambda t: split(t, True), batch_format="pyarrow")
+    tr = docs.map_batches(lambda t: split(t, False), batch_format="pyarrow").map_batches(
+        long_enough, batch_format="pyarrow"
+    )
+    df = decontaminate(tr, ev, cfg).to_pandas()
+    return (
+        df[["doc_id", "n_shingles", "n_contaminated", "contaminated"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_knn_cosine(sf_dir: str):
     """ANN baseline: exact top-10 cosine vs the vec_id=0 embedding."""
     from raydedup.stages.ann import knn_cosine_bruteforce
@@ -720,6 +756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_char_ngrams": _q_jaccard_char_ngrams,
         "containment_pairs": _q_containment_pairs,
         "matched_segments": _q_matched_segments,
+        "decontaminate": _q_decontaminate,
         "knn_cosine": _q_knn_cosine,
         "embedding_neardup": _q_embedding_neardup,
         "events_hourly": _q_events_hourly,
@@ -1473,6 +1510,27 @@ def oracle_sql() -> dict[str, str]:
         JOIN tokn nb ON nb.doc_id = c.b
         GROUP BY c.a, c.b, na.n, nb.n
         ORDER BY c.a, c.b
+        """,
+        # eval = docs with (doc_id & 15) == 0; a train doc's
+        # n_contaminated counts its DISTINCT 5-gram shingles present
+        # anywhere in the eval corpus (the engine counts distinct
+        # 64-bit shingle hashes — collision-free at this scale)
+        "decontaminate": _SHINGLES_CTE
+        + """
+        , ev AS (SELECT DISTINCT shingle FROM sh WHERE (doc_id & 15) = 0),
+        tr AS (SELECT doc_id, shingle FROM sh WHERE (doc_id & 15) != 0),
+        hits AS (
+          SELECT t.doc_id, count(*) AS nc
+          FROM tr t JOIN ev e ON e.shingle = t.shingle
+          GROUP BY t.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(coalesce(any_value(h.nc), 0) AS BIGINT) AS n_contaminated,
+               CAST(coalesce(any_value(h.nc), 0) >= 1 AS BIGINT) AS contaminated
+        FROM tr t LEFT JOIN hits h ON h.doc_id = t.doc_id
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
         """,
         "knn_cosine": """
             SELECT b.vec_id,

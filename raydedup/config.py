@@ -69,6 +69,12 @@ class DedupConfig:
     containment_min_coverage: float = 0.20  # analog of percentOfSecondsWithMatches >= 0.2 (Key.java:205)
     containment_max_postings: int = 10  # fp keys shared by more docs are site-wide boilerplate -> dropped
 
+    # --- decontamination (graft extension; eval-set k-gram overlap)
+    # eval shingle-key sets up to this size broadcast (one sorted u64
+    # array in plasma, ~8 B/key -> 400 MB at the cap); larger eval sets
+    # route to the posting exchange
+    decon_broadcast_max_keys: int = 50_000_000
+
     # --- clustering (graft extension; reference emits pairs only)
     cluster_backend: str = "driver"  # "driver" | "actors"
     n_cluster_shards: int = 8
