@@ -19,6 +19,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from raydedup.stages.sampling import DEFAULT_SAMPLE_SEED
+
 
 def _docs(sf_dir: str):
     from raydedup.sources.pages import read_docs
@@ -239,6 +241,28 @@ def _q_decontaminate(sf_dir: str):
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def _q_hash_sample(sf_dir: str):
+    """Deterministic 10% Bernoulli sample of documents by
+    mix64(doc_id ^ seed) rank — reproducible across runs/partitions."""
+    from raydedup.stages.sampling import hash_sample
+
+    df = hash_sample(
+        _read(sf_dir, "documents").select_columns(["doc_id", "lang"]), 0.1
+    ).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Exact-size stratified sample: the 7 smallest hash ranks per
+    lang (per-block local top-k + bounded driver merge, zero shuffle)."""
+    from raydedup.stages.sampling import stratified_sample
+
+    df = stratified_sample(
+        _read(sf_dir, "documents").select_columns(["doc_id", "lang"]), "lang", 7
+    ).to_pandas()
+    return df.sort_values(["lang", "doc_id"]).reset_index(drop=True)
 
 
 def _q_knn_cosine(sf_dir: str):
@@ -757,6 +781,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment_pairs,
         "matched_segments": _q_matched_segments,
         "decontaminate": _q_decontaminate,
+        "hash_sample": _q_hash_sample,
+        "stratified_sample": _q_stratified_sample,
         "knn_cosine": _q_knn_cosine,
         "embedding_neardup": _q_embedding_neardup,
         "events_hourly": _q_events_hourly,
@@ -1531,6 +1557,33 @@ def oracle_sql() -> dict[str, str]:
         FROM tr t LEFT JOIN hits h ON h.doc_id = t.doc_id
         GROUP BY t.doc_id
         ORDER BY t.doc_id
+        """,
+        # deterministic Bernoulli(0.1) sample: mix64(doc_id ^ seed)
+        # below the exact integer threshold the engine uses
+        "hash_sample": f"""
+        WITH raw AS (
+          SELECT doc_id, lang,
+                 xor(CAST(doc_id AS UBIGINT), {DEFAULT_SAMPLE_SEED}::UBIGINT) AS r
+          FROM documents
+        ), mixed AS (
+          SELECT doc_id, lang, {mix64_cols('r', 'rk')} FROM raw
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM mixed
+        WHERE rk < {int(0.1 * 2.0**64)}::UBIGINT
+        ORDER BY doc_id
+        """,
+        # exact-size stratified sample: 7 smallest mix64 ranks per lang
+        "stratified_sample": f"""
+        WITH raw AS (
+          SELECT doc_id, lang,
+                 xor(CAST(doc_id AS UBIGINT), {DEFAULT_SAMPLE_SEED}::UBIGINT) AS r
+          FROM documents
+        ), mixed AS (
+          SELECT doc_id, lang, {mix64_cols('r', 'rk')} FROM raw
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM mixed
+        QUALIFY row_number() OVER (PARTITION BY lang ORDER BY rk) <= 7
+        ORDER BY lang, doc_id
         """,
         "knn_cosine": """
             SELECT b.vec_id,

@@ -1,0 +1,163 @@
+"""Deterministic sampling operators for training-data curation.
+
+Sampling by a keyed hash rank instead of an RNG: every row's fate is a
+pure function of (key, seed), so samples are reproducible across runs,
+cluster sizes, block layouts and resumes — the property checkpointed
+100-TB pipelines need (a reservoir or RNG sample changes under
+re-partitioning; ``splitmix64(key ^ seed)`` does not). The reference
+pins every kernel to constants for exactly this reason
+(``UtilsTest.java:33-43``); the graft extends the discipline to
+sampling.
+
+All three operators are single-pass ``map_batches`` with ZERO shuffle:
+
+- ``hash_sample``: keep a row when its mixed hash falls below
+  ``rate * 2^64`` — a Bernoulli(rate) sample, deterministic in the key.
+- ``hash_split``: label each row train/test/... by hash range —
+  disjoint, exhaustive, deterministic corpus splits.
+- ``stratified_sample``: the ``k`` smallest hash ranks per stratum —
+  an exact-size uniform sample per group. Per-block local top-k keeps
+  the driver merge bounded by blocks x strata x k (the same
+  local-topk + merge shape as ``ann.knn_cosine_bruteforce``); only the
+  tiny winner id-set is broadcast back to filter the stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from raydedup.hashing import U64, mix64
+
+I64 = np.int64
+
+DEFAULT_SAMPLE_SEED = 0x5EED_0003
+
+
+def _rank(ids: np.ndarray, seed: int) -> np.ndarray:
+    """u64 rank of each key: mix64(key ^ seed). Collision-free in
+    practice (distinct keys -> distinct ranks at any realistic scale)."""
+    return mix64(ids.astype(I64).view(U64) ^ U64(seed & 0xFFFFFFFFFFFFFFFF))
+
+
+def hash_sample(
+    ds: Dataset,
+    rate: float,
+    key_col: str = "doc_id",
+    seed: int = DEFAULT_SAMPLE_SEED,
+) -> Dataset:
+    """Deterministic Bernoulli(rate) sample: rows whose
+    ``mix64(key ^ seed)`` falls in the lowest ``rate`` fraction of the
+    u64 range."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    # threshold in u64 space; rate=1.0 keeps everything
+    thr = U64(min(int(rate * 2.0**64), 2**64 - 1))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column(key_col).to_numpy(zero_copy_only=False)
+        r = _rank(ids, seed)
+        mask = (r < thr) | (np.bool_(rate >= 1.0))
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def hash_split(
+    ds: Dataset,
+    fracs: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = DEFAULT_SAMPLE_SEED,
+    label_col: str = "split",
+) -> Dataset:
+    """Label every row with a split name by hash range — disjoint and
+    exhaustive (fracs must sum to 1 within 1e-9). Deterministic in the
+    key, so re-runs and re-partitions never move a row across splits."""
+    names = list(fracs)
+    vals = np.array([fracs[n] for n in names], dtype=np.float64)
+    if (vals < 0).any() or abs(vals.sum() - 1.0) > 1e-9:
+        raise ValueError(f"fracs must be >= 0 and sum to 1, got {fracs}")
+    edges = np.array(
+        [min(int(c * 2.0**64), 2**64 - 1) for c in np.cumsum(vals)], dtype=U64
+    )
+    edges[-1] = U64(2**64 - 1)
+
+    def label(t: pa.Table) -> pa.Table:
+        ids = t.column(key_col).to_numpy(zero_copy_only=False)
+        r = _rank(ids, seed)
+        idx = np.searchsorted(edges, r, side="left")
+        idx = np.minimum(idx, len(names) - 1)
+        lab = pa.array(np.array(names, dtype=object)[idx], type=pa.string())
+        return t.append_column(label_col, lab)
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
+def _local_topk(t: pa.Table, strata_col: str, key_col: str, k: int, seed: int) -> pa.Table:
+    """Per-stratum k smallest ranks within one block (vectorized)."""
+    if t.num_rows == 0:
+        return t
+    ids = t.column(key_col).to_numpy(zero_copy_only=False)
+    strata = t.column(strata_col)
+    enc = strata.combine_chunks().dictionary_encode() if isinstance(
+        strata, pa.ChunkedArray
+    ) else strata.dictionary_encode()
+    scode = enc.indices.to_numpy(zero_copy_only=False).astype(I64)
+    r = _rank(ids, seed)
+    order = np.lexsort((r, scode))
+    sc = scode[order]
+    b = np.empty(sc.shape[0], dtype=bool)
+    b[0] = True
+    b[1:] = sc[1:] != sc[:-1]
+    pos_in_group = np.arange(sc.shape[0]) - np.maximum.accumulate(
+        np.where(b, np.arange(sc.shape[0]), 0)
+    )
+    keep_sorted = pos_in_group < k
+    return t.take(pa.array(order[keep_sorted]))
+
+
+def stratified_sample(
+    ds: Dataset,
+    strata_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: int = DEFAULT_SAMPLE_SEED,
+) -> Dataset:
+    """Exactly ``min(k, |stratum|)`` rows per stratum: the k smallest
+    ``mix64(key ^ seed)`` ranks within each ``strata_col`` group.
+
+    Pass 1 streams per-block local top-k candidates (blocks x strata x k
+    rows reach the driver — bounded and tiny); the global winners' key
+    set is broadcast and pass 2 filters the stream by membership, so
+    the full dataset is never collected or shuffled."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    cand = ds.select_columns([strata_col, key_col]).map_batches(
+        lambda t: _local_topk(t, strata_col, key_col, k, seed),
+        batch_format="pyarrow",
+    )
+    blocks = [b for b in ray.get(list(cand.to_arrow_refs())) if b.num_rows]
+    if not blocks:
+        return ds.limit(0)
+    allc = pa.concat_tables(blocks)
+    winners = _local_topk(allc, strata_col, key_col, k, seed)
+    win_ids = np.sort(
+        winners.column(key_col).to_numpy(zero_copy_only=False).astype(I64)
+    )
+    ids_ref = ray.put(win_ids)
+
+    def keep(t: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        ids = t.column(key_col).to_numpy(zero_copy_only=False).astype(I64)
+        idx = np.searchsorted(wanted, ids)
+        valid = idx < wanted.shape[0]
+        mask = np.zeros(ids.shape[0], dtype=bool)
+        if valid.any():
+            mask[valid] = wanted[idx[valid]] == ids[valid]
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

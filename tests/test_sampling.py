@@ -1,0 +1,102 @@
+"""Deterministic sampling operators (stages/sampling.py): hash-rank
+Bernoulli sample, hash-range splits, exact per-stratum top-k-by-rank."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from raydedup.hashing import U64, mix64
+from raydedup.stages.sampling import (
+    DEFAULT_SAMPLE_SEED,
+    hash_sample,
+    hash_split,
+    stratified_sample,
+)
+
+
+def _tbl(n=5000, n_strata=5, seed=0):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lang": pa.array(
+                [f"l{int(x)}" for x in rng.integers(0, n_strata, size=n)]
+            ),
+        }
+    )
+
+
+def _rank(ids, seed=DEFAULT_SAMPLE_SEED):
+    return mix64(np.asarray(ids, dtype=np.int64).view(U64) ^ U64(seed))
+
+
+def test_hash_sample_rate_and_determinism(ray_session):
+    t = _tbl()
+    a = hash_sample(rd.from_arrow(t), 0.3).to_pandas().sort_values("doc_id")
+    # rate within 5 sigma of binomial
+    assert abs(len(a) - 1500) < 5 * np.sqrt(0.3 * 0.7 * 5000)
+    # partition-invariant: a 17-way repartition samples the same rows
+    b = (
+        hash_sample(rd.from_arrow(t).repartition(17), 0.3)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    # matches the scalar definition
+    thr = np.uint64(int(0.3 * 2.0**64))
+    want = np.flatnonzero(_rank(np.arange(5000)) < thr)
+    assert a.doc_id.to_numpy().tolist() == want.tolist()
+
+
+def test_hash_sample_edges(ray_session):
+    t = _tbl(100)
+    assert hash_sample(rd.from_arrow(t), 0.0).count() == 0
+    assert hash_sample(rd.from_arrow(t), 1.0).count() == 100
+    with pytest.raises(ValueError):
+        hash_sample(rd.from_arrow(t), 1.5)
+
+
+def test_hash_split_disjoint_exhaustive_stable(ray_session):
+    t = _tbl(3000)
+    fr = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    a = hash_split(rd.from_arrow(t), fr).to_pandas()
+    assert len(a) == 3000 and set(a.split) <= set(fr)
+    counts = a.split.value_counts()
+    assert abs(counts.get("train", 0) - 2400) < 5 * np.sqrt(0.8 * 0.2 * 3000)
+    # rows never move across splits under re-partitioning
+    b = hash_split(rd.from_arrow(t).repartition(13), fr).to_pandas()
+    am = dict(zip(a.doc_id, a.split))
+    assert all(am[d] == s for d, s in zip(b.doc_id, b.split))
+    with pytest.raises(ValueError):
+        hash_split(rd.from_arrow(t), {"a": 0.5, "b": 0.6})
+
+
+def test_stratified_sample_exact_and_invariant(ray_session):
+    t = _tbl(4000, n_strata=4, seed=3)
+    k = 9
+    out = stratified_sample(rd.from_arrow(t), "lang", k).to_pandas()
+    langs = t.column("lang").to_pandas()
+    # exactly min(k, |stratum|) per stratum, and exactly the k smallest ranks
+    ids = t.column("doc_id").to_numpy()
+    ranks = _rank(ids)
+    for lg, grp in out.groupby("lang"):
+        members = ids[(langs == lg).to_numpy()]
+        want = members[np.argsort(ranks[(langs == lg).to_numpy()])][:k]
+        assert sorted(grp.doc_id.tolist()) == sorted(want.tolist())
+    # partition-invariance
+    out2 = stratified_sample(rd.from_arrow(t).repartition(23), "lang", k).to_pandas()
+    assert sorted(out.doc_id.tolist()) == sorted(out2.doc_id.tolist())
+
+
+def test_stratified_sample_small_strata(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(7, dtype=np.int64)),
+            "lang": pa.array(["a", "a", "a", "b", "b", "c", "c"]),
+        }
+    )
+    out = stratified_sample(rd.from_arrow(t), "lang", 10).to_pandas()
+    assert len(out) == 7  # k exceeds every stratum -> keep all
+    with pytest.raises(ValueError):
+        stratified_sample(rd.from_arrow(t), "lang", 0)
