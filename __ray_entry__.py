@@ -265,6 +265,28 @@ def _q_stratified_sample(sf_dir: str):
     return df.sort_values(["lang", "doc_id"]).reset_index(drop=True)
 
 
+def _q_doc_frequency(sf_dir: str):
+    """Corpus document frequency per lowered whitespace token (combiner
+    partials + token-hash exchange, exact string grouping in-bucket)."""
+    from raydedup.stages.tfidf import doc_frequency
+
+    df = doc_frequency(_read(sf_dir, "documents")).to_pandas()
+    return df.sort_values("token").reset_index(drop=True)
+
+
+def _q_top_terms(sf_dir: str):
+    """Top-3 most distinctive tokens per doc by score = tf/df (raw IEEE
+    division for cross-engine parity), ties broken by token ASC."""
+    from raydedup.stages.tfidf import top_terms
+
+    df = top_terms(_read(sf_dir, "documents"), k=3).to_pandas()
+    return (
+        df[["doc_id", "rank", "token", "tf", "df", "score"]]
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_knn_cosine(sf_dir: str):
     """ANN baseline: exact top-10 cosine vs the vec_id=0 embedding."""
     from raydedup.stages.ann import knn_cosine_bruteforce
@@ -783,6 +805,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
+        "doc_frequency": _q_doc_frequency,
+        "top_terms": _q_top_terms,
         "knn_cosine": _q_knn_cosine,
         "embedding_neardup": _q_embedding_neardup,
         "events_hourly": _q_events_hourly,
@@ -1557,6 +1581,46 @@ def oracle_sql() -> dict[str, str]:
         FROM tr t LEFT JOIN hits h ON h.doc_id = t.doc_id
         GROUP BY t.doc_id
         ORDER BY t.doc_id
+        """,
+        "doc_frequency": """
+        WITH tok AS (
+          SELECT DISTINCT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+            FROM documents
+          ) WHERE w != ''
+        )
+        SELECT w AS token, CAST(count(*) AS BIGINT) AS df
+        FROM tok GROUP BY w ORDER BY token
+        """,
+        # score = tf/df is raw IEEE division on both engines (the
+        # ln-free tf-idf variant chosen for bit-exact parity)
+        "top_terms": """
+        WITH tok AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+            FROM documents
+          ) WHERE w != ''
+        ),
+        tf AS (
+          SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, w
+        ),
+        dfs AS (
+          SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM tok GROUP BY w
+        )
+        SELECT t.doc_id,
+               CAST(row_number() OVER (
+                 PARTITION BY t.doc_id
+                 ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC, t.w
+               ) AS BIGINT) AS rank,
+               t.w AS token, t.tf, d.df,
+               CAST(t.tf AS DOUBLE) / d.df AS score
+        FROM tf t JOIN dfs d USING (w)
+        QUALIFY rank <= 3
+        ORDER BY t.doc_id, rank
         """,
         # deterministic Bernoulli(0.1) sample: mix64(doc_id ^ seed)
         # below the exact integer threshold the engine uses

@@ -1,0 +1,302 @@
+"""Corpus term statistics: document frequency and per-doc top terms.
+
+The storage-statistics analog (``cli/Stats.java`` reports corpus-level
+index statistics; here the corpus object is the token) extended to the
+text-analysis surface a training-data pipeline needs: a DF table for
+boilerplate/stopword discovery and a per-doc "most distinctive terms"
+ranking for inspection and quality filtering.
+
+Scale shape:
+
+- ``doc_frequency``: per-batch partial DF (distinct (doc, token) pairs
+  collapsed with a vectorized Arrow group_by — the combiner), then ONE
+  hash exchange keyed on the token's 64-bit hash. Inside a bucket the
+  final count groups by the REAL token string, so hash collisions only
+  affect bucket placement, never counts (same discipline as
+  ``stages/windows.py``).
+- ``top_terms``: ranks each doc's tokens by ``score = tf / df`` — the
+  idf ∝ 1/df variant, chosen DELIBERATELY over ``tf * ln(N/df)``
+  because raw IEEE division is bit-identical across engines while
+  ``ln`` is not guaranteed to be (the oracle-parity rule the whole
+  repo follows); ordering is (score DESC, token ASC), fully
+  deterministic. The DF side is filtered to ``df >= min_df`` and
+  broadcast as packed arrays (vocab small-side), or exchanged when the
+  vocabulary exceeds ``broadcast_max_vocab`` — both paths return
+  identical tables (tested).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+from raydedup.hashing import hash_strings_u64
+
+I64 = np.int64
+
+_TOP_TERMS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("rank", pa.int64()),
+        ("token", pa.large_string()),
+        ("tf", pa.int64()),
+        ("df", pa.int64()),
+        ("score", pa.float64()),
+    ]
+)
+
+
+def _batch_doc_token_counts(t: pa.Table) -> pa.Table:
+    """(doc_id, text) batch -> (doc_id, token, tf): per-doc lowered
+    token counts. ASCII rows take the vectorized Arrow split/lower
+    path; non-ASCII rows the per-doc ``tokenize`` path (same routing
+    as the signature stage, so tokens never depend on batch layout)."""
+    import pyarrow.compute as pc
+
+    from raydedup.stages.signatures import tokenize
+
+    col = t.column("text")
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = pc.fill_null(arr, "")
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(I64)
+    ascii_mask = pc.string_is_ascii(arr).to_numpy(zero_copy_only=False)
+    parts: list[pa.Table] = []
+    if ascii_mask.any():
+        sub = arr.filter(pa.array(ascii_mask))
+        toks = pc.utf8_split_whitespace(sub)
+        offs = toks.offsets.to_numpy().astype(I64)
+        vals = toks.values
+        if offs[0] != 0 or len(vals) != offs[-1]:
+            vals = vals.slice(offs[0], offs[-1] - offs[0])
+            offs = offs - offs[0]
+        keep = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+        cum = np.zeros(keep.shape[0] + 1, dtype=I64)
+        np.cumsum(keep, out=cum[1:])
+        new_offs = cum[offs]
+        kept = pc.ascii_lower(vals.filter(pa.array(keep)))
+        doc_rep = np.repeat(ids[ascii_mask], np.diff(new_offs))
+        parts.append(
+            pa.table(
+                {
+                    "doc_id": pa.array(doc_rep, type=pa.int64()),
+                    "token": kept.cast(pa.large_string()),
+                }
+            )
+        )
+    slow = np.flatnonzero(~ascii_mask)
+    if slow.shape[0]:
+        texts = arr.to_pylist()
+        sdoc: list[int] = []
+        stok: list[str] = []
+        for d in slow:
+            for w in tokenize(texts[d]):
+                sdoc.append(int(ids[d]))
+                stok.append(w)
+        parts.append(
+            pa.table(
+                {
+                    "doc_id": pa.array(sdoc, type=pa.int64()),
+                    "token": pa.array(stok, type=pa.large_string()),
+                }
+            )
+        )
+    if not parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "token": pa.array([], pa.large_string()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+    flat = pa.concat_tables(parts)
+    counts = flat.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+    return counts.rename_columns(["doc_id", "token", "tf"]).cast(
+        pa.schema(
+            [("doc_id", pa.int64()), ("token", pa.large_string()), ("tf", pa.int64())]
+        )
+    )
+
+
+def _with_token_key(t: pa.Table) -> pa.Table:
+    tok = t.column("token").to_numpy(zero_copy_only=False)
+    key = hash_strings_u64(tok).view(I64)
+    return t.append_column("key", pa.array(key, type=pa.int64()))
+
+
+def doc_frequency(docs: Dataset, min_df: int = 1) -> Dataset:
+    """docs(doc_id, text) -> (token, df): number of distinct docs each
+    lowered whitespace token occurs in, filtered to df >= min_df."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _batch_doc_token_counts(t)
+        p = c.group_by("token").aggregate([([], "count_all")])
+        p = p.rename_columns(["token", "df_partial"]).cast(
+            pa.schema([("token", pa.large_string()), ("df_partial", pa.int64())])
+        )
+        return _with_token_key(p)
+
+    partials = docs.select_columns(["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    from raydedup.stages.exchange import hash_exchange_apply
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"token": pa.array([], pa.large_string()), "df": pa.array([], pa.int64())}
+            )
+        g = t.group_by("token").aggregate([("df_partial", "sum")])
+        g = g.rename_columns(["token", "df"]).cast(
+            pa.schema([("token", pa.large_string()), ("df", pa.int64())])
+        )
+        if min_df > 1:
+            import pyarrow.compute as pc
+
+            g = g.filter(pc.greater_equal(g.column("df"), min_df))
+        return g
+
+    refs = hash_exchange_apply(partials, "key", reduce_bucket, collect=False)
+    return rd.from_arrow_refs(refs)
+
+
+@ray.remote(num_returns=3)
+def _pack_df(tbl: pa.Table):
+    """(n_vocab, sorted token-hash keys, aligned df) for broadcast."""
+    keys = hash_strings_u64(tbl.column("token").to_numpy(zero_copy_only=False))
+    df = tbl.column("df").to_numpy(zero_copy_only=False).astype(I64)
+    order = np.argsort(keys)
+    return int(keys.shape[0]), keys[order], df[order]
+
+
+def _topk_per_doc(t: pa.Table, k: int) -> pa.Table:
+    """(doc_id, token, tf, df) -> top-k rows per doc by
+    (tf/df DESC, token ASC), with rank. Vectorized lexsort."""
+    if t.num_rows == 0:
+        return _TOP_TERMS_SCHEMA.empty_table()
+    d = t.column("doc_id").to_numpy(zero_copy_only=False)
+    tf = t.column("tf").to_numpy(zero_copy_only=False).astype(I64)
+    df = t.column("df").to_numpy(zero_copy_only=False).astype(I64)
+    tok = t.column("token").to_numpy(zero_copy_only=False)
+    score = tf.astype(np.float64) / df
+    order = np.lexsort((tok, -score, d))
+    ds_ = d[order]
+    b = np.empty(ds_.shape[0], dtype=bool)
+    b[0] = True
+    b[1:] = ds_[1:] != ds_[:-1]
+    pos = np.arange(ds_.shape[0]) - np.maximum.accumulate(
+        np.where(b, np.arange(ds_.shape[0]), 0)
+    )
+    keep = pos < k
+    sel = order[keep]
+    return pa.table(
+        {
+            "doc_id": pa.array(d[sel], type=pa.int64()),
+            "rank": pa.array(pos[keep] + 1, type=pa.int64()),
+            "token": pa.array(tok[sel], type=pa.large_string()),
+            "tf": pa.array(tf[sel], type=pa.int64()),
+            "df": pa.array(df[sel], type=pa.int64()),
+            "score": pa.array(score[sel], type=pa.float64()),
+        }
+    )
+
+
+def top_terms(
+    docs: Dataset,
+    k: int = 3,
+    min_df: int = 1,
+    method: str = "auto",
+    broadcast_max_vocab: int = 20_000_000,
+) -> Dataset:
+    """docs(doc_id, text) -> (doc_id, rank, token, tf, df, score):
+    each doc's k most distinctive tokens by score = tf/df (ties ->
+    token ASC). Tokens below ``min_df`` corpus-wide are excluded."""
+    if method not in ("auto", "broadcast", "exchange"):
+        raise ValueError(f"unknown top_terms method: {method!r}")
+    docs = docs.select_columns(["doc_id", "text"]).materialize()
+    df_tbl = doc_frequency(docs, min_df=min_df)
+
+    from raydedup.util import to_arrow_table
+
+    counts = docs.map_batches(_batch_doc_token_counts, batch_format="pyarrow")
+
+    if method != "exchange":
+        dft = to_arrow_table(
+            df_tbl,
+            empty_schema=pa.schema(
+                [("token", pa.large_string()), ("df", pa.int64())]
+            ),
+        )
+        if method == "broadcast" or dft.num_rows <= broadcast_max_vocab:
+            n_ref, keys_ref, dfv_ref = _pack_df.remote(dft)
+
+            def score_batch(t: pa.Table) -> pa.Table:
+                keys = ray.get(keys_ref)
+                dfv = ray.get(dfv_ref)
+                tok = t.column("token").to_numpy(zero_copy_only=False)
+                th = hash_strings_u64(tok)
+                idx = np.searchsorted(keys, th)
+                valid = idx < keys.shape[0]
+                hit = np.zeros(th.shape[0], dtype=bool)
+                if valid.any():
+                    hit[valid] = keys[idx[valid]] == th[valid]
+                sub = t.filter(pa.array(hit))
+                dfs = dfv[np.searchsorted(keys, th[hit])] if hit.any() else np.empty(0, I64)
+                sub = sub.append_column("df", pa.array(dfs, type=pa.int64()))
+                return _topk_per_doc(sub, k)
+
+            return counts.map_batches(score_batch, batch_format="pyarrow")
+
+    # exchange path: join counts and df by token-hash bucket, then a
+    # second exchange on doc_id for the per-doc top-k (a doc's tokens
+    # spread across token buckets)
+    from raydedup.stages.exchange import hash_exchange_apply, hash_exchange_join
+
+    keyed_counts = counts.map_batches(_with_token_key, batch_format="pyarrow")
+    keyed_df = df_tbl.map_batches(_with_token_key, batch_format="pyarrow")
+
+    def join_bucket(tc: pa.Table, td: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("token", pa.large_string()),
+                ("tf", pa.int64()),
+                ("df", pa.int64()),
+            ]
+        ).empty_table()
+        if tc.num_rows == 0 or td.num_rows == 0:
+            return empty
+        dtok = td.column("token").to_numpy(zero_copy_only=False)
+        dval = td.column("df").to_numpy(zero_copy_only=False).astype(I64)
+        order = np.argsort(dtok, kind="stable")
+        dtok, dval = dtok[order], dval[order]
+        ctok = tc.column("token").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(dtok, ctok)
+        valid = idx < dtok.shape[0]
+        hit = np.zeros(ctok.shape[0], dtype=bool)
+        if valid.any():
+            hit[valid] = dtok[idx[valid]] == ctok[valid]
+        if not hit.any():
+            return empty
+        sub = tc.filter(pa.array(hit))
+        dfs = dval[np.searchsorted(dtok, ctok[hit])]
+        return pa.table(
+            {
+                "doc_id": sub.column("doc_id"),
+                "token": sub.column("token"),
+                "tf": sub.column("tf"),
+                "df": pa.array(dfs, type=pa.int64()),
+            }
+        )
+
+    joined_refs = hash_exchange_join(keyed_counts, keyed_df, "key", "key", join_bucket)
+    out_refs = hash_exchange_apply(
+        joined_refs, "doc_id", lambda t: _topk_per_doc(t, k), collect=False
+    )
+    if not out_refs:
+        return rd.from_arrow(_TOP_TERMS_SCHEMA.empty_table())
+    return rd.from_arrow_refs(out_refs)

@@ -1,0 +1,134 @@
+"""Corpus term statistics (stages/tfidf.py): document frequency via
+token-hash exchange and per-doc top terms by tf/df."""
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from raydedup.stages.tfidf import doc_frequency, top_terms
+
+
+def _mkdocs(texts, start_id=0):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    range(start_id, start_id + len(texts)), pa.int64()
+                ),
+                "text": texts,
+            }
+        )
+    )
+
+
+def _naive_df(texts):
+    c = Counter()
+    for t in texts:
+        c.update(set(t.lower().split()))
+    return dict(c)
+
+
+def _naive_top(texts, k, dfm):
+    rows = []
+    for i, t in enumerate(texts):
+        tf = Counter(t.lower().split())
+        scored = sorted(
+            ((tok, n, dfm[tok], n / dfm[tok]) for tok, n in tf.items()),
+            key=lambda x: (-x[3], x[0]),
+        )[:k]
+        for r, (tok, n, df, sc) in enumerate(scored, 1):
+            rows.append((i, r, tok, n, df, sc))
+    return rows
+
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the dog ate the cat food",
+    "quantum flux capacitor THE the",
+    "cat cat cat dog",
+    "mat on mat off",
+]
+
+
+def test_doc_frequency_matches_naive(ray_session):
+    got = doc_frequency(_mkdocs(TEXTS)).to_pandas()
+    want = _naive_df(TEXTS)
+    assert dict(zip(got.token, got.df)) == want
+    # min_df filter
+    got2 = doc_frequency(_mkdocs(TEXTS), min_df=2).to_pandas()
+    assert dict(zip(got2.token, got2.df)) == {t: d for t, d in want.items() if d >= 2}
+
+
+def test_doc_frequency_partition_invariant(ray_session):
+    rng = np.random.default_rng(5)
+    words = [f"w{i}" for i in range(50)]
+    texts = [
+        " ".join(words[j] for j in rng.integers(0, 50, size=30)) for _ in range(200)
+    ]
+    a = doc_frequency(_mkdocs(texts)).to_pandas().sort_values("token")
+    b = (
+        doc_frequency(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array(range(200), pa.int64()),
+                        "text": texts,
+                    }
+                )
+            ).repartition(19)
+        )
+        .to_pandas()
+        .sort_values("token")
+    )
+    assert a.token.tolist() == b.token.tolist()
+    assert a.df.tolist() == b.df.tolist()
+    assert dict(zip(a.token, a.df)) == _naive_df(texts)
+
+
+def test_top_terms_matches_naive(ray_session):
+    k = 2
+    dfm = _naive_df(TEXTS)
+    want = _naive_top(TEXTS, k, dfm)
+    got = (
+        top_terms(_mkdocs(TEXTS), k=k)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for (i, r, tok, tf, df, sc), row in zip(want, got.itertuples(index=False)):
+        assert (row.doc_id, row.rank, row.token, row.tf, row.df) == (i, r, tok, tf, df)
+        assert row.score == sc  # raw IEEE division, bit-identical
+
+
+def test_top_terms_exchange_matches_broadcast(ray_session):
+    rng = np.random.default_rng(6)
+    words = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(words[j] for j in rng.integers(0, 40, size=25)) for _ in range(120)
+    ]
+    a = (
+        top_terms(_mkdocs(texts), k=3, method="broadcast")
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        top_terms(_mkdocs(texts), k=3, method="exchange")
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_tfidf_non_ascii_and_empty(ray_session):
+    texts = ["café au lait café", "", "plain ascii text", "  "]
+    dfd = doc_frequency(_mkdocs(texts)).to_pandas()
+    assert dict(zip(dfd.token, dfd.df)) == _naive_df(texts)
+    tt = top_terms(_mkdocs(texts), k=5).to_pandas()
+    # empty docs contribute no rows; café doc keeps its accents
+    assert set(tt.doc_id) == {0, 2}
+    assert "café" in set(tt[tt.doc_id == 0].token)
