@@ -265,6 +265,29 @@ def _q_stratified_sample(sf_dir: str):
     return df.sort_values(["lang", "doc_id"]).reset_index(drop=True)
 
 
+def _q_curate_pipeline(sf_dir: str):
+    """Full curation funnel over documents: quality filter ->
+    decontamination vs the (doc_id & 15)==0 eval split -> exact dedup
+    -> deterministic 50% sample. One (doc_id, status) row per train
+    doc with fixed precedence."""
+    from raydedup.pipelines.curate import CurateParams, curate
+
+    docs = _docs(sf_dir).materialize()
+
+    def split(t: pa.Table, want_eval: bool) -> pa.Table:
+        sel = pc.equal(pc.bit_wise_and(t.column("doc_id"), 15), 0)
+        return t.filter(sel if want_eval else pc.invert(sel))
+
+    ev = docs.map_batches(lambda t: split(t, True), batch_format="pyarrow")
+    tr = docs.map_batches(lambda t: split(t, False), batch_format="pyarrow")
+    res = curate(tr, eval_docs=ev, params=CurateParams(sample_rate=0.5))
+    return (
+        res.statuses.to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_doc_frequency(sf_dir: str):
     """Corpus document frequency per lowered whitespace token (combiner
     partials + token-hash exchange, exact string grouping in-bucket)."""
@@ -807,6 +830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "doc_frequency": _q_doc_frequency,
         "top_terms": _q_top_terms,
+        "curate_pipeline": _q_curate_pipeline,
         "knn_cosine": _q_knn_cosine,
         "embedding_neardup": _q_embedding_neardup,
         "events_hourly": _q_events_hourly,
@@ -1581,6 +1605,81 @@ def oracle_sql() -> dict[str, str]:
         FROM tr t LEFT JOIN hits h ON h.doc_id = t.doc_id
         GROUP BY t.doc_id
         ORDER BY t.doc_id
+        """,
+        # the full funnel with the engine's fixed precedence: quality <
+        # contaminated < exact_dup < sampled_out < kept. Population
+        # rules mirror the engine exactly: contamination is judged only
+        # for quality survivors, the dup window only over
+        # quality+contamination survivors, the sample only over dedup
+        # survivors.
+        "curate_pipeline": f"""
+        WITH tr AS (SELECT doc_id, text FROM documents WHERE (doc_id & 15) != 0),
+        evd AS (SELECT doc_id, text FROM documents WHERE (doc_id & 15) = 0),
+        qual AS (
+          SELECT doc_id, text,
+                 (CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END
+                    BETWEEN 20 AND 1000000
+                  AND length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+                      / greatest(length(text), 1) <= 0.10
+                  AND length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                      / greatest(length(text), 1) <= 0.20) AS q_ok
+          FROM tr
+        ),
+        tsh AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+                     || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win
+                     AS shingle
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+                         generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+                  FROM qual WHERE q_ok)
+            WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(w,4) OVER win IS NOT NULL
+          )
+        ),
+        esh AS (
+          SELECT DISTINCT shingle FROM (
+            SELECT w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+                     || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win
+                     AS shingle
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+                         generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+                  FROM evd)
+            WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(w,4) OVER win IS NOT NULL
+          )
+        ),
+        con AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN esh e USING (shingle)),
+        survivors AS (
+          SELECT q.doc_id, q.text
+          FROM qual q LEFT JOIN con c ON c.doc_id = q.doc_id
+          WHERE q.q_ok AND c.doc_id IS NULL
+        ),
+        dedup AS (
+          SELECT doc_id,
+                 doc_id != min(doc_id) OVER (PARTITION BY text) AS is_dup
+          FROM survivors
+        ),
+        ranked AS (
+          SELECT doc_id,
+                 {mix64_cols(f"xor(CAST(doc_id AS UBIGINT), {DEFAULT_SAMPLE_SEED}::UBIGINT)", 'rk')}
+          FROM tr
+        )
+        SELECT q.doc_id,
+               CASE WHEN NOT q.q_ok THEN 'quality'
+                    WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                    WHEN d.is_dup THEN 'exact_dup'
+                    WHEN r.rk >= {int(0.5 * 2.0**64)}::UBIGINT THEN 'sampled_out'
+                    ELSE 'kept' END AS status
+        FROM qual q
+        LEFT JOIN con c ON c.doc_id = q.doc_id
+        LEFT JOIN dedup d ON d.doc_id = q.doc_id
+        JOIN ranked r ON r.doc_id = q.doc_id
+        ORDER BY q.doc_id
         """,
         "doc_frequency": """
         WITH tok AS (

@@ -173,6 +173,9 @@ def run_bench() -> dict:
     timed("knn_cosine_sf", lambda: q["knn_cosine"](SF_DIR))
     timed("containment_winnowed_sf", lambda: q["containment_winnowed"](SF_DIR))
     timed("events_hourly_sf", lambda: q["events_hourly"](SF_DIR))
+    timed("decontaminate_sf", lambda: q["decontaminate"](SF_DIR))
+    timed("top_terms_sf", lambda: q["top_terms"](SF_DIR))
+    timed("stratified_sample_sf", lambda: q["stratified_sample"](SF_DIR))
 
     out = {
         "metric": "dedup pipeline wall time (synthetic pages corpus, containment on)",

@@ -57,6 +57,13 @@ def _split_table(block: pa.Table, key_col: str, num_buckets: int) -> list[pa.Tab
     ]
 
 
+def _schema_donor(parts) -> pa.Table | None:
+    """First part that carries a schema. Ray's map_batches skips the UDF
+    on 0-row input blocks and emits 0-COLUMN empties — those cannot seed
+    a typed empty table or be handed to a kernel expecting columns."""
+    return next((p for p in parts if p.num_columns), None)
+
+
 @ray.remote
 def _split_blocks(key_col: str, num_buckets: int, *blocks: pa.Table) -> list[pa.Table]:
     # several input blocks per split task: the object count is
@@ -64,7 +71,8 @@ def _split_blocks(key_col: str, num_buckets: int, *blocks: pa.Table) -> list[pa.
     # thousands of tiny plasma objects serialize on the raylet otherwise
     nonempty = [b for b in blocks if b.num_rows]
     if not nonempty:
-        empty = blocks[0].slice(0, 0)
+        donor = _schema_donor(blocks)
+        empty = donor.slice(0, 0) if donor is not None else pa.table({})
         return [empty] * num_buckets
     return _split_table(pa.concat_tables(nonempty), key_col, num_buckets)
 
@@ -73,7 +81,10 @@ def _split_blocks(key_col: str, num_buckets: int, *blocks: pa.Table) -> list[pa.
 def _reduce_bucket(kernel: Callable[[pa.Table], pa.Table], *parts: pa.Table) -> pa.Table:
     nonempty = [p for p in parts if p.num_rows]
     if not nonempty:
-        return kernel(parts[0]) if parts else pa.table({})
+        donor = _schema_donor(parts)
+        # no part carries a schema -> the kernel cannot run; emit a
+        # 0-column empty (collectors filter on num_rows)
+        return kernel(donor.slice(0, 0)) if donor is not None else pa.table({})
     return kernel(pa.concat_tables(nonempty))
 
 
@@ -89,7 +100,13 @@ def _reduce_bucket_resplit(
     reduce wave consumes the pieces directly, skipping a full split wave
     (and its materialize barrier) between two chained exchanges."""
     nonempty = [p for p in parts if p.num_rows]
-    t = kernel(pa.concat_tables(nonempty)) if nonempty else kernel(parts[0])
+    if nonempty:
+        t = kernel(pa.concat_tables(nonempty))
+    else:
+        donor = _schema_donor(parts)
+        if donor is None:
+            return [pa.table({})] * out_buckets
+        t = kernel(donor.slice(0, 0))
     return _split_table(t, out_key, out_buckets)
 
 
@@ -102,10 +119,7 @@ def _reduce_bucket_join_resplit(
     *parts: pa.Table,
 ) -> list[pa.Table]:
     """Fused join-reduce + re-split (two-sided variant)."""
-    left = [p for p in parts[:n_left] if p.num_rows]
-    right = [p for p in parts[n_left:] if p.num_rows]
-    lt = pa.concat_tables(left) if left else parts[0].slice(0, 0)
-    rt = pa.concat_tables(right) if right else parts[n_left].slice(0, 0)
+    lt, rt = _join_sides(parts, n_left)
     return _split_table(kernel(lt, rt), out_key, out_buckets)
 
 
@@ -160,11 +174,28 @@ def _reduce_bucket_join(
     n_left: int,
     *parts: pa.Table,
 ) -> pa.Table:
+    lt, rt = _join_sides(parts, n_left)
+    return kernel(lt, rt)
+
+
+def _join_sides(parts, n_left: int) -> tuple[pa.Table, pa.Table]:
+    """Concatenated (left, right) bucket sides; an all-empty side falls
+    back to a schema-bearing donor's empty slice (join kernels
+    early-return on num_rows == 0, so a 0-column fallback is safe when
+    NO part of that side has a schema)."""
     left = [p for p in parts[:n_left] if p.num_rows]
     right = [p for p in parts[n_left:] if p.num_rows]
-    lt = pa.concat_tables(left) if left else parts[0].slice(0, 0)
-    rt = pa.concat_tables(right) if right else parts[n_left].slice(0, 0)
-    return kernel(lt, rt)
+    if left:
+        lt = pa.concat_tables(left)
+    else:
+        donor = _schema_donor(parts[:n_left])
+        lt = donor.slice(0, 0) if donor is not None else pa.table({})
+    if right:
+        rt = pa.concat_tables(right)
+    else:
+        donor = _schema_donor(parts[n_left:])
+        rt = donor.slice(0, 0) if donor is not None else pa.table({})
+    return lt, rt
 
 
 def split_dataset(x: Dataset | list, key: str, num_buckets: int | None = None) -> list:
