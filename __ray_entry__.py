@@ -328,6 +328,31 @@ def _q_embedding_neardup(sf_dir: str):
     return embedding_neardup_bruteforce(emb, threshold=0.4)[["a", "b", "cosine"]]
 
 
+def _q_embedding_cluster(sf_dir: str):
+    """Embedding near-dup CLUSTERING: connected components over the
+    cosine >= 0.4 edge set (the dedup cluster semantics applied to the
+    embedding modality; cluster_id = min member, same convention as the
+    flagship union-find)."""
+    from raydedup.stages.ann import embedding_neardup_bruteforce
+    from raydedup.stages.cluster import cluster_pairs_driver
+
+    emb = _read(sf_dir, "embeddings")
+    pairs = embedding_neardup_bruteforce(emb, threshold=0.4)
+    comp = cluster_pairs_driver(pairs[["a", "b"]])
+    ids = np.sort(
+        emb.select_columns(["vec_id"]).to_pandas()["vec_id"].to_numpy().astype(np.int64)
+    )
+    cluster = np.array([comp.get(int(v), int(v)) for v in ids], dtype=np.int64)
+    sizes = pd.Series(cluster).map(pd.Series(cluster).value_counts()).to_numpy()
+    return pd.DataFrame(
+        {
+            "vec_id": ids,
+            "cluster_id": cluster,
+            "cluster_size": sizes.astype(np.int64),
+        }
+    )
+
+
 def _q_embedding_neardup_bucketed(sf_dir: str):
     """Scale path: centroid-bucketed near-dup pairs. n_probe=None
     multi-probes every bucket, so every pair is co-bucketed and the
@@ -833,6 +858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_pipeline": _q_curate_pipeline,
         "knn_cosine": _q_knn_cosine,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_cluster": _q_embedding_cluster,
         "events_hourly": _q_events_hourly,
         "top_docs_by_len": _q_top_docs_by_len,
         "lang_distribution": _q_lang_distribution,
@@ -1762,6 +1788,29 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
             ORDER BY a, b
+        """,
+        # connected components over the cosine edge set: min-label
+        # reachability == union-by-min (the flagship convention)
+        "embedding_cluster": """
+        WITH edges AS (
+          SELECT a.vec_id AS a, b.vec_id AS b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])) >= 0.4
+        ), sym AS (
+          SELECT a AS x, b AS y FROM edges UNION SELECT b, a FROM edges
+        ), walk AS (
+          WITH RECURSIVE w(v, r) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT s.y, w.r FROM w JOIN sym s ON s.x = w.v
+          )
+          SELECT v, min(r) AS root FROM w GROUP BY v
+        )
+        SELECT CAST(v AS BIGINT) AS vec_id,
+               CAST(root AS BIGINT) AS cluster_id,
+               CAST(count(*) OVER (PARTITION BY root) AS BIGINT) AS cluster_size
+        FROM walk ORDER BY vec_id
         """,
         "events_hourly": """
             SELECT user_id,

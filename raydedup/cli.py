@@ -154,6 +154,35 @@ def cmd_increment(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """Full curation funnel over a pages dir: quality -> optional
+    decontamination (--eval-pages) -> exact/near dedup -> deterministic
+    sample; writes (doc_id, status) parquet + prints the funnel counts."""
+    _init_ray()
+    import ray.data as rd
+
+    from raydedup.pipelines.curate import CurateParams, curate
+    from raydedup.sources.pages import pages_to_docs
+
+    docs = pages_to_docs(rd.read_parquet(args.pages))
+    ev = (
+        pages_to_docs(rd.read_parquet(args.eval_pages))
+        if args.eval_pages
+        else None
+    )
+    p = CurateParams(
+        min_tokens=args.min_tokens,
+        max_punct_ratio=args.max_punct_ratio,
+        max_digit_ratio=args.max_digit_ratio,
+        sample_rate=args.sample_rate,
+        near_dedup=args.near,
+    )
+    res = curate(docs, eval_docs=ev, cfg=_cfg_from_args(args), params=p)
+    res.statuses.write_parquet(args.out)
+    print(json.dumps({"out": args.out, "funnel": res.metrics}))
+    return 0
+
+
 def cmd_config(args: argparse.Namespace) -> int:
     """Print the configuration currently in use, one ``key=value`` per
     line — the reference's ``panako config`` (``cli/Configuration.java:
@@ -332,6 +361,21 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--set", action="append", metavar="KEY=VALUE",
                    help="override a DedupConfig key (repeatable)")
     s.set_defaults(fn=cmd_increment)
+
+    s = sub.add_parser("curate", help="quality/decontaminate/dedup/sample funnel")
+    s.add_argument("pages")
+    s.add_argument("out", help="output dir for the (doc_id, status) parquet")
+    s.add_argument("--eval-pages", default=None,
+                   help="pages parquet of the eval corpus to decontaminate against")
+    s.add_argument("--min-tokens", type=int, default=20)
+    s.add_argument("--max-punct-ratio", type=float, default=0.10)
+    s.add_argument("--max-digit-ratio", type=float, default=0.20)
+    s.add_argument("--sample-rate", type=float, default=1.0)
+    s.add_argument("--near", action="store_true",
+                   help="near-dup clustering instead of exact-only dedup")
+    s.add_argument("--set", action="append", metavar="KEY=VALUE",
+                   help="override a DedupConfig key (repeatable)")
+    s.set_defaults(fn=cmd_curate)
 
     s = sub.add_parser("config", help="print the configuration in use")
     s.add_argument("--set", action="append", metavar="KEY=VALUE",

@@ -172,3 +172,35 @@ def test_increment_verb_wiring():
     args = p.parse_args(["increment", "/tmp/idx", "/tmp/cl", "/tmp/pages"])
     assert args.fn is cmd_increment
     assert (args.index, args.clusters, args.pages) == ("/tmp/idx", "/tmp/cl", "/tmp/pages")
+
+
+def test_curate_verb_end_to_end(ray_session, small_corpus, tmp_path, capsys, monkeypatch):
+    """`curate` writes a (doc_id, status) parquet covering every doc and
+    prints the funnel counts; thresholds tuned to the synthetic corpus
+    (digit-heavy tokens)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr("raydedup.cli._init_ray", lambda: None)
+    _, paths = small_corpus
+    out = str(tmp_path / "curated")
+    rc = main(
+        [
+            "curate",
+            paths["pages"],
+            out,
+            "--max-digit-ratio",
+            "1.0",
+            "--min-tokens",
+            "5",
+            "--sample-rate",
+            "0.7",
+        ]
+    )
+    assert rc == 0
+    funnel = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["funnel"]
+    assert sum(funnel.values()) == 600
+    assert funnel.get("exact_dup", 0) > 0 and funnel.get("sampled_out", 0) > 0
+    n = sum(pq.read_table(f).num_rows for f in glob.glob(os.path.join(out, "*.parquet")))
+    assert n == 600
