@@ -165,8 +165,14 @@ def doc_frequency(docs: Dataset, min_df: int = 1) -> Dataset:
 
 
 @ray.remote(num_returns=3)
-def _pack_df(tbl: pa.Table):
-    """(n_vocab, sorted token-hash keys, aligned df) for broadcast."""
+def _pack_df(*blocks: pa.Table):
+    """(n_vocab, sorted token-hash keys, aligned df) for broadcast —
+    packed in a task from the DF table's block refs, so the vocabulary
+    never lands on the driver."""
+    parts = [b for b in blocks if b.num_rows]
+    if not parts:
+        return 0, np.empty(0, dtype=np.uint64), np.empty(0, dtype=I64)
+    tbl = pa.concat_tables(parts)
     keys = hash_strings_u64(tbl.column("token").to_numpy(zero_copy_only=False))
     df = tbl.column("df").to_numpy(zero_copy_only=False).astype(I64)
     order = np.argsort(keys)
@@ -218,21 +224,18 @@ def top_terms(
     if method not in ("auto", "broadcast", "exchange"):
         raise ValueError(f"unknown top_terms method: {method!r}")
     docs = docs.select_columns(["doc_id", "text"]).materialize()
-    df_tbl = doc_frequency(docs, min_df=min_df)
-
-    from raydedup.util import to_arrow_table
+    df_tbl = doc_frequency(docs, min_df=min_df).materialize()
 
     counts = docs.map_batches(_batch_doc_token_counts, batch_format="pyarrow")
 
     if method != "exchange":
-        dft = to_arrow_table(
-            df_tbl,
-            empty_schema=pa.schema(
-                [("token", pa.large_string()), ("df", pa.int64())]
-            ),
-        )
-        if method == "broadcast" or dft.num_rows <= broadcast_max_vocab:
-            n_ref, keys_ref, dfv_ref = _pack_df.remote(dft)
+        # decide on the DISTRIBUTED count — the vocab is packed for
+        # broadcast in a task from block refs; it never lands on the
+        # driver
+        if method == "broadcast" or df_tbl.count() <= broadcast_max_vocab:
+            n_ref, keys_ref, dfv_ref = _pack_df.remote(
+                *list(df_tbl.to_arrow_refs())
+            )
 
             def score_batch(t: pa.Table) -> pa.Table:
                 keys = ray.get(keys_ref)
