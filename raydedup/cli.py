@@ -109,7 +109,13 @@ def cmd_query(args: argparse.Namespace) -> int:
     from raydedup.sources.pages import pages_to_docs
 
     q = pages_to_docs(rd.read_parquet(args.pages))
-    df = query_index(args.index, q, _cfg_from_args(args), top_k=args.top_k)
+    df = query_index(
+        args.index,
+        q,
+        _cfg_from_args(args),
+        top_k=args.top_k,
+        with_segments=args.segments,
+    )
     print(df.to_csv(index=False))
     return 0
 
@@ -327,6 +333,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("index")
     s.add_argument("pages")
     s.add_argument("--top-k", type=int, default=10)
+    s.add_argument("--segments", action="store_true",
+                   help="append matched-segment start/stop columns per hit")
     s.add_argument("--set", action="append", metavar="KEY=VALUE",
                    help="override a DedupConfig key (repeatable)")
     s.set_defaults(fn=cmd_query)

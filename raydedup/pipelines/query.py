@@ -110,12 +110,16 @@ def query_index(
     cfg: DedupConfig | None = None,
     top_k: int = 10,
     min_jaccard: float | None = None,
+    with_segments: bool = False,
 ) -> pd.DataFrame:
     """``panako query``: match query docs against a stored index.
 
     Returns QueryResult-style rows: (query_doc_id, match_doc_id,
     match_url, n_collisions, jaccard, rank), jaccard-descending per
     query, truncated to ``top_k`` (K3: NUMBER_OF_QUERY_RESULTS analog).
+    ``with_segments`` appends the matched-segment columns (lcs_tokens,
+    lcs_ratio, query_start_token, match_start_token) — the reference's
+    matched start/stop fields (``strategy/QueryResult.java:31-73``).
     """
     from raydedup.pipelines.dedup import compute_signatures
     from raydedup.stages.candidates import band_postings
@@ -207,9 +211,31 @@ def query_index(
     )
     df["rank"] = df.groupby("query_doc_id").cumcount() + 1
     df = df[df["rank"] <= top_k].reset_index(drop=True)
-    return df[
-        ["query_doc_id", "match_doc_id", "match_url", "n_collisions", "jaccard", "rank"]
-    ]
+    cols = ["query_doc_id", "match_doc_id", "match_url", "n_collisions", "jaccard", "rank"]
+    if with_segments and len(df):
+        # matched start/stop reporting (QueryResult.java:31-73): the
+        # longest verbatim token run per surviving hit, with its offset
+        # on both sides — computed only for the top-k rows
+        from raydedup.stages.lcs import matched_segments
+
+        seg_pairs = pa.table(
+            {
+                "a": pa.array(df["query_doc_id"].to_numpy(dtype=np.int64)),
+                "b": pa.array(df["match_doc_id"].to_numpy(dtype=np.int64)),
+            }
+        )
+        seg = matched_segments(seg_pairs, union_docs, cfg).to_pandas()
+        seg = seg.rename(
+            columns={
+                "a": "query_doc_id",
+                "b": "match_doc_id",
+                "a_start": "query_start_token",
+                "b_start": "match_start_token",
+            }
+        ).drop_duplicates(["query_doc_id", "match_doc_id"])
+        df = df.merge(seg, on=["query_doc_id", "match_doc_id"], how="left")
+        cols += ["lcs_tokens", "lcs_ratio", "query_start_token", "match_start_token"]
+    return df[cols]
 
 
 def monitor_text(

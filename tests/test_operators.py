@@ -284,6 +284,15 @@ def test_store_then_query_roundtrip(rd, small_corpus, tmp_path):
     out2 = build_index(paths["pages"], idx)
     assert out2["stored_shards"] == 0 and out2["skipped_shards"] >= 4
 
+    # with_segments appends the QueryResult matched start/stop analog:
+    # a self-match's segment is the whole doc (ratio 1.0, offset 0)
+    seg = query_index(idx, q, top_k=3, with_segments=True)
+    self_rows = seg[seg.query_doc_id == seg.match_doc_id]
+    assert len(self_rows) > 0
+    assert (self_rows.lcs_ratio == 1.0).all()
+    assert (self_rows.query_start_token == 0).all()
+    assert (self_rows.match_start_token == 0).all()
+
 
 def test_monitor_finds_stored_doc_window(rd, small_corpus, tmp_path):
     """``panako monitor`` analog (OlafStrategy.java:437-453): a window
