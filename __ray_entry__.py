@@ -315,7 +315,13 @@ def _q_knn_cosine(sf_dir: str):
     from raydedup.stages.ann import knn_cosine_bruteforce
 
     emb = _read(sf_dir, "embeddings")
-    q = np.asarray(emb.limit(1).to_pandas()["embedding"][0], dtype=np.float32)
+    q = np.asarray(
+        emb.map_batches(
+            lambda t: t.filter(pc.equal(t.column("vec_id"), 0)),
+            batch_format="pyarrow",
+        ).to_pandas()["embedding"][0],
+        dtype=np.float32,
+    )  # explicit vec_id==0, not limit(1): limit is scheduling-dependent
     df = knn_cosine_bruteforce(emb, q, k=10)
     return df[["vec_id", "cosine"]]
 
@@ -736,7 +742,13 @@ def _q_knn_cosine_ivf(sf_dir: str):
     from raydedup.stages.ann import knn_cosine_ivf
 
     emb = _read(sf_dir, "embeddings")
-    q = np.asarray(emb.limit(1).to_pandas()["embedding"][0], dtype=np.float32)
+    q = np.asarray(
+        emb.map_batches(
+            lambda t: t.filter(pc.equal(t.column("vec_id"), 0)),
+            batch_format="pyarrow",
+        ).to_pandas()["embedding"][0],
+        dtype=np.float32,
+    )  # explicit vec_id==0, not limit(1): limit is scheduling-dependent
     return knn_cosine_ivf(emb, q, k=10, n_centroids=8, n_probe=None)[["vec_id", "cosine"]]
 
 
@@ -748,33 +760,66 @@ def _q_knn_cosine_lsh(sf_dir: str):
     from raydedup.stages.ann import knn_cosine_lsh
 
     emb = _read(sf_dir, "embeddings")
-    q = np.asarray(emb.limit(1).to_pandas()["embedding"][0], dtype=np.float32)
+    q = np.asarray(
+        emb.map_batches(
+            lambda t: t.filter(pc.equal(t.column("vec_id"), 0)),
+            batch_format="pyarrow",
+        ).to_pandas()["embedding"][0],
+        dtype=np.float32,
+    )  # explicit vec_id==0, not limit(1): limit is scheduling-dependent
     return knn_cosine_lsh(emb, q, k=10, n_planes=12, probe_radius=12)[["vec_id", "cosine"]]
 
 
-def _q_store_query(sf_dir: str):
-    """S3/J1-J2 store+query lifecycle: index the documents table, query
-    the first 50 docs against it; every query doc must find a perfect
-    match (itself)."""
-    import glob
+def _ensure_entry_index(sf_dir: str) -> str:
+    """Build (once per sf_dir, stable-sha-keyed) the documents index the
+    store/query/monitor queries share; returns the index dir."""
+    import hashlib
     import tempfile
 
-    import ray.data as rd
-
-    from raydedup.pipelines.query import query_index
     from raydedup.pipelines.dedup import compute_signatures
     from raydedup.config import DedupConfig
     from raydedup.state.checkpoint import CheckpointManager, _atomic_write_table
     from raydedup.util import to_arrow_table
 
     cfg = DedupConfig(batch_size=1024)
-    import hashlib
-
     # stable digest (NOT the salted builtin hash): the same sf_dir must
     # map to the same index dir across processes so shard_done reuse works
     sf_tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
     idx = os.path.join(tempfile.gettempdir(), f"rayentry_idx_v2_{sf_tag}")
+
+    def _probe_ok() -> bool:
+        """Content validation of a done-marked index: recompute one
+        doc's signature and compare to the stored row. A /tmp dir can
+        outlive the engine version that wrote it (or a concurrent,
+        partially-interleaved build) — a stale done-mark must never
+        serve wrong signatures to the correctness gate."""
+        import pyarrow.parquet as pq
+
+        from raydedup.stages.signatures import SignatureKernel
+
+        try:
+            dp = os.path.join(idx, "docs", "shard=00000.parquet")
+            sp = os.path.join(idx, "signatures", "shard=00000.parquet")
+            docs_t = pq.read_table(dp, columns=["doc_id", "text"])
+            sig_t = pq.read_table(sp, columns=["doc_id", "minhash"])
+            if sig_t.num_rows != docs_t.num_rows or docs_t.num_rows == 0:
+                return False
+            want = SignatureKernel(cfg, keep_shingles=False)(docs_t.slice(0, 1))
+            did = want.column("doc_id")[0].as_py()
+            pos = sig_t.column("doc_id").to_pylist().index(did)
+            return (
+                sig_t.column("minhash")[pos].as_py()
+                == want.column("minhash")[0].as_py()
+            )
+        except Exception:
+            return False
+
     mgr = CheckpointManager(idx, cfg)
+    if mgr.shard_done("docs:0") and not _probe_ok():
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        mgr = CheckpointManager(idx, cfg)
     if not mgr.shard_done("docs:0"):
         docs = _docs(sf_dir).materialize()
         sig = compute_signatures(docs, cfg, keep_shingles=False)
@@ -786,10 +831,49 @@ def _q_store_query(sf_dir: str):
         )
         _atomic_write_table(to_arrow_table(sig), mgr.path("signatures", "shard=00000.parquet"))
         mgr.mark_shard("docs:0", shard=0)
-    q = _docs(sf_dir).limit(50)
+    return idx
+
+
+def _q_store_query(sf_dir: str):
+    """S3/J1-J2 store+query lifecycle: index the documents table, query
+    the first 50 docs against it; every query doc must find a perfect
+    match (itself)."""
+    from raydedup.pipelines.query import query_index
+
+    idx = _ensure_entry_index(sf_dir)
+    # explicit id filter, NOT .limit(50): limit on an unordered Dataset
+    # picks whichever blocks finish first, so the query subset would be
+    # scheduling-dependent while the oracle pins doc_id < 50
+    q = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), 50)),
+        batch_format="pyarrow",
+    )
     df = query_index(idx, q, top_k=3)
     df = df[["query_doc_id", "match_doc_id", "n_collisions", "rank"]]
     return df.sort_values(["query_doc_id", "rank"]).reset_index(drop=True)
+
+
+def _q_monitor_windows(sf_dir: str):
+    """``panako monitor`` oracle: stream doc 7's own text against the
+    index in overlapping 60-token windows (step 40) — every window must
+    containment-match the stored doc; hits are computed by the
+    index-side winnowed posting exchange (pipelines/query.py
+    monitor_text)."""
+    import duckdb
+
+    from raydedup.config import DedupConfig
+    from raydedup.pipelines.query import monitor_text
+
+    idx = _ensure_entry_index(sf_dir)
+    text = duckdb.sql(
+        f"SELECT text FROM read_parquet('{os.path.join(sf_dir, 'documents.parquet')}') WHERE doc_id = 7"
+    ).fetchone()[0]
+    df = monitor_text(idx, text, DedupConfig(), window_tokens=60, step_tokens=40)
+    return (
+        df[["win_start_token", "win_stop_token", "match_doc_id", "coverage"]]
+        .sort_values(["win_start_token", "match_doc_id"])
+        .reset_index(drop=True)
+    )
 
 
 def _q_knn_cosine_batch(sf_dir: str):
@@ -801,7 +885,15 @@ def _q_knn_cosine_batch(sf_dir: str):
     from raydedup.stages.ann import knn_cosine_batch
 
     emb = _read(sf_dir, "embeddings")
-    head = emb.limit(3).to_pandas()
+    head = (
+        emb.map_batches(
+            lambda t: t.filter(pc.less(t.column("vec_id"), 3)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
     q = np.stack([np.asarray(v, dtype=np.float32) for v in head["embedding"]])
     df = knn_cosine_batch(emb, q, query_ids=head["vec_id"].to_numpy(), k=5)
     return df[["query_id", "vec_id", "rank"]].sort_values(
@@ -879,6 +971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_ivf": _q_knn_cosine_ivf,
         "knn_cosine_lsh": _q_knn_cosine_lsh,
         "store_query": _q_store_query,
+        "monitor_windows": _q_monitor_windows,
         "embedding_neardup_bucketed": _q_embedding_neardup_bucketed,
         "knn_cosine_batch": _q_knn_cosine_batch,
         "containment_winnowed": _q_containment_winnowed,
@@ -1263,6 +1356,102 @@ SELECT d.doc_id,
        CASE WHEN b.h >= 2 THEN b.lang ELSE 'und' END AS lang_pred
 FROM documents d LEFT JOIN (SELECT * FROM best WHERE r = 1) b USING (doc_id)
 ORDER BY d.doc_id
+"""
+
+
+def q_monitor_sql(mon_doc=7, window=60, step=40):
+    """SQL mirror of ``panako monitor``: doc ``mon_doc``'s text chopped
+    into ``window``-token windows (``step`` apart, Python range
+    semantics), each window's winnowed fingerprint set joined against
+    every stored doc's set; coverage = shared / window-set size. Same
+    rolling-hash / winnowing CTE machinery as containment_winnowed (the
+    window string plays the probe doc)."""
+    from raydedup.config import DedupConfig
+
+    cfg = DedupConfig()
+    w, s, min_cov = (
+        cfg.containment_window,
+        cfg.containment_stride,
+        cfg.containment_min_coverage,
+    )
+    return f"""
+WITH mtoks AS (
+  SELECT list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
+  FROM documents WHERE doc_id = {mon_doc}
+), winspec AS (
+  SELECT unnest(range(0, greatest(len(toks) - {window} + {step}, 1), {step})) AS ws,
+         toks
+  FROM mtoks
+), wchunks AS (
+  SELECT ws, least(ws + {window}, len(toks)) AS we,
+         array_to_string(toks[ws + 1 : ws + {window}], ' ') AS chunk
+  FROM winspec
+  WHERE array_to_string(toks[ws + 1 : ws + {window}], ' ') != ''
+), wlen AS (SELECT ws, we, chunk, length(chunk) AS n FROM wchunks),
+wwins AS (
+  SELECT ws, we, n, chunk, unnest(range(1, n - {w} + 2)) AS i
+  FROM wlen WHERE n >= {w}
+), wraw AS (
+  SELECT ws, we, n, i, {rolling_horner('chunk', 'i', w)} AS r FROM wwins
+), wmixed AS (
+  SELECT ws, we, n, i, {mix64_cols('r', 'hv')} FROM wraw
+), wslid AS (
+  SELECT ws, we,
+         CASE WHEN n - {w} + 1 <= {s}
+              THEN min(hv) OVER (PARTITION BY ws)
+              ELSE min(hv) OVER (PARTITION BY ws ORDER BY i
+                                 ROWS BETWEEN CURRENT ROW AND {s - 1} FOLLOWING)
+         END AS m,
+         i, n
+  FROM wmixed
+  QUALIFY n - {w} + 1 <= {s} OR i <= n - {w} + 1 - {s} + 1
+), wshort AS (
+  SELECT ws, we, {rolling_horner('chunk', 1, 'n')} AS r FROM wlen WHERE n < {w}
+), wshortm AS (
+  SELECT ws, we, {mix64_cols('r', 'hv')} FROM wshort
+), wfps AS (
+  SELECT DISTINCT ws, we, m AS fp FROM wslid
+  UNION SELECT DISTINCT ws, we, hv AS fp FROM wshortm
+), wn AS (SELECT ws, count(*) AS nf FROM wfps GROUP BY ws),
+ibase AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+), ilong AS (
+  SELECT doc_id, text, n FROM ibase WHERE n >= {w}
+), iwins AS (
+  SELECT doc_id, n, unnest(range(1, n - {w} + 2)) AS i, text FROM ilong
+), iraw AS (
+  SELECT doc_id, n, i, {rolling_horner('text', 'i', w)} AS r FROM iwins
+), imixed AS (
+  SELECT doc_id, n, i, {mix64_cols('r', 'hv')} FROM iraw
+), islid AS (
+  SELECT doc_id,
+         CASE WHEN n - {w} + 1 <= {s}
+              THEN min(hv) OVER (PARTITION BY doc_id)
+              ELSE min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS BETWEEN CURRENT ROW AND {s - 1} FOLLOWING)
+         END AS m,
+         i, n
+  FROM imixed
+  QUALIFY n - {w} + 1 <= {s} OR i <= n - {w} + 1 - {s} + 1
+), ishort AS (
+  SELECT doc_id, {rolling_horner('text', 1, 'n')} AS r FROM ibase WHERE n < {w}
+), ishortm AS (
+  SELECT doc_id, {mix64_cols('r', 'hv')} FROM ishort
+), ifps AS (
+  SELECT DISTINCT doc_id, m AS fp FROM islid
+  UNION SELECT DISTINCT doc_id, hv AS fp FROM ishortm
+), hits AS (
+  SELECT f.ws, f.we, d.doc_id, count(*) AS shared
+  FROM wfps f JOIN ifps d ON d.fp = f.fp
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(h.ws AS BIGINT) AS win_start_token,
+       CAST(h.we AS BIGINT) AS win_stop_token,
+       CAST(h.doc_id AS BIGINT) AS match_doc_id,
+       h.shared * 1.0 / greatest(wn.nf, 1) AS coverage
+FROM hits h JOIN wn ON wn.ws = h.ws
+WHERE h.shared * 1.0 / greatest(wn.nf, 1) >= {min_cov}
+ORDER BY 1, 3
 """
 
 
@@ -2023,4 +2212,5 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": q_lang_id(),
         "doc_fingerprints": q_doc_fingerprints(),
         "containment_winnowed": q_containment_winnowed(),
+        "monitor_windows": q_monitor_sql(),
     }
