@@ -25,6 +25,19 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
+def host_probe_s() -> float:
+    """Single-thread matmul probe (seconds): the sandbox VM throttles
+    5-10x for stretches, so every recorded number carries the probe
+    that contextualizes it (healthy ~1-2 s; throttled ~9-13 s)."""
+    import numpy as np
+
+    a = np.random.default_rng(0).random((1200, 1200))
+    t0 = time.perf_counter()
+    for _ in range(8):
+        a @ a
+    return round(time.perf_counter() - t0, 2)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -107,6 +120,7 @@ def run_bench() -> dict:
             "docs_assigned": int(n_assigned),
             "verified_pairs": int(res.metrics.get("verified_pairs", 0)),
             "n_clusters": int(res.metrics.get("n_clusters", 0)),
+            "host_probe_s": host_probe_s(),
         }
         ray.shutdown()
         return out
@@ -189,6 +203,7 @@ def run_bench() -> dict:
         "docs_assigned": int(n_assigned),
         "verified_pairs": int(res.metrics.get("verified_pairs", 0)),
         "n_clusters": int(res.metrics.get("n_clusters", 0)),
+        "host_probe_s": host_probe_s(),
     }
     ray.shutdown()
     return out
@@ -257,8 +272,11 @@ def run_scaling() -> dict:
         f"docs_per_s_{hi}": r_hi["docs_per_s"],
         f"all_sec_{lo}": [r["value"] for r in runs_lo],
         f"all_sec_{hi}": [r["value"] for r in runs_hi],
+        f"probes_{lo}": [r.get("host_probe_s") for r in runs_lo],
+        f"probes_{hi}": [r.get("host_probe_s") for r in runs_hi],
         "bench_docs": r_lo["bench_docs"],
         "sf": SF_DIR,
+        "host_probe_s": host_probe_s(),
     }
 
 
