@@ -288,6 +288,18 @@ def _q_curate_pipeline(sf_dir: str):
     )
 
 
+def _q_corpus_splits(sf_dir: str):
+    """Deterministic 80/10/10 train/valid/test split of documents by
+    hash range — rows never move across splits under re-partitioning."""
+    from raydedup.stages.sampling import hash_split
+
+    df = hash_split(
+        _read(sf_dir, "documents").select_columns(["doc_id"]),
+        {"train": 0.8, "valid": 0.1, "test": 0.1},
+    ).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_doc_frequency(sf_dir: str):
     """Corpus document frequency per lowered whitespace token (combiner
     partials + token-hash exchange, exact string grouping in-bucket)."""
@@ -948,6 +960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_frequency": _q_doc_frequency,
         "top_terms": _q_top_terms,
         "curate_pipeline": _q_curate_pipeline,
+        "corpus_splits": _q_corpus_splits,
         "knn_cosine": _q_knn_cosine,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_cluster": _q_embedding_cluster,
@@ -1949,6 +1962,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM mixed
         WHERE rk < {int(0.1 * 2.0**64)}::UBIGINT
         ORDER BY doc_id
+        """,
+        # 80/10/10 hash-range splits: edge constants computed EXACTLY as
+        # the engine computes them (min(int(cum * 2^64), 2^64-1))
+        "corpus_splits": f"""
+        WITH raw AS (
+          SELECT doc_id,
+                 xor(CAST(doc_id AS UBIGINT), {DEFAULT_SAMPLE_SEED}::UBIGINT) AS r
+          FROM documents
+        ), mixed AS (
+          SELECT doc_id, {mix64_cols('r', 'rk')} FROM raw
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CASE WHEN rk <= {min(int(0.8 * 2.0**64), 2**64 - 1)}::UBIGINT THEN 'train'
+                    WHEN rk <= {min(int((0.8 + 0.1) * 2.0**64), 2**64 - 1)}::UBIGINT THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM mixed ORDER BY doc_id
         """,
         # exact-size stratified sample: 7 smallest mix64 ranks per lang
         "stratified_sample": f"""
