@@ -288,6 +288,31 @@ def _q_curate_pipeline(sf_dir: str):
     )
 
 
+def _q_media_frames(sf_dir: str):
+    """Multimodal plumbing (ST5 analog): a media table synthesised
+    deterministically from documents (media_id = doc_id, n_frames =
+    doc_id % 97 + 1) run through the video frame-sampling flat-map
+    (every 10th frame). The decode kernel itself is a documented stub
+    (codecs absent); the Ray-side schema/flat-map layout is what this
+    query verifies."""
+    from raydedup.stages.multimodal import frame_sample
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "n_frames": pa.array(ids % 97 + 1, type=pa.int64()),
+            }
+        )
+
+    media = _read(sf_dir, "documents").select_columns(["doc_id"]).map_batches(
+        to_media, batch_format="pyarrow"
+    )
+    df = frame_sample(media, every_n=10).to_pandas()
+    return df.sort_values(["media_id", "frame_index"]).reset_index(drop=True)
+
+
 def _q_corpus_splits(sf_dir: str):
     """Deterministic 80/10/10 train/valid/test split of documents by
     hash range — rows never move across splits under re-partitioning."""
@@ -961,6 +986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _q_top_terms,
         "curate_pipeline": _q_curate_pipeline,
         "corpus_splits": _q_corpus_splits,
+        "media_frames": _q_media_frames,
         "knn_cosine": _q_knn_cosine,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_cluster": _q_embedding_cluster,
@@ -1962,6 +1988,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM mixed
         WHERE rk < {int(0.1 * 2.0**64)}::UBIGINT
         ORDER BY doc_id
+        """,
+        "media_frames": """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(unnest(range(0, doc_id % 97 + 1, 10)) AS BIGINT) AS frame_index
+        FROM documents ORDER BY media_id, frame_index
         """,
         # 80/10/10 hash-range splits: edge constants computed EXACTLY as
         # the engine computes them (min(int(cum * 2^64), 2^64-1))
