@@ -74,6 +74,14 @@ class CurateParams:
     min_hits: int = 1  # contamination threshold (distinct shared shingles)
     near_dedup: bool = False
 
+    def __post_init__(self) -> None:
+        # a negative rate would WRAP in u64 threshold space and silently
+        # keep ~(1 + rate) of docs — validate like hash_sample does
+        if not 0.0 <= self.sample_rate <= 1.0:
+            raise ValueError(
+                f"sample_rate must be in [0, 1], got {self.sample_rate}"
+            )
+
 
 def _sample_status(ids: np.ndarray, p: CurateParams) -> np.ndarray:
     """Boolean keep-mask of the deterministic Bernoulli sample."""

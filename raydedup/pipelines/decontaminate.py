@@ -157,23 +157,51 @@ def _decon_broadcast(
 def _decon_exchange(
     train: Dataset, eval_blocks: list, cfg: DedupConfig, min_hits: int
 ) -> Dataset:
-    """Posting-exchange shape for eval sets too large to broadcast."""
+    """Posting-exchange shape for eval sets too large to broadcast.
+
+    The train corpus is shingled exactly ONCE: the pass emits posting
+    rows (is_count=0) and one per-doc count row (is_count=1, key =
+    n_shingles) in the same table, split by filter downstream — this is
+    the regime where shingling dominates cost, so a second full pass
+    just to recover per-doc totals would double pipeline compute."""
+    import pyarrow.compute as pc
+
     from raydedup.stages.exchange import hash_exchange_apply, hash_exchange_join
 
-    def train_postings(t: pa.Table) -> pa.Table:
+    def train_pass(t: pa.Table) -> pa.Table:
         sets = _shingle_sets(t, cfg)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(I64)
         lens = np.fromiter((s.shape[0] for s in sets), dtype=I64, count=len(sets))
         flat = np.concatenate(sets) if sets else np.empty(0, dtype=U64)
+        key = np.concatenate([flat.view(I64), lens])
+        doc = np.concatenate([np.repeat(ids, lens), ids])
+        tag = np.concatenate(
+            [np.zeros(flat.shape[0], dtype=np.int8), np.ones(ids.shape[0], dtype=np.int8)]
+        )
         return pa.table(
             {
-                "key": pa.array(flat.view(I64), type=pa.int64()),
-                "doc_id": pa.array(np.repeat(ids, lens), type=pa.int64()),
+                "key": pa.array(key, type=pa.int64()),
+                "doc_id": pa.array(doc, type=pa.int64()),
+                "is_count": pa.array(tag, type=pa.int8()),
             }
         )
 
-    tpost = train.select_columns(["doc_id", "text"]).map_batches(
-        train_postings, batch_format="pyarrow"
+    combined = (
+        train.select_columns(["doc_id", "text"])
+        .map_batches(train_pass, batch_format="pyarrow")
+        .materialize()  # two consumers below; lazy would re-shingle
+    )
+    tpost = combined.map_batches(
+        lambda t: t.filter(pc.equal(t.column("is_count"), 0)).select(
+            ["key", "doc_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    doc_counts = combined.map_batches(
+        lambda t: t.filter(pc.equal(t.column("is_count"), 1)).select(
+            ["key", "doc_id"]
+        ),
+        batch_format="pyarrow",
     )
 
     def bucket_hits(tl: pa.Table, te: pa.Table) -> pa.Table:
@@ -240,8 +268,8 @@ def _decon_exchange(
     hits_ref = ray.put((hd[order], hh[order]))
 
     def attach(t: pa.Table) -> pa.Table:
-        sets = _shingle_sets(t, cfg)
-        lens = np.fromiter((s.shape[0] for s in sets), dtype=I64, count=len(sets))
+        # (key=n_shingles, doc_id) count rows — no text, no re-shingling
+        lens = t.column("key").to_numpy(zero_copy_only=False).astype(I64)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(I64)
         hdd, hhh = ray.get(hits_ref)
         hits = np.zeros(ids.shape[0], dtype=I64)
@@ -259,9 +287,7 @@ def _decon_exchange(
             }
         )
 
-    return train.select_columns(["doc_id", "text"]).map_batches(
-        attach, batch_format="pyarrow"
-    )
+    return doc_counts.map_batches(attach, batch_format="pyarrow")
 
 
 def decontaminate(

@@ -212,6 +212,14 @@ def query_index(
     df["rank"] = df.groupby("query_doc_id").cumcount() + 1
     df = df[df["rank"] <= top_k].reset_index(drop=True)
     cols = ["query_doc_id", "match_doc_id", "match_url", "n_collisions", "jaccard", "rank"]
+    seg_cols = ["lcs_tokens", "lcs_ratio", "query_start_token", "match_start_token"]
+    if with_segments and not len(df):
+        # stable output schema even with zero hits
+        for c in seg_cols:
+            df[c] = pd.Series(
+                dtype="float64" if c == "lcs_ratio" else "int64"
+            )
+        cols += seg_cols
     if with_segments and len(df):
         # matched start/stop reporting (QueryResult.java:31-73): the
         # longest verbatim token run per surviving hit, with its offset
@@ -234,7 +242,7 @@ def query_index(
             }
         ).drop_duplicates(["query_doc_id", "match_doc_id"])
         df = df.merge(seg, on=["query_doc_id", "match_doc_id"], how="left")
-        cols += ["lcs_tokens", "lcs_ratio", "query_start_token", "match_start_token"]
+        cols += seg_cols
     return df[cols]
 
 

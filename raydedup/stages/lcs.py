@@ -42,6 +42,27 @@ from ray.data import Dataset
 from raydedup.config import DedupConfig
 from raydedup.hashing import U64, rolling_hash_u64
 
+@ray.remote
+def _block_pair_ids(t: pa.Table) -> np.ndarray:
+    """Sorted unique doc ids referenced by one pair block."""
+    if t.num_rows == 0:
+        return np.empty(0, dtype=np.int64)
+    a = t.column("a").to_numpy(zero_copy_only=False)
+    b = t.column("b").to_numpy(zero_copy_only=False)
+    return np.union1d(np.unique(a), np.unique(b)).astype(np.int64)
+
+
+@ray.remote
+def _id_count(ids: np.ndarray) -> int:
+    return int(ids.shape[0])
+
+
+@ray.remote
+def _pack_ids(*id_arrays: np.ndarray) -> np.ndarray:
+    arrs = [a for a in id_arrays if a.shape[0]]
+    return np.unique(np.concatenate(arrs)) if arrs else np.empty(0, dtype=np.int64)
+
+
 _SEGMENT_SCHEMA = pa.schema(
     [
         ("a", pa.int64()),
@@ -144,79 +165,109 @@ def matched_segments(
     cfg = cfg or DedupConfig()
     if isinstance(pairs, pa.Table):
         pairs = rd.from_arrow(pairs)
-    pair_tbl = pairs.select_columns(["a", "b"])
+    pair_tbl = pairs.select_columns(["a", "b"]).materialize()
 
-    from raydedup.util import to_arrow_table
-
-    ptbl = to_arrow_table(
-        pair_tbl, empty_schema=pa.schema([("a", pa.int64()), ("b", pa.int64())])
-    )
-    if ptbl.num_rows == 0:
+    # distributed pair-doc union: per-block unique ids in tasks, counts
+    # fetched as scalars — the pair table itself never lands on the
+    # driver
+    pair_refs = [r for r in pair_tbl.to_arrow_refs()]
+    if not pair_refs:
         return rd.from_arrow(_SEGMENT_SCHEMA.empty_table())
-    pav = ptbl.column("a").to_numpy(zero_copy_only=False)
-    pbv = ptbl.column("b").to_numpy(zero_copy_only=False)
-    pair_docs = np.union1d(np.unique(pav), np.unique(pbv))
-    ids_ref = ray.put(np.sort(pair_docs))
+    id_refs = [_block_pair_ids.remote(r) for r in pair_refs]
+    counts = ray.get([_id_count.remote(r) for r in id_refs])
+    if sum(counts) == 0:
+        return rd.from_arrow(_SEGMENT_SCHEMA.empty_table())
 
-    def keep_and_tokens(t: pa.Table) -> pa.Table:
-        wanted = ray.get(ids_ref)
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        return token_sequence_table(
-            t.select(["doc_id", "text"]).filter(pa.array(np.isin(ids, wanted)))
-        )
+    # cfg.verify_broadcast_max_docs bounds each broadcast: greedy-pack
+    # pair blocks into waves by their (upper-bound) unique-doc counts;
+    # segments are per-pair, so waves are embarrassingly independent
+    bound = max(cfg.verify_broadcast_max_docs, max(counts))
+    waves: list[list[int]] = [[]]
+    acc = 0
+    for i, c in enumerate(counts):
+        if waves[-1] and acc + c > bound:
+            waves.append([])
+            acc = 0
+        waves[-1].append(i)
+        acc += c
+
+    docs = docs.select_columns(["doc_id", "text"])
+    if len(waves) > 1:
+        docs = docs.materialize()  # consumed once per wave
 
     from raydedup.stages.verify import _pack_shingle_broadcast
 
-    blocks = list(
-        docs.select_columns(["doc_id", "text"])
-        .map_batches(keep_and_tokens, batch_format="pyarrow")
-        .to_arrow_refs()
-    )
-    bids_ref, offs_ref, data_ref = _pack_shingle_broadcast.options(
-        num_returns=3
-    ).remote(*blocks)
+    def _wave_refs(idx: list[int]):
+        ids_ref = _pack_ids.remote(*[id_refs[i] for i in idx])
 
-    def lcs_batch(t: pa.Table) -> pa.Table:
-        bids = ray.get(bids_ref)
-        boffs = ray.get(offs_ref)
-        bdata = ray.get(data_ref)
+        def keep_and_tokens(t: pa.Table) -> pa.Table:
+            wanted = ray.get(ids_ref)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return token_sequence_table(
+                t.filter(pa.array(np.isin(ids, wanted)))
+            )
 
-        def seq(d: int) -> np.ndarray:
-            i = int(np.searchsorted(bids, d))
-            if i >= bids.shape[0] or bids[i] != d:
-                return np.empty(0, dtype=U64)
-            return bdata[boffs[i] : boffs[i + 1]]
-
-        a = t.column("a").to_numpy(zero_copy_only=False)
-        b = t.column("b").to_numpy(zero_copy_only=False)
-        m = a.shape[0]
-        lcs = np.zeros(m, dtype=np.int64)
-        ratio = np.zeros(m, dtype=np.float64)
-        astart = np.full(m, -1, dtype=np.int64)
-        bstart = np.full(m, -1, dtype=np.int64)
-        for i in range(m):
-            ha, hb = seq(int(a[i])), seq(int(b[i]))
-            L, a0, b0 = token_lcs(ha, hb)
-            lcs[i], astart[i], bstart[i] = L, a0, b0
-            denom = min(ha.shape[0], hb.shape[0])
-            ratio[i] = L / denom if denom else 0.0
-        return pa.table(
-            {
-                "a": t.column("a"),
-                "b": t.column("b"),
-                "lcs_tokens": pa.array(lcs, type=pa.int64()),
-                "lcs_ratio": pa.array(ratio, type=pa.float64()),
-                "a_start": pa.array(astart, type=pa.int64()),
-                "b_start": pa.array(bstart, type=pa.int64()),
-            }
+        blocks = list(
+            docs.map_batches(keep_and_tokens, batch_format="pyarrow")
+            .to_arrow_refs()
         )
+        return _pack_shingle_broadcast.options(num_returns=3).remote(*blocks)
 
-    work = pair_tbl
+    def _make_lcs_batch(bids_ref, offs_ref, data_ref):
+        def lcs_batch(t: pa.Table) -> pa.Table:
+            bids = ray.get(bids_ref)
+            boffs = ray.get(offs_ref)
+            bdata = ray.get(data_ref)
+
+            def seq(d: int) -> np.ndarray:
+                i = int(np.searchsorted(bids, d))
+                if i >= bids.shape[0] or bids[i] != d:
+                    return np.empty(0, dtype=U64)
+                return bdata[boffs[i] : boffs[i + 1]]
+
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            m = a.shape[0]
+            lcs = np.zeros(m, dtype=np.int64)
+            ratio = np.zeros(m, dtype=np.float64)
+            astart = np.full(m, -1, dtype=np.int64)
+            bstart = np.full(m, -1, dtype=np.int64)
+            for i in range(m):
+                ha, hb = seq(int(a[i])), seq(int(b[i]))
+                L, a0, b0 = token_lcs(ha, hb)
+                lcs[i], astart[i], bstart[i] = L, a0, b0
+                denom = min(ha.shape[0], hb.shape[0])
+                ratio[i] = L / denom if denom else 0.0
+            return pa.table(
+                {
+                    "a": t.column("a"),
+                    "b": t.column("b"),
+                    "lcs_tokens": pa.array(lcs, type=pa.int64()),
+                    "lcs_ratio": pa.array(ratio, type=pa.float64()),
+                    "a_start": pa.array(astart, type=pa.int64()),
+                    "b_start": pa.array(bstart, type=pa.int64()),
+                }
+            )
+
+        return lcs_batch
+
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    target = int(min(2 * cpus, max(1, ptbl.num_rows // 64)))
-    if target > 1:
-        work = work.repartition(target)
-    return work.map_batches(lcs_batch, batch_format="pyarrow")
+    n_pairs = pair_tbl.count()
+    target = int(min(2 * cpus, max(1, n_pairs // 64)))
+
+    outs: list[Dataset] = []
+    for idx in waves:
+        refs3 = _wave_refs(idx)
+        work = rd.from_arrow_refs([pair_refs[i] for i in idx])
+        if target > 1 and len(waves) == 1:
+            work = work.repartition(target)
+        outs.append(
+            work.map_batches(_make_lcs_batch(*refs3), batch_format="pyarrow")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out

@@ -97,7 +97,10 @@ def hash_split(
 
 
 def _local_topk(t: pa.Table, strata_col: str, key_col: str, k: int, seed: int) -> pa.Table:
-    """Per-stratum k smallest ranks within one block (vectorized)."""
+    """Per-stratum k smallest DISTINCT ranks within one block
+    (vectorized). Duplicate key values inside a stratum collapse to one
+    representative row — rank is a pure function of the key, so this is
+    also what makes the driver merge idempotent across blocks."""
     if t.num_rows == 0:
         return t
     ids = t.column(key_col).to_numpy(zero_copy_only=False)
@@ -109,14 +112,19 @@ def _local_topk(t: pa.Table, strata_col: str, key_col: str, k: int, seed: int) -
     r = _rank(ids, seed)
     order = np.lexsort((r, scode))
     sc = scode[order]
+    rs = r[order]
+    first = np.empty(sc.shape[0], dtype=bool)
+    first[0] = True
+    # new stratum OR new rank within the stratum (equal rank == equal key)
+    first[1:] = (sc[1:] != sc[:-1]) | (rs[1:] != rs[:-1])
+    order, sc = order[first], sc[first]
     b = np.empty(sc.shape[0], dtype=bool)
     b[0] = True
     b[1:] = sc[1:] != sc[:-1]
     pos_in_group = np.arange(sc.shape[0]) - np.maximum.accumulate(
         np.where(b, np.arange(sc.shape[0]), 0)
     )
-    keep_sorted = pos_in_group < k
-    return t.take(pa.array(order[keep_sorted]))
+    return t.take(pa.array(order[pos_in_group < k]))
 
 
 def stratified_sample(
@@ -126,13 +134,16 @@ def stratified_sample(
     key_col: str = "doc_id",
     seed: int = DEFAULT_SAMPLE_SEED,
 ) -> Dataset:
-    """Exactly ``min(k, |stratum|)`` rows per stratum: the k smallest
-    ``mix64(key ^ seed)`` ranks within each ``strata_col`` group.
+    """The ``min(k, #distinct keys)`` smallest ``mix64(key ^ seed)``
+    rank KEY VALUES per ``strata_col`` group; every row carrying a
+    selected (stratum, key) is returned — with a key unique per stratum
+    that is exactly ``min(k, |stratum|)`` rows, and duplicate key values
+    count as one rank slot (all their rows kept, deterministically).
 
     Pass 1 streams per-block local top-k candidates (blocks x strata x k
-    rows reach the driver — bounded and tiny); the global winners' key
-    set is broadcast and pass 2 filters the stream by membership, so
-    the full dataset is never collected or shuffled."""
+    rows reach the driver — bounded and tiny); the global winners'
+    (stratum, key) pairs are broadcast and pass 2 filters the stream by
+    membership, so the full dataset is never collected or shuffled."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
 
@@ -145,19 +156,35 @@ def stratified_sample(
         return ds.limit(0)
     allc = pa.concat_tables(blocks)
     winners = _local_topk(allc, strata_col, key_col, k, seed)
-    win_ids = np.sort(
-        winners.column(key_col).to_numpy(zero_copy_only=False).astype(I64)
-    )
-    ids_ref = ray.put(win_ids)
+    # winners keyed per STRATUM: the same key value winning in stratum A
+    # must not leak rows from stratum B
+    wmap: dict = {}
+    wst = winners.column(strata_col).to_pylist()
+    wid = winners.column(key_col).to_numpy(zero_copy_only=False).astype(I64)
+    for sname in set(wst):
+        sel = np.fromiter((x == sname for x in wst), dtype=bool, count=len(wst))
+        wmap[sname] = np.sort(wid[sel])
+    wmap_ref = ray.put(wmap)
 
     def keep(t: pa.Table) -> pa.Table:
-        wanted = ray.get(ids_ref)
+        wanted = ray.get(wmap_ref)
         ids = t.column(key_col).to_numpy(zero_copy_only=False).astype(I64)
-        idx = np.searchsorted(wanted, ids)
-        valid = idx < wanted.shape[0]
+        strata = t.column(strata_col).to_pylist()
         mask = np.zeros(ids.shape[0], dtype=bool)
-        if valid.any():
-            mask[valid] = wanted[idx[valid]] == ids[valid]
+        for sname in set(strata):
+            wk = wanted.get(sname)
+            if wk is None or wk.shape[0] == 0:
+                continue
+            rows = np.fromiter(
+                (x == sname for x in strata), dtype=bool, count=len(strata)
+            )
+            sub = ids[rows]
+            idx = np.searchsorted(wk, sub)
+            valid = idx < wk.shape[0]
+            hit = np.zeros(sub.shape[0], dtype=bool)
+            if valid.any():
+                hit[valid] = wk[idx[valid]] == sub[valid]
+            mask[np.flatnonzero(rows)[hit]] = True
         return t.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")

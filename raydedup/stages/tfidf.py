@@ -237,22 +237,28 @@ def top_terms(
                 *list(df_tbl.to_arrow_refs())
             )
 
+            # counting + scoring + top-k fused in ONE UDF over DOC rows:
+            # a doc row is atomic within its input block, so its count
+            # rows can never straddle an output-block split (a separate
+            # counts stage re-blocks at target_max_block_size and a
+            # straddled doc would get two independent rank lists)
             def score_batch(t: pa.Table) -> pa.Table:
+                c = _batch_doc_token_counts(t)
                 keys = ray.get(keys_ref)
                 dfv = ray.get(dfv_ref)
-                tok = t.column("token").to_numpy(zero_copy_only=False)
+                tok = c.column("token").to_numpy(zero_copy_only=False)
                 th = hash_strings_u64(tok)
                 idx = np.searchsorted(keys, th)
                 valid = idx < keys.shape[0]
                 hit = np.zeros(th.shape[0], dtype=bool)
                 if valid.any():
                     hit[valid] = keys[idx[valid]] == th[valid]
-                sub = t.filter(pa.array(hit))
+                sub = c.filter(pa.array(hit))
                 dfs = dfv[np.searchsorted(keys, th[hit])] if hit.any() else np.empty(0, I64)
                 sub = sub.append_column("df", pa.array(dfs, type=pa.int64()))
                 return _topk_per_doc(sub, k)
 
-            return counts.map_batches(score_batch, batch_format="pyarrow")
+            return docs.map_batches(score_batch, batch_format="pyarrow")
 
     # exchange path: join counts and df by token-hash bucket, then a
     # second exchange on doc_id for the per-doc top-k (a doc's tokens

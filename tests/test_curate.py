@@ -121,3 +121,12 @@ def test_partition_invariance(ray_session):
     b = curate(ds).statuses.to_pandas().sort_values("doc_id")
     assert a.status.tolist() == b.status.tolist()
     assert (a.status == "exact_dup").sum() == 2
+
+
+def test_negative_sample_rate_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        CurateParams(sample_rate=-0.2)
+    with pytest.raises(ValueError):
+        CurateParams(sample_rate=1.5)

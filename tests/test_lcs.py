@@ -121,3 +121,46 @@ def test_matched_segments_e2e(ray_session):
     assert abs(hit.lcs_ratio - L / min(len(a_toks), len(b_toks))) < 1e-12
     miss = df.iloc[1]
     assert miss.lcs_tokens < 5  # unrelated docs share at most tiny runs
+
+
+def test_matched_segments_multi_wave_equals_single(ray_session):
+    """Pair sets above cfg.verify_broadcast_max_docs process in
+    independent waves; results must equal the single-wave output."""
+    import ray.data as rd
+
+    from raydedup.config import DedupConfig
+    from raydedup.stages.lcs import matched_segments
+
+    rng = np.random.default_rng(8)
+    words = [f"w{i}" for i in range(200)]
+    texts = [
+        " ".join(words[j] for j in rng.integers(0, 200, size=60))
+        for _ in range(30)
+    ]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(30), pa.int64()),
+                "text": texts,
+            }
+        )
+    )
+    pav = np.arange(0, 15, dtype=np.int64)
+    pbv = np.arange(15, 30, dtype=np.int64)
+    pairs = rd.from_arrow(
+        pa.table({"a": pa.array(pav), "b": pa.array(pbv)})
+    ).repartition(5)
+    one = (
+        matched_segments(pairs, docs, DedupConfig())
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    many = (
+        matched_segments(pairs, docs, DedupConfig(verify_broadcast_max_docs=1))
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert one.equals(many)
+    assert len(one) == 15

@@ -292,6 +292,11 @@ def test_store_then_query_roundtrip(rd, small_corpus, tmp_path):
     assert (self_rows.lcs_ratio == 1.0).all()
     assert (self_rows.query_start_token == 0).all()
     assert (self_rows.match_start_token == 0).all()
+    # empty result keeps the segment columns (stable output schema)
+    empty = query_index(idx, q, top_k=3, min_jaccard=1.01, with_segments=True)
+    assert len(empty) == 0
+    for c in ("lcs_tokens", "lcs_ratio", "query_start_token", "match_start_token"):
+        assert c in empty.columns
 
 
 def test_monitor_finds_stored_doc_window(rd, small_corpus, tmp_path):

@@ -100,3 +100,31 @@ def test_stratified_sample_small_strata(ray_session):
     assert len(out) == 7  # k exceeds every stratum -> keep all
     with pytest.raises(ValueError):
         stratified_sample(rd.from_arrow(t), "lang", 0)
+
+
+def test_stratified_sample_duplicate_and_shared_keys(ray_session):
+    """Duplicate key values must not leak rows across strata, and a key
+    winning in stratum A must not admit stratum-B rows (review finding)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 5, 5, 7, 9, 11, 13], pa.int64()),
+            #          a   a   b   b  b   b   b
+            "lang": pa.array(["a", "a", "b", "b", "b", "b", "b"]),
+        }
+    )
+    out = stratified_sample(rd.from_arrow(t), "lang", 2).to_pandas()
+    a_rows = out[out.lang == "a"]
+    b_rows = out[out.lang == "b"]
+    # stratum a has ONE distinct key (5, duplicated) -> both its rows kept
+    assert sorted(a_rows.doc_id.tolist()) == [5, 5]
+    # stratum b: 2 smallest-rank distinct keys among {5,7,9,11,13}
+    ranks = _rank(np.array([5, 7, 9, 11, 13], dtype=np.int64))
+    want = np.array([5, 7, 9, 11, 13], dtype=np.int64)[np.argsort(ranks)][:2]
+    assert sorted(b_rows.doc_id.tolist()) == sorted(want.tolist())
+    # partition invariance with the duplicates present
+    out2 = stratified_sample(
+        rd.from_arrow(t).repartition(5), "lang", 2
+    ).to_pandas()
+    assert sorted(map(tuple, out[["doc_id", "lang"]].to_numpy())) == sorted(
+        map(tuple, out2[["doc_id", "lang"]].to_numpy())
+    )

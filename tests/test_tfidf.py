@@ -132,3 +132,36 @@ def test_tfidf_non_ascii_and_empty(ray_session):
     # empty docs contribute no rows; café doc keeps its accents
     assert set(tt.doc_id) == {0, 2}
     assert "café" in set(tt[tt.doc_id == 0].token)
+
+
+def test_top_terms_survives_output_block_splits(ray_session):
+    """A doc's count rows must never be ranked in two pieces: with a
+    tiny target block size the old counts->topk pipeline emitted
+    duplicate (doc_id, rank) rows (review finding, confirmed)."""
+    from ray.data import DataContext
+
+    rng = np.random.default_rng(9)
+    words = [f"w{i}" for i in range(80)]
+    texts = [
+        " ".join(words[j] for j in rng.integers(0, 80, size=120))
+        for _ in range(60)
+    ]
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 2048  # force aggressive re-blocking
+        got = (
+            top_terms(_mkdocs(texts), k=3, method="broadcast")
+            .to_pandas()
+            .sort_values(["doc_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        ctx.target_max_block_size = old
+    assert not got.duplicated(["doc_id", "rank"]).any()
+    assert got.groupby("doc_id").size().eq(3).all()
+    dfm = _naive_df(texts)
+    want = _naive_top(texts, 3, dfm)
+    assert [(r.doc_id, r.rank, r.token) for r in got.itertuples(index=False)] == [
+        (i, r, tok) for (i, r, tok, _, _, _) in want
+    ]
