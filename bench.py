@@ -26,15 +26,18 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
 def host_probe_s() -> float:
-    """Single-thread matmul probe (seconds): the sandbox VM throttles
-    5-10x for stretches, so every recorded number carries the probe
-    that contextualizes it (healthy ~1-2 s; throttled ~9-13 s)."""
+    """Single-thread host-speed probe (seconds): the sandbox VM's speed
+    drifts across hours, so every recorded number carries the probe
+    that contextualizes it. np.sort is used (NOT a BLAS matmul, whose
+    wall time depends on the ambient OPENBLAS thread count, not the
+    host). Healthy ~0.6-0.9 s; slower readings mean de-rate the run's
+    absolute timings proportionally."""
     import numpy as np
 
-    a = np.random.default_rng(0).random((1200, 1200))
+    x = np.random.default_rng(0).random(4_000_000)
     t0 = time.perf_counter()
-    for _ in range(8):
-        a @ a
+    for _ in range(6):
+        np.sort(x)
     return round(time.perf_counter() - t0, 2)
 
 
