@@ -500,6 +500,18 @@ def _q_shingle_counts(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_hot_passages(sf_dir: str):
+    """Boilerplate discovery: every lowered word-5-gram occurring in
+    >= 3 distinct documents, with its distinct-doc count (the hot tail
+    of the shingle distribution — what the LSH cap drops, made
+    readable). Two-pass stage: hash-only count exchange, then string
+    recovery for the small hot set (stages/passages.py)."""
+    from raydedup.stages.passages import hot_passages
+
+    tbl = hot_passages(_read(sf_dir, "documents"), min_docs=3, k=5)
+    return tbl.to_pandas()
+
+
 def _q_events_type_stats(sf_dir: str):
     """A6: per-event-type counts + exact cent-sums + min/max value."""
     from ray.data.aggregate import Count, Max, Min, Sum
@@ -1000,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": _q_lineitem_agg,
         "orders_by_segment": _q_orders_by_segment,
         "top_customers": _q_top_customers,
+        "hot_passages": _q_hot_passages,
         # rows-only
         "minhash_signatures": _q_minhash_signatures,
         "minhash_oph": _q_minhash_oph,
@@ -2264,6 +2277,17 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
             ORDER BY a, b
+        """,
+        # hot-passage detection: distinct-doc count per 5-gram shingle;
+        # the engine counts 64-bit rolling hashes (collision-free here)
+        # and recovers the token string for the surviving hot set
+        "hot_passages": _SHINGLES_CTE
+        + """
+        SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs
+        FROM sh
+        GROUP BY shingle
+        HAVING count(*) >= 3
+        ORDER BY n_docs DESC, shingle
         """,
         "minhash_signatures": q_minhash_signatures(),
         "minhash_oph": q_minhash_oph_sql(),

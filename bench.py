@@ -193,6 +193,7 @@ def run_bench() -> dict:
     timed("decontaminate_sf", lambda: q["decontaminate"](SF_DIR))
     timed("top_terms_sf", lambda: q["top_terms"](SF_DIR))
     timed("stratified_sample_sf", lambda: q["stratified_sample"](SF_DIR))
+    timed("hot_passages_sf", lambda: q["hot_passages"](SF_DIR))
 
     out = {
         "metric": "dedup pipeline wall time (synthetic pages corpus, containment on)",

@@ -276,6 +276,21 @@ def cmd_metadata(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_passages(args: argparse.Namespace) -> int:
+    """Boilerplate discovery: print the word k-grams shared by at least
+    --min-docs distinct documents (count TAB passage, hottest first)."""
+    _init_ray()
+    from raydedup.sources.pages import pages_to_docs, read_pages
+    from raydedup.stages.passages import hot_passages
+
+    files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
+    docs = pages_to_docs(read_pages(files))
+    tbl = hot_passages(docs, min_docs=args.min_docs, k=args.k, limit=args.top)
+    for s, n in zip(tbl.column("shingle").to_pylist(), tbl.column("n_docs").to_pylist()):
+        print(f"{n}\t{s}")
+    return 0
+
+
 def cmd_stats(args: argparse.Namespace) -> int:
     _init_ray()
     import ray.data as rd
@@ -402,6 +417,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("index")
     s.add_argument("urls", nargs="+")
     s.set_defaults(fn=cmd_metadata)
+
+    s = sub.add_parser("passages", help="hot boilerplate k-grams across a pages dir")
+    s.add_argument("pages")
+    s.add_argument("--min-docs", type=int, default=3)
+    s.add_argument("--k", type=int, default=5)
+    s.add_argument("--top", type=int, default=None)
+    s.set_defaults(fn=cmd_passages)
 
     s = sub.add_parser("stats", help="index statistics")
     s.add_argument("index")

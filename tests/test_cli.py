@@ -204,3 +204,20 @@ def test_curate_verb_end_to_end(ray_session, small_corpus, tmp_path, capsys, mon
     assert funnel.get("exact_dup", 0) > 0 and funnel.get("sampled_out", 0) > 0
     n = sum(pq.read_table(f).num_rows for f in glob.glob(os.path.join(out, "*.parquet")))
     assert n == 600
+
+
+def test_passages_verb(ray_session, small_corpus, capsys, monkeypatch):
+    """`passages` prints count TAB k-gram lines, hottest first; the
+    planted duplicate groups in the corpus guarantee shared 5-grams."""
+    monkeypatch.setattr("raydedup.cli._init_ray", lambda: None)
+    _, paths = small_corpus
+    rc = main(["passages", paths["pages"], "--min-docs", "2", "--top", "5"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert 0 < len(lines) <= 5
+    counts = []
+    for ln in lines:
+        n, s = ln.split("\t", 1)
+        counts.append(int(n))
+        assert int(n) >= 2 and len(s.split(" ")) == 5
+    assert counts == sorted(counts, reverse=True)
