@@ -157,6 +157,68 @@ def _q_quality_scores(sf_dir: str):
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_repetition_scores(sf_dir: str):
+    """Intra-doc repetition signals (Gopher-style filters): duplicate
+    line/word/2-gram/3-gram fractions + top-2-gram multiplicity share
+    (stages/textstats.py repetition_batch, fully vectorized)."""
+    from raydedup.stages.textstats import repetition_batch
+
+    ds = _read(sf_dir, "documents").map_batches(
+        lambda t: repetition_batch(t).select(
+            [
+                "doc_id",
+                "n_lines",
+                "dup_line_frac",
+                "dup_word_frac",
+                "dup_2gram_frac",
+                "dup_3gram_frac",
+                "top_2gram_frac",
+            ]
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_len_quantiles(sf_dir: str):
+    """Exact doc-length percentiles via the value-count exchange (only
+    distinct lengths cross the wire — stages/quantiles.py)."""
+    from raydedup.stages.quantiles import exact_quantiles
+
+    tbl = exact_quantiles(_read(sf_dir, "documents"), "n_chars", (25, 50, 90, 99))
+    return tbl.to_pandas()
+
+
+def _q_len_quantiles_by_lang(sf_dir: str):
+    """Per-language exact doc-length percentiles (grouped variant)."""
+    from raydedup.stages.quantiles import exact_quantiles
+
+    tbl = exact_quantiles(
+        _read(sf_dir, "documents"), "n_chars", (25, 50, 90, 99), by="lang"
+    )
+    return tbl.to_pandas()
+
+
+def _q_df_commonness(sf_dir: str):
+    """Corpus-frequency quality signal: per-doc Σ df(token occurrence)
+    (exact int) / (n_tokens * n_docs) — one IEEE division, broadcast-DF
+    lookup, no second shuffle (stages/tfidf.py df_commonness)."""
+    from raydedup.stages.tfidf import df_commonness
+
+    ds = df_commonness(_read(sf_dir, "documents"))
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_search_terms(sf_dir: str):
+    """Distributed keyword grep: docs containing ALL of three query
+    terms, with distinct-term and occurrence counts
+    (stages/search.py, single stateless pass, no shuffle)."""
+    from raydedup.stages.search import search_terms
+
+    ds = search_terms(_read(sf_dir, "documents"), ["scan", "table", "value"])
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_jaccard_pairs(sf_dir: str):
     """J4/A7: all-pairs exact word-5-gram Jaccard >= 0.2 (brute force)."""
     from raydedup.stages.bruteforce import jaccard_pairs_bruteforce
@@ -987,6 +1049,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_by_lang": _q_doc_stats_by_lang,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
+        "repetition_scores": _q_repetition_scores,
+        "len_quantiles": _q_len_quantiles,
+        "len_quantiles_by_lang": _q_len_quantiles_by_lang,
+        "df_commonness": _q_df_commonness,
+        "search_terms": _q_search_terms,
         "jaccard_pairs": _q_jaccard_pairs,
         "jaccard_char_ngrams": _q_jaccard_char_ngrams,
         "containment_pairs": _q_containment_pairs,
@@ -1743,6 +1810,127 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / greatest(length(text), 1) AS punct_ratio,
                    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1) AS digit_ratio
             FROM documents ORDER BY doc_id
+        """,
+        # keyword AND-search over lowered whitespace tokens
+        "search_terms": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+              FROM documents WHERE trim(lower(text)) <> ''
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(count(DISTINCT w) AS BIGINT) AS n_matched,
+                   CAST(count(*) AS BIGINT) AS n_hits
+            FROM toks WHERE w IN ('scan', 'table', 'value')
+            GROUP BY doc_id
+            HAVING count(DISTINCT w) >= 3
+            ORDER BY doc_id
+        """,
+        # corpus-frequency commonness: integer df-sum per doc + ONE
+        # final IEEE division (cross-engine bit parity, no float sums)
+        "df_commonness": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+              FROM documents WHERE trim(lower(text)) <> ''
+            ),
+            dft AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+            n AS (SELECT count(*) AS n FROM documents),
+            agg AS (
+              SELECT t.doc_id, count(*) AS n_tokens, sum(dft.df) AS df_sum
+              FROM toks t JOIN dft USING (w) GROUP BY t.doc_id
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(a.df_sum, 0) AS BIGINT) AS df_sum,
+                   CASE WHEN COALESCE(a.n_tokens, 0) > 0
+                        THEN CAST(a.df_sum AS DOUBLE) / (a.n_tokens * n.n)
+                        ELSE 0.0 END AS commonness
+            FROM documents d CROSS JOIN n LEFT JOIN agg a USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # exact lower-discrete percentiles; integer rank arithmetic
+        # ((pct*n + 99) // 100) on both sides — no float boundary to
+        # disagree over
+        "len_quantiles": """
+            WITH p(pct) AS (SELECT unnest([25, 50, 90, 99])),
+            c AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY v),
+            cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cc FROM c),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT CAST(p.pct AS BIGINT) AS pct, CAST(min(cum.v) AS BIGINT) AS value
+            FROM p CROSS JOIN cum CROSS JOIN n
+            WHERE cum.cc >= greatest((p.pct * n.n + 99) // 100, 1)
+            GROUP BY p.pct
+            ORDER BY pct
+        """,
+        "len_quantiles_by_lang": """
+            WITH p(pct) AS (SELECT unnest([25, 50, 90, 99])),
+            c AS (SELECT lang, n_chars AS v, count(*) AS c FROM documents GROUP BY lang, v),
+            cum AS (SELECT lang, v, sum(c) OVER (PARTITION BY lang ORDER BY v) AS cc FROM c),
+            n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+            SELECT cum.lang, CAST(p.pct AS BIGINT) AS pct, CAST(min(cum.v) AS BIGINT) AS value
+            FROM cum JOIN n USING (lang) CROSS JOIN p
+            WHERE cum.cc >= greatest((p.pct * n.n + 99) // 100, 1)
+            GROUP BY cum.lang, p.pct
+            ORDER BY lang, pct
+        """,
+        # intra-doc repetition signals; string-concat n-gram identity in
+        # SQL ≡ the engine's rolling hash of word hashes (collision-free
+        # at 64-bit, the shared shingle-oracle assumption); raw IEEE
+        # divisions, no rounding (cross-engine bit parity)
+        "repetition_scores": """
+            WITH lines AS (
+              SELECT doc_id, count(*) AS n_lines, count(DISTINCT ln) AS d_lines
+              FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln
+                    FROM documents)
+              GROUP BY doc_id
+            ),
+            toks AS (
+              SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY pos) rn
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+                           generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+                    FROM documents
+                    WHERE trim(lower(text)) <> '')
+            ),
+            uni AS (
+              SELECT doc_id, count(*) AS n_tok, count(DISTINCT w) AS d_tok
+              FROM toks GROUP BY doc_id
+            ),
+            grams AS (
+              SELECT doc_id, w, lead(w,1) OVER win AS w1, lead(w,2) OVER win AS w2
+              FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY rn)
+            ),
+            bi_c AS (
+              SELECT doc_id, w || ' ' || w1 AS g, count(*) AS c
+              FROM grams WHERE w1 IS NOT NULL GROUP BY doc_id, g
+            ),
+            bi AS (
+              SELECT doc_id, sum(c) AS n2, count(*) AS d2, max(c) AS m2
+              FROM bi_c GROUP BY doc_id
+            ),
+            tri_c AS (
+              SELECT doc_id, w || ' ' || w1 || ' ' || w2 AS g, count(*) AS c
+              FROM grams WHERE w2 IS NOT NULL GROUP BY doc_id, g
+            ),
+            tri AS (
+              SELECT doc_id, sum(c) AS n3, count(*) AS d3 FROM tri_c GROUP BY doc_id
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(l.n_lines AS BIGINT) AS n_lines,
+                   CAST(l.n_lines - l.d_lines AS DOUBLE) / l.n_lines AS dup_line_frac,
+                   CASE WHEN COALESCE(u.n_tok, 0) > 0
+                        THEN CAST(u.n_tok - u.d_tok AS DOUBLE) / u.n_tok ELSE 0.0 END AS dup_word_frac,
+                   CASE WHEN COALESCE(bi.n2, 0) > 0
+                        THEN CAST(bi.n2 - bi.d2 AS DOUBLE) / bi.n2 ELSE 0.0 END AS dup_2gram_frac,
+                   CASE WHEN COALESCE(tri.n3, 0) > 0
+                        THEN CAST(tri.n3 - tri.d3 AS DOUBLE) / tri.n3 ELSE 0.0 END AS dup_3gram_frac,
+                   CASE WHEN COALESCE(bi.n2, 0) > 0
+                        THEN CAST(bi.m2 AS DOUBLE) / bi.n2 ELSE 0.0 END AS top_2gram_frac
+            FROM documents d
+            LEFT JOIN lines l USING (doc_id)
+            LEFT JOIN uni u USING (doc_id)
+            LEFT JOIN bi USING (doc_id)
+            LEFT JOIN tri USING (doc_id)
+            ORDER BY doc_id
         """,
         "jaccard_pairs": _SHINGLES_CTE
         + """

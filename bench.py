@@ -194,6 +194,7 @@ def run_bench() -> dict:
     timed("top_terms_sf", lambda: q["top_terms"](SF_DIR))
     timed("stratified_sample_sf", lambda: q["stratified_sample"](SF_DIR))
     timed("hot_passages_sf", lambda: q["hot_passages"](SF_DIR))
+    timed("repetition_scores_sf", lambda: q["repetition_scores"](SF_DIR))
 
     out = {
         "metric": "dedup pipeline wall time (synthetic pages corpus, containment on)",
@@ -220,6 +221,51 @@ def run_bench() -> dict:
 # measurement budget, not a 200k toy slice where fixed costs dominate
 # the 4-CPU run artificially.
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "500000"))
+
+
+def _probe_worker_bw(q):
+    import numpy as np
+
+    a = np.ones(16_000_000, dtype=np.float64)  # 128 MB
+    b = np.empty_like(a)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        np.copyto(b, a)
+    q.put(3 * 2 * a.nbytes / (time.perf_counter() - t0) / 1e9)
+
+
+def _probe_worker_cpu(q):
+    import numpy as np
+
+    x = np.arange(200_000, dtype=np.uint64)  # L2-resident
+    t0 = time.perf_counter()
+    for _ in range(150):
+        x = x * np.uint64(0x9E3779B97F4A7C15) + np.uint64(1)
+        x ^= x >> np.uint64(33)
+    q.put(150 * x.size / (time.perf_counter() - t0) / 1e6)
+
+
+def parallel_probe(nprocs: int, kind: str) -> float:
+    """Aggregate host capability at ``nprocs`` concurrent processes:
+    ``"bw"`` = DRAM copy GB/s, ``"cpu"`` = cache-resident Mops/s.
+
+    These are the PHYSICAL CEILINGS any same-host scaling measurement
+    is bounded by: a real N -> 4N *cluster* multiplies both by 4, a
+    single sandboxed socket does not — so the scaling record carries
+    the ceilings measured at the same moment, and the efficiency
+    number can be read against them instead of against an ideal the
+    hardware cannot express.
+    """
+    from multiprocessing import Process, Queue
+
+    q: "Queue[float]" = Queue()
+    target = _probe_worker_bw if kind == "bw" else _probe_worker_cpu
+    ps = [Process(target=target, args=(q,)) for _ in range(nprocs)]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    return round(sum(q.get() for _ in range(nprocs)), 1)
 
 
 def run_scaling() -> dict:
@@ -266,6 +312,12 @@ def run_scaling() -> dict:
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    # host ceilings at the same process counts, measured now: what a
+    # perfectly-scaling job COULD show on this host between lo and hi
+    cpu_lo, cpu_hi = parallel_probe(lo, "cpu"), parallel_probe(hi, "cpu")
+    bw_lo, bw_hi = parallel_probe(lo, "bw"), parallel_probe(hi, "bw")
+    cpu_ceiling = (cpu_hi / cpu_lo) / (hi / lo)
+    bw_ceiling = (bw_hi / bw_lo) / (hi / lo)
     return {
         "metric": f"scaling efficiency (num_cpus {lo} -> {hi}, same input, fresh processes)",
         "value": round(eff, 3),
@@ -281,6 +333,15 @@ def run_scaling() -> dict:
         "bench_docs": r_lo["bench_docs"],
         "sf": SF_DIR,
         "host_probe_s": host_probe_s(),
+        # physical ceilings (same-host, same-moment): efficiency of the
+        # probe workloads between the same two process counts
+        f"cpu_mops_{lo}": cpu_lo,
+        f"cpu_mops_{hi}": cpu_hi,
+        f"bw_gbs_{lo}": bw_lo,
+        f"bw_gbs_{hi}": bw_hi,
+        "cpu_ceiling_eff": round(cpu_ceiling, 3),
+        "bw_ceiling_eff": round(bw_ceiling, 3),
+        "value_vs_cpu_ceiling": round(eff / cpu_ceiling, 3) if cpu_ceiling else None,
     }
 
 

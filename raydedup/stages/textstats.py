@@ -159,6 +159,150 @@ def doc_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ).append_column("rolling_fp", pa.array(roll.view(np.int64), type=pa.int64()))
 
 
+def _segment_distinct_max(
+    h: np.ndarray, doc_of: np.ndarray, ndocs: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document distinct count and maximum multiplicity over a flat
+    (value, doc) pairing — one lexsort, no per-doc Python.
+
+    ``h[i]`` belongs to doc ``doc_of[i]``; returns int64 arrays
+    ``(distinct[d], max_mult[d])`` with zeros for docs owning no items.
+    """
+    distinct = np.zeros(ndocs, dtype=np.int64)
+    max_mult = np.zeros(ndocs, dtype=np.int64)
+    if h.shape[0] == 0:
+        return distinct, max_mult
+    order = np.lexsort((h, doc_of))
+    hs, ds = h[order], doc_of[order]
+    new_run = np.empty(hs.shape[0], dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
+    distinct = np.bincount(ds[new_run], minlength=ndocs).astype(np.int64)
+    starts = np.flatnonzero(new_run)
+    run_len = np.diff(starts, append=np.int64(hs.shape[0]))
+    np.maximum.at(max_mult, ds[starts], run_len)
+    return distinct, max_mult
+
+
+def _gather_valid_windows(
+    h: np.ndarray, ws: np.ndarray, we: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten per-doc window slices ``h[ws[d]:we[d]]`` into one array
+    plus its doc index — windows crossing doc boundaries never appear."""
+    lens = (we - ws).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=h.dtype), np.empty(0, dtype=np.int64)
+    doc_of = np.repeat(np.arange(lens.shape[0], dtype=np.int64), lens)
+    seg_start = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    pos = np.arange(total, dtype=np.int64) - seg_start[doc_of] + ws[doc_of]
+    return h[pos], doc_of
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Intra-document repetition signals (the Gopher-style quality
+    filters a training-data pipeline applies before dedup):
+
+    - ``n_lines``, ``dup_line_frac``: lines = raw split on ``\\n``
+      (empty doc = one empty line); duplicate fraction =
+      ``(n - n_distinct) / n``.
+    - ``dup_word_frac``: duplicate fraction over lowered whitespace
+      tokens.
+    - ``dup_2gram_frac`` / ``dup_3gram_frac``: duplicate fraction over
+      word 2-/3-grams (0 when the doc has no such gram).
+    - ``top_2gram_frac``: multiplicity of the most frequent 2-gram over
+      the total 2-gram count.
+
+    All divisions are raw IEEE float64 (no rounding) for cross-engine
+    oracle parity. Fully vectorized: tokens/grams ride the signature
+    stage's batched word-hash + global rolling-hash kernels (non-ASCII
+    docs take the per-doc slow path, bit-identical); line identity uses
+    Arrow dictionary codes, so no string hashing at all.
+    """
+    from raydedup.stages.signatures import (
+        _WORD_CACHE,
+        batch_word_hashes,
+        rolling_hash_segments,
+        tokenize,
+    )
+
+    col = batch.column(text_col)
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = pc.fill_null(arr, "")
+    n = len(arr)
+
+    # --- lines: batch-global dictionary codes as identity labels ---
+    lines = pc.split_pattern(arr, "\n")
+    n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+    l_offs = lines.offsets.to_numpy().astype(np.int64)
+    vals = lines.values
+    if l_offs[0] != 0 or len(vals) != l_offs[-1] - l_offs[0]:
+        vals = vals.slice(l_offs[0], l_offs[-1] - l_offs[0])
+    codes = vals.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    line_doc = np.repeat(np.arange(n, dtype=np.int64), n_lines)
+    d_lines, _ = _segment_distinct_max(codes, line_doc, n)
+
+    # --- tokens + word n-grams ---
+    n_tok = np.zeros(n, dtype=np.int64)
+    d_tok = np.zeros(n, dtype=np.int64)
+    n2 = np.zeros(n, dtype=np.int64)
+    d2 = np.zeros(n, dtype=np.int64)
+    m2 = np.zeros(n, dtype=np.int64)
+    n3 = np.zeros(n, dtype=np.int64)
+    d3 = np.zeros(n, dtype=np.int64)
+
+    ascii_mask = pc.string_is_ascii(arr).to_numpy(zero_copy_only=False)
+    a_idx = np.flatnonzero(ascii_mask)
+    if a_idx.shape[0]:
+        sub = arr.filter(pa.array(ascii_mask))
+        flat, offs = batch_word_hashes(sub)
+        cnt = np.diff(offs)
+        n_tok[a_idx] = cnt
+        tok_doc = np.repeat(np.arange(a_idx.shape[0], dtype=np.int64), cnt)
+        dsub, _ = _segment_distinct_max(flat, tok_doc, a_idx.shape[0])
+        d_tok[a_idx] = dsub
+        for k, n_out, d_out, m_out in ((2, n2, d2, m2), (3, n3, d3, None)):
+            h, ws, we = rolling_hash_segments(flat, offs, k)
+            hv, doc_of = _gather_valid_windows(h, ws, we)
+            n_out[a_idx] = we - ws
+            dk, mk = _segment_distinct_max(hv, doc_of, a_idx.shape[0])
+            d_out[a_idx] = dk
+            if m_out is not None:
+                m_out[a_idx] = mk
+
+    slow = np.flatnonzero(~ascii_mask)
+    if slow.shape[0]:
+        texts = arr.to_pylist()
+        for d in slow:
+            wh = _WORD_CACHE.hash_words(tokenize(texts[d]))
+            n_tok[d] = wh.shape[0]
+            d_tok[d] = np.unique(wh).shape[0]
+            for k, n_out, d_out, m_out in ((2, n2, d2, m2), (3, n3, d3, None)):
+                hk = rolling_hash_u64(wh, k)
+                n_out[d] = hk.shape[0]
+                if hk.shape[0]:
+                    _, counts = np.unique(hk, return_counts=True)
+                    d_out[d] = counts.shape[0]
+                    if m_out is not None:
+                        m_out[d] = counts.max()
+
+    def frac(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+        return np.where(den > 0, num / np.maximum(den, 1), 0.0)
+
+    out = batch
+    for name, vals_ in [
+        ("n_lines", n_lines),
+        ("dup_line_frac", frac(n_lines - d_lines, n_lines)),
+        ("dup_word_frac", frac(n_tok - d_tok, n_tok)),
+        ("dup_2gram_frac", frac(n2 - d2, n2)),
+        ("dup_3gram_frac", frac(n3 - d3, n3)),
+        ("top_2gram_frac", frac(m2, n2)),
+    ]:
+        typ = pa.int64() if vals_.dtype == np.int64 else pa.float64()
+        out = out.append_column(name, pa.array(vals_, type=typ))
+    return out
+
+
 def doc_stats(docs: Dataset, by: str = "lang") -> Dataset:
     """Grouped corpus statistics (A6 ``panako stats`` analog:
     ``PanakoStorageKV.java:381-467``)."""

@@ -211,6 +211,59 @@ def _topk_per_doc(t: pa.Table, k: int) -> pa.Table:
     )
 
 
+def df_commonness(docs: Dataset) -> Dataset:
+    """docs(doc_id, text) -> (doc_id, n_tokens, df_sum, commonness):
+    a corpus-frequency quality signal — how "common" a doc's vocabulary
+    is. ``df_sum`` = Σ over token OCCURRENCES of that token's corpus
+    document frequency (exact integer); ``commonness`` =
+    ``df_sum / (n_tokens * n_docs)`` ∈ (0, 1], computed with ONE final
+    IEEE division so it is bit-identical across engines (the repo's
+    parity rule: never sum floats, sum integers and divide once).
+    Low values flag rare-vocabulary docs (gibberish, codes, exotic
+    boilerplate); high values flag stopword soup.
+
+    Scale shape: the DF table is built by ``doc_frequency`` (combiner +
+    ONE token-hash exchange), packed to sorted arrays in a task and
+    broadcast (``ray.put`` once, read per task); the scoring pass is a
+    stateless ``map_batches`` with a ``searchsorted`` lookup — no
+    second shuffle.
+    """
+    docs = docs.select_columns(["doc_id", "text"]).materialize()
+    n_docs = docs.count()
+    df_tbl = doc_frequency(docs).materialize()
+    _, keys_ref, dfv_ref = _pack_df.remote(*list(df_tbl.to_arrow_refs()))
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(I64)
+        c = _batch_doc_token_counts(t)
+        n_tok = np.zeros(ids.shape[0], dtype=I64)
+        df_sum = np.zeros(ids.shape[0], dtype=I64)
+        if c.num_rows:
+            keys = ray.get(keys_ref)
+            dfv = ray.get(dfv_ref)
+            tok = c.column("token").to_numpy(zero_copy_only=False)
+            tf = c.column("tf").to_numpy(zero_copy_only=False).astype(I64)
+            th = hash_strings_u64(tok)
+            dfs = dfv[np.searchsorted(keys, th)]  # every token is in the DF table
+            order = np.argsort(ids)
+            cd = c.column("doc_id").to_numpy(zero_copy_only=False).astype(I64)
+            pos = order[np.searchsorted(ids[order], cd)]
+            np.add.at(n_tok, pos, tf)
+            np.add.at(df_sum, pos, tf * dfs)
+        denom = n_tok * np.int64(n_docs)
+        commonness = np.where(denom > 0, df_sum / np.maximum(denom, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+                "df_sum": pa.array(df_sum, type=pa.int64()),
+                "commonness": pa.array(commonness, type=pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score_batch, batch_format="pyarrow")
+
+
 def top_terms(
     docs: Dataset,
     k: int = 3,

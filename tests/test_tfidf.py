@@ -165,3 +165,35 @@ def test_top_terms_survives_output_block_splits(ray_session):
     assert [(r.doc_id, r.rank, r.token) for r in got.itertuples(index=False)] == [
         (i, r, tok) for (i, r, tok, _, _, _) in want
     ]
+
+
+def test_df_commonness_matches_naive(ray_session):
+    from raydedup.stages.tfidf import df_commonness
+
+    texts = TEXTS + ["", "naïve schön the", "zzz-unique-token"]
+    got = df_commonness(_mkdocs(texts)).to_pandas().sort_values("doc_id")
+    dfm = _naive_df(texts)
+    n = len(texts)
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        df_sum = sum(dfm[w] for w in toks)
+        row = got[got.doc_id == i].iloc[0]
+        assert row.n_tokens == len(toks) and row.df_sum == df_sum
+        want = df_sum / (len(toks) * n) if toks else 0.0
+        assert row.commonness == want
+    # stopword-soup doc scores higher than the rare-vocab doc
+    them = dict(zip(got.doc_id, got.commonness))
+    assert them[len(texts) - 1] < them[2]
+
+
+def test_df_commonness_partition_invariance(ray_session):
+    from raydedup.stages.tfidf import df_commonness
+
+    a = df_commonness(_mkdocs(TEXTS)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        df_commonness(_mkdocs(TEXTS).repartition(4))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
