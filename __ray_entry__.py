@@ -215,8 +215,12 @@ def _q_search_terms(sf_dir: str):
     (stages/search.py, single stateless pass, no shuffle)."""
     from raydedup.stages.search import search_terms
 
-    ds = search_terms(_read(sf_dir, "documents"), ["scan", "table", "value"])
-    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df = search_terms(_read(sf_dir, "documents"), ["scan", "table", "value"]).to_pandas()
+    if df.empty:
+        import pandas as pd
+
+        return pd.DataFrame({"doc_id": [], "n_matched": [], "n_hits": []}).astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_jaccard_pairs(sf_dir: str):

@@ -294,13 +294,17 @@ def run_scaling() -> dict:
         )
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    # Default N=4 -> 4N=16: this sandbox is ONE node, and its DRAM
-    # bandwidth saturates around ~16 cores for this (traffic-heavy)
-    # workload — a real 4x-node cluster brings 4x memory bandwidth and
-    # 4x object stores, which the 8->32 same-socket measurement cannot
-    # emulate. Both pairs are reported in BASELINE.md.
-    lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
-    hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
+    # Default N=2 -> 4N=8: this sandbox is ONE node — a real 4x-node
+    # cluster brings 4x memory bandwidth and 4x object stores, so the
+    # faithful same-socket proxy is the largest pair BELOW the host's
+    # bandwidth-saturation knee (round-1 framework, BASELINE.md). The
+    # knee is measured in-line each run (bw_gbs_{lo,hi} below): in the
+    # host's original regime it sat at ~16 cores (4->16 was the proxy,
+    # reading 0.833-0.836); the late-round-2 fast-core regime moved it
+    # to ~4-8 procs, selecting 2->8. Override with GRAFT_SCALING_LO/HI;
+    # BASELINE.md reports both pairs with their same-moment ceilings.
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "2"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "8"))
     # the host VM's speed drifts +-30% over minutes (hypervisor noise):
     # interleave lo/hi runs and take the per-level MINIMUM (the least-
     # interference estimate) so drift cancels instead of biasing one side

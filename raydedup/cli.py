@@ -291,6 +291,28 @@ def cmd_passages(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_search(args: argparse.Namespace) -> int:
+    """Index-free distributed grep: print doc_id TAB n_matched TAB
+    n_hits for every doc whose tokens cover the query terms."""
+    _init_ray()
+    from raydedup.sources.pages import pages_to_docs, read_pages
+    from raydedup.stages.search import search_terms
+
+    files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
+    docs = pages_to_docs(read_pages(files))
+    df = search_terms(docs, args.terms, mode=args.mode).to_pandas()
+    if df.empty:
+        # an all-empty Ray result can arrive column-less (0-row blocks
+        # skip the UDF); there is nothing to print either way
+        return 0
+    df = df.sort_values(["n_hits", "doc_id"], ascending=[False, True])
+    if args.top is not None:
+        df = df.head(args.top)
+    for r in df.itertuples(index=False):
+        print(f"{r.doc_id}\t{r.n_matched}\t{r.n_hits}")
+    return 0
+
+
 def cmd_stats(args: argparse.Namespace) -> int:
     _init_ray()
     import ray.data as rd
@@ -424,6 +446,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--k", type=int, default=5)
     s.add_argument("--top", type=int, default=None)
     s.set_defaults(fn=cmd_passages)
+
+    s = sub.add_parser("search", help="docs containing the query terms (distributed grep)")
+    s.add_argument("pages")
+    s.add_argument("terms", nargs="+")
+    s.add_argument("--mode", choices=["and", "or"], default="and")
+    s.add_argument("--top", type=int, default=None)
+    s.set_defaults(fn=cmd_search)
 
     s = sub.add_parser("stats", help="index statistics")
     s.add_argument("index")

@@ -221,3 +221,31 @@ def test_passages_verb(ray_session, small_corpus, capsys, monkeypatch):
         counts.append(int(n))
         assert int(n) >= 2 and len(s.split(" ")) == 5
     assert counts == sorted(counts, reverse=True)
+
+
+def test_search_verb(ray_session, small_corpus, capsys, monkeypatch):
+    """`search` prints doc_id TAB n_matched TAB n_hits, most hits first."""
+    monkeypatch.setattr("raydedup.cli._init_ray", lambda: None)
+    _, paths = small_corpus
+    import glob as g, pyarrow.parquet as pq
+
+    # pick a token guaranteed present: first word of the first stored doc
+    f = sorted(g.glob(os.path.join(paths["pages"], "*.parquet")))[0]
+    word = pq.read_table(f, columns=["text"]).column("text").to_pylist()[0].split()[0].lower()
+    rc = main(["search", paths["pages"], word, "--top", "10"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert 0 < len(lines) <= 10
+    hits = [int(ln.split("\t")[2]) for ln in lines]
+    assert hits == sorted(hits, reverse=True)
+    assert all(int(ln.split("\t")[1]) == 1 for ln in lines)
+
+
+def test_search_verb_no_matches(ray_session, small_corpus, capsys, monkeypatch):
+    """Terms absent from the corpus: clean exit, no output (the all-empty
+    Ray result arrives column-less — must not crash)."""
+    monkeypatch.setattr("raydedup.cli._init_ray", lambda: None)
+    _, paths = small_corpus
+    rc = main(["search", paths["pages"], "zz-not-a-token-zz"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == ""
