@@ -223,6 +223,20 @@ def _q_search_terms(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_user_sessions(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity): one row per
+    (user, session) with event count, span, exact cent-sum — ONE
+    user-keyed exchange, reduceat kernel (stages/sessions.py)."""
+    from raydedup.stages.sessions import sessionize
+
+    tbl = sessionize(_read(sf_dir, "events"), gap_s=1800)
+    return (
+        tbl.to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_jaccard_pairs(sf_dir: str):
     """J4/A7: all-pairs exact word-5-gram Jaccard >= 0.2 (brute force)."""
     from raydedup.stages.bruteforce import jaccard_pairs_bruteforce
@@ -1058,6 +1072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "len_quantiles_by_lang": _q_len_quantiles_by_lang,
         "df_commonness": _q_df_commonness,
         "search_terms": _q_search_terms,
+        "user_sessions": _q_user_sessions,
         "jaccard_pairs": _q_jaccard_pairs,
         "jaccard_char_ngrams": _q_jaccard_char_ngrams,
         "containment_pairs": _q_containment_pairs,
@@ -1814,6 +1829,32 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / greatest(length(text), 1) AS punct_ratio,
                    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1) AS digit_ratio
             FROM documents ORDER BY doc_id
+        """,
+        # gap-based sessionization; (ts, event_id) is the deterministic
+        # order on both sides; cents via the repo's proven round pair
+        "user_sessions": """
+            WITH e AS (
+              SELECT user_id, ts, event_id,
+                     CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                     CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                          THEN 0 ELSE 1 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(sid AS BIGINT) AS session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS t_start,
+                   max(ts) AS t_end,
+                   CAST(sum(cents) AS BIGINT) AS sum_value_cents
+            FROM s
+            GROUP BY user_id, sid
+            ORDER BY user_id, session_id
         """,
         # keyword AND-search over lowered whitespace tokens
         "search_terms": """
