@@ -237,6 +237,15 @@ def _q_user_sessions(sf_dir: str):
     )
 
 
+def _q_event_funnel(sf_dir: str):
+    """Conversion funnel view -> click -> purchase, earliest-completion
+    matching; ONE user-keyed exchange (stages/funnel.py)."""
+    from raydedup.stages.funnel import funnel
+
+    tbl = funnel(_read(sf_dir, "events"), ["view", "click", "purchase"])
+    return tbl.to_pandas()
+
+
 def _q_jaccard_pairs(sf_dir: str):
     """J4/A7: all-pairs exact word-5-gram Jaccard >= 0.2 (brute force)."""
     from raydedup.stages.bruteforce import jaccard_pairs_bruteforce
@@ -1073,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "df_commonness": _q_df_commonness,
         "search_terms": _q_search_terms,
         "user_sessions": _q_user_sessions,
+        "event_funnel": _q_event_funnel,
         "jaccard_pairs": _q_jaccard_pairs,
         "jaccard_char_ngrams": _q_jaccard_char_ngrams,
         "containment_pairs": _q_containment_pairs,
@@ -1829,6 +1839,30 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / greatest(length(text), 1) AS punct_ratio,
                    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1) AS digit_ratio
             FROM documents ORDER BY doc_id
+        """,
+        # conversion funnel, earliest-completion matching: step i = the
+        # user's min ts of that type strictly after the step i-1 match
+        "event_funnel": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                   JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                   JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                   GROUP BY e.user_id)
+            SELECT * FROM (
+              SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                     CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), 'click',
+                     CAST((SELECT count(*) FROM s2) AS BIGINT)
+              UNION ALL
+              SELECT CAST(3 AS BIGINT), 'purchase',
+                     CAST((SELECT count(*) FROM s3) AS BIGINT)
+            ) ORDER BY step
         """,
         # gap-based sessionization; (ts, event_id) is the deterministic
         # order on both sides; cents via the repo's proven round pair
