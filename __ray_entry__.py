@@ -1807,7 +1807,7 @@ WITH toks AS (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "exact_dup_pairs": """
             SELECT CAST(min(doc_id) OVER (PARTITION BY text) AS BIGINT) AS a,
                    CAST(doc_id AS BIGINT) AS b
@@ -2565,3 +2565,19 @@ def oracle_sql() -> dict[str, str]:
         "containment_winnowed": q_containment_winnowed(),
         "monitor_windows": q_monitor_sql(),
     }
+    # DuckDB's 1-arg trim() strips SPACES only, while the engine's
+    # tokenizers (Python str.split / Arrow utf8_split_whitespace) treat
+    # all whitespace as edges — a doc with leading/trailing \t or \n
+    # would diverge. Rewrite every trim to the explicit whitespace set
+    # so the oracles mirror the engine on any corpus, not just one with
+    # space-only edges.
+    ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+
+    def _ws_trim(sql: str) -> str:
+        return (
+            sql.replace("trim(lower(text))", f"trim(lower(text), {ws})")
+            .replace("trim(lower(d.text))", f"trim(lower(d.text), {ws})")
+            .replace("trim(text)", f"trim(text, {ws})")
+        )
+
+    return {k: _ws_trim(v) for k, v in d.items()}

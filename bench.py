@@ -258,6 +258,8 @@ def parallel_probe(nprocs: int, kind: str) -> float:
     """
     from multiprocessing import Process, Queue
 
+    import queue as _queue
+
     q: "Queue[float]" = Queue()
     target = _probe_worker_bw if kind == "bw" else _probe_worker_cpu
     ps = [Process(target=target, args=(q,)) for _ in range(nprocs)]
@@ -265,7 +267,16 @@ def parallel_probe(nprocs: int, kind: str) -> float:
         p.start()
     for p in ps:
         p.join()
-    return round(sum(q.get() for _ in range(nprocs)), 1)
+    # a child killed mid-probe (OOM on a loaded host) exits without
+    # q.put(); collect with a timeout so a degraded probe is reported
+    # instead of hanging the whole scaling run on the final q.get()
+    vals: list[float] = []
+    for _ in range(nprocs):
+        try:
+            vals.append(q.get(timeout=30))
+        except _queue.Empty:
+            break
+    return round(sum(vals), 1)
 
 
 def run_scaling() -> dict:

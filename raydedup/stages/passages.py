@@ -99,18 +99,38 @@ def _valid_window_mask(n_windows: int, ws: np.ndarray, we: np.ndarray) -> np.nda
 
 def _count_partial(t: pa.Table, k: int) -> pa.Table:
     """(doc_id, text) batch -> (h, nd_partial): per-batch distinct-doc
-    counts per shingle hash (the combiner before the exchange)."""
+    counts per shingle hash (the combiner before the exchange).
+
+    Hash-only, as the module docstring promises: the ASCII fast path is
+    ``batch_word_hashes`` + one global rolling pass + one lexsort for
+    the (doc, hash) pair dedup — no token strings are materialized and
+    no per-doc Python runs (strings are only touched in the recovery
+    pass, and only for the surviving hot set).
+    """
     import pyarrow.compute as pc
+
+    from raydedup.stages.signatures import batch_word_hashes, rolling_hash_segments
+    from raydedup.stages.textstats import _gather_valid_windows
 
     col = t.column("text")
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     arr = pc.fill_null(arr, "")
-    per_doc: list[np.ndarray] = []
-    h, ws, we, _, _, ascii_mask = _doc_window_segments(arr, k)
-    for d in range(ws.shape[0]):
-        hw = h[ws[d] : we[d]]
-        if hw.shape[0]:
-            per_doc.append(np.unique(hw))
+    parts: list[np.ndarray] = []
+
+    ascii_mask = pc.string_is_ascii(arr).to_numpy(zero_copy_only=False)
+    if ascii_mask.any():
+        sub = arr.filter(pa.array(ascii_mask))
+        flat, offs = batch_word_hashes(sub)
+        h, ws, we = rolling_hash_segments(flat, offs, k)
+        hv, doc_of = _gather_valid_windows(h, ws, we)
+        if hv.shape[0]:
+            order = np.lexsort((hv, doc_of))
+            hs, ds_ = hv[order], doc_of[order]
+            new_pair = np.empty(hs.shape[0], dtype=bool)
+            new_pair[0] = True
+            new_pair[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+            parts.append(hs[new_pair])
+
     slow = np.flatnonzero(~ascii_mask)
     if slow.shape[0]:
         texts = arr.to_pylist()
@@ -118,13 +138,13 @@ def _count_partial(t: pa.Table, k: int) -> pa.Table:
             wh = _WORD_CACHE.hash_words(tokenize(texts[d]))
             hw = rolling_hash_u64(wh, k)
             if hw.shape[0]:
-                per_doc.append(np.unique(hw))
-    if not per_doc:
+                parts.append(np.unique(hw))
+
+    if not parts:
         return pa.table(
             {"h": pa.array([], pa.int64()), "nd_partial": pa.array([], pa.int64())}
         )
-    allh = np.concatenate(per_doc)
-    uniq, counts = np.unique(allh, return_counts=True)
+    uniq, counts = np.unique(np.concatenate(parts), return_counts=True)
     return pa.table(
         {
             "h": pa.array(uniq.view(I64), type=pa.int64()),

@@ -78,6 +78,12 @@ def exact_quantiles(
     """
     from raydedup.stages.exchange import hash_exchange_apply
 
+    if not pcts:
+        raise ValueError("exact_quantiles needs at least one percentile")
+    bad = [p for p in pcts if not 0 <= int(p) <= 100]
+    if bad:
+        raise ValueError(f"percentiles must be in [0, 100], got {bad}")
+
     partials = ds.map_batches(
         lambda t: _partial_counts(t, col, by), batch_format="pyarrow"
     )

@@ -102,3 +102,35 @@ def test_line_split_matches_duckdb(ray_session):
         assert got == t.split("\n")
     df = _run(["", "x\ny\n", "\n", "a\n\na"])
     assert df.n_lines.tolist() == [1, 3, 2, 3]
+
+
+def test_oracle_sql_matches_kernel_on_edge_whitespace(ray_session):
+    """The DuckDB oracle must agree with the engine on docs with
+    leading/trailing tabs/newlines (DuckDB's 1-arg trim strips spaces
+    only — oracle_sql() rewrites every trim with the explicit
+    whitespace set)."""
+    import duckdb
+    import pyarrow as pa
+
+    import __ray_entry__ as entry
+    from raydedup.stages.textstats import repetition_batch
+
+    texts = ["x\ny\n", "\talpha beta\t", "\n\n", "a b a\r\n", " plain spaces "]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.large_string()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(entry.oracle_sql()["repetition_scores"]).df()
+    got = (
+        repetition_batch(tbl)
+        .select(list(want.columns))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in want.columns:
+        assert (got[c].values == want[c].values).all(), c
