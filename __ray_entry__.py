@@ -133,6 +133,15 @@ def _q_doc_stats_by_lang(sf_dir: str):
     return df.sort_values("lang").reset_index(drop=True)
 
 
+def _q_doc_stats_by_source(sf_dir: str):
+    """A6 stats on the domain axis: per-source doc counts + length
+    min/mean/max (same grouped-statistics stage, by='source')."""
+    from raydedup.stages.textstats import doc_stats
+
+    df = doc_stats(_read(sf_dir, "documents"), by="source").to_pandas()
+    return df.sort_values("source").reset_index(drop=True)
+
+
 def _q_token_counts(sf_dir: str):
     """Text analysis: whitespace token counts per doc."""
     from raydedup.stages.textstats import token_count_batch
@@ -1074,6 +1083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_increment": _q_dedup_increment,
         "exact_dup_pairs": _q_exact_dup_pairs,
         "doc_stats_by_lang": _q_doc_stats_by_lang,
+        "doc_stats_by_source": _q_doc_stats_by_source,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
         "repetition_scores": _q_repetition_scores,
@@ -1815,6 +1825,14 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY count(*) OVER (PARTITION BY text) >= 2
                 AND doc_id != min(doc_id) OVER (PARTITION BY text)
             ORDER BY a, b
+        """,
+        "doc_stats_by_source": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   avg(length(text)) AS avg_len,
+                   CAST(min(length(text)) AS BIGINT) AS min_len,
+                   CAST(max(length(text)) AS BIGINT) AS max_len
+            FROM documents GROUP BY source ORDER BY source
         """,
         "doc_stats_by_lang": """
             SELECT lang,
