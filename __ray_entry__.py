@@ -255,6 +255,15 @@ def _q_event_funnel(sf_dir: str):
     return tbl.to_pandas()
 
 
+def _q_retention_cohorts(sf_dir: str):
+    """Weekly cohort retention triangle: users cohorted by the epoch
+    week of their first event; cell (cohort, k) counts users active k
+    weeks later (stages/retention.py, ONE user-keyed exchange)."""
+    from raydedup.stages.retention import retention
+
+    return retention(_read(sf_dir, "events")).to_pandas()
+
+
 def _q_jaccard_pairs(sf_dir: str):
     """J4/A7: all-pairs exact word-5-gram Jaccard >= 0.2 (brute force)."""
     from raydedup.stages.bruteforce import jaccard_pairs_bruteforce
@@ -1093,6 +1102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_terms": _q_search_terms,
         "user_sessions": _q_user_sessions,
         "event_funnel": _q_event_funnel,
+        "retention_cohorts": _q_retention_cohorts,
         "jaccard_pairs": _q_jaccard_pairs,
         "jaccard_char_ngrams": _q_jaccard_char_ngrams,
         "containment_pairs": _q_containment_pairs,
@@ -1857,6 +1867,21 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / greatest(length(text), 1) AS punct_ratio,
                    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1) AS digit_ratio
             FROM documents ORDER BY doc_id
+        """,
+        # weekly cohort retention: integer epoch-week floor on both sides
+        "retention_cohorts": """
+            WITH p AS (
+              SELECT user_id, epoch_us(ts) // 604800000000 AS per FROM events
+            ),
+            u AS (SELECT user_id, min(per) AS cohort FROM p GROUP BY user_id),
+            a AS (
+              SELECT DISTINCT p.user_id, u.cohort, p.per - u.cohort AS k
+              FROM p JOIN u USING (user_id)
+            )
+            SELECT CAST(cohort AS BIGINT) AS cohort,
+                   CAST(k AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM a GROUP BY cohort, k ORDER BY cohort, k
         """,
         # conversion funnel, earliest-completion matching: step i = the
         # user's min ts of that type strictly after the step i-1 match
