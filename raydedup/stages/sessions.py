@@ -81,10 +81,17 @@ def _sessionize_bucket(t: pa.Table, gap_us: int) -> pa.Table:
     )
 
 
-def sessionize(events: Dataset, gap_s: int = 1800) -> pa.Table:
+def sessionize(events: Dataset, gap_s: int = 1800) -> Dataset:
     """events(event_id, ts, user_id, value) -> one row per (user_id,
     session_id) with event count, span, and exact cent-sum. Sessions
-    split where the inactivity gap exceeds ``gap_s`` seconds."""
+    split where the inactivity gap exceeds ``gap_s`` seconds.
+
+    Returns a DATASET (one block per exchange bucket): the session
+    table is row-proportional to the input — at corpus scale it must
+    stream to a sink, never land on the driver.
+    """
+    import ray.data as rd
+
     from raydedup.stages.exchange import hash_exchange_apply
 
     def prep(t: pa.Table) -> pa.Table:
@@ -117,6 +124,9 @@ def sessionize(events: Dataset, gap_s: int = 1800) -> pa.Table:
         prep, batch_format="pyarrow"
     )
     gap_us = int(gap_s) * 1_000_000
-    return hash_exchange_apply(
-        prepped, "user_id", lambda t: _sessionize_bucket(t, gap_us)
+    refs = hash_exchange_apply(
+        prepped, "user_id", lambda t: _sessionize_bucket(t, gap_us), collect=False
     )
+    if not refs:
+        return rd.from_arrow(_OUT_SCHEMA.empty_table())
+    return rd.from_arrow_refs(refs)

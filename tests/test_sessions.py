@@ -95,4 +95,4 @@ def test_empty_events(ray_session):
     from raydedup.stages.sessions import sessionize
 
     out = sessionize(_mkevents(ROWS).filter(lambda r: False), gap_s=1800)
-    assert out.num_rows == 0
+    assert out.count() == 0
