@@ -264,6 +264,15 @@ def _q_retention_cohorts(sf_dir: str):
     return retention(_read(sf_dir, "events")).to_pandas()
 
 
+def _q_embedding_stats(sf_dir: str):
+    """Per-vector embedding sanity stats; sequential (cumsum) sums for
+    bit-parity with DuckDB list_sum (stages/ann.py embedding_stats)."""
+    from raydedup.stages.ann import embedding_stats
+
+    ds = embedding_stats(_read(sf_dir, "embeddings"))
+    return ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_jaccard_pairs(sf_dir: str):
     """J4/A7: all-pairs exact word-5-gram Jaccard >= 0.2 (brute force)."""
     from raydedup.stages.bruteforce import jaccard_pairs_bruteforce
@@ -1103,6 +1112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": _q_user_sessions,
         "event_funnel": _q_event_funnel,
         "retention_cohorts": _q_retention_cohorts,
+        "embedding_stats": _q_embedding_stats,
         "jaccard_pairs": _q_jaccard_pairs,
         "jaccard_char_ngrams": _q_jaccard_char_ngrams,
         "containment_pairs": _q_containment_pairs,
@@ -1867,6 +1877,14 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / greatest(length(text), 1) AS punct_ratio,
                    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1) AS digit_ratio
             FROM documents ORDER BY doc_id
+        """,
+        # per-vector stats; list_sum folds sequentially = np.cumsum
+        "embedding_stats": """
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(len(embedding) AS BIGINT) AS dim,
+                   sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS l2_norm,
+                   list_sum(CAST(embedding AS DOUBLE[])) / len(embedding) AS mean_val
+            FROM embeddings ORDER BY vec_id
         """,
         # weekly cohort retention: integer epoch-week floor on both sides
         "retention_cohorts": """

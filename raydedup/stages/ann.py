@@ -498,3 +498,41 @@ def embedding_neardup_bruteforce(
         {"a": "int64", "b": "int64", "cosine": "float64"}
     )
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def embedding_stats(embeddings: Dataset, col: str = "embedding") -> Dataset:
+    """Per-vector sanity statistics: (vec_id, dim, l2_norm, mean_val).
+
+    Stateless vectorized map_batches. Reductions use ``np.cumsum``
+    (strictly sequential) rather than ``np.sum`` (pairwise): DuckDB's
+    ``list_sum`` folds left-to-right, and only the sequential order is
+    bit-identical to it — verified: cumsum matches list_sum exactly,
+    np.sum differs by ~1e-15 (the repo's IEEE-parity discipline).
+    """
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("dim", pa.int64()),
+                    ("l2_norm", pa.float64()),
+                    ("mean_val", pa.float64()),
+                ]
+            ).empty_table()
+        m = _batch_matrix(t, col)  # float64, one row per vector
+        sq = np.cumsum(m * m, axis=1)[:, -1]
+        sm = np.cumsum(m, axis=1)[:, -1]
+        d = m.shape[1]
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").cast(pa.int64()),
+                "dim": pa.array(np.full(m.shape[0], d, dtype=np.int64), pa.int64()),
+                "l2_norm": pa.array(np.sqrt(sq), pa.float64()),
+                "mean_val": pa.array(sm / d, pa.float64()),
+            }
+        )
+
+    return embeddings.select_columns(["vec_id", col]).map_batches(
+        kernel, batch_format="pyarrow"
+    )

@@ -149,3 +149,37 @@ def test_knn_cosine_batch_matches_single(ray_session):
         got = batch[batch["query_id"] == q]
         assert list(got["vec_id"]) == list(single["vec_id"])
         np.testing.assert_allclose(got["cosine"].to_numpy(), single["cosine"].to_numpy())
+
+
+def test_embedding_stats_matches_duckdb_bitwise(ray_session):
+    """Sequential (cumsum) reductions must bit-match DuckDB's list_sum
+    fold on the same float32->float64 data; np.sum (pairwise) would
+    differ at ~1e-15."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.ann import embedding_stats
+
+    rng = np.random.default_rng(21)
+    vecs = rng.standard_normal((150, 40)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(150), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    got = (
+        embedding_stats(rd.from_arrow(tbl).repartition(4))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("embeddings", tbl)
+    import __ray_entry__ as entry
+
+    want = con.execute(entry.oracle_sql()["embedding_stats"]).df()
+    for c in ["vec_id", "dim", "l2_norm", "mean_val"]:
+        assert (got[c].values == want[c].values).all(), c
