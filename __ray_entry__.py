@@ -273,6 +273,15 @@ def _q_embedding_stats(sf_dir: str):
     return ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_weekly_active_users(sf_dir: str):
+    """Rolling 7-day distinct active users per activity day (WAU) —
+    rolling-distinct via user-keyed exchange + windowed expansion
+    (stages/active_users.py)."""
+    from raydedup.stages.active_users import rolling_active_users
+
+    return rolling_active_users(_read(sf_dir, "events"), window=7).to_pandas()
+
+
 def _q_jaccard_pairs(sf_dir: str):
     """J4/A7: all-pairs exact word-5-gram Jaccard >= 0.2 (brute force)."""
     from raydedup.stages.bruteforce import jaccard_pairs_bruteforce
@@ -1113,6 +1122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": _q_event_funnel,
         "retention_cohorts": _q_retention_cohorts,
         "embedding_stats": _q_embedding_stats,
+        "weekly_active_users": _q_weekly_active_users,
         "jaccard_pairs": _q_jaccard_pairs,
         "jaccard_char_ngrams": _q_jaccard_char_ngrams,
         "containment_pairs": _q_containment_pairs,
@@ -1877,6 +1887,18 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / greatest(length(text), 1) AS punct_ratio,
                    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1) AS digit_ratio
             FROM documents ORDER BY doc_id
+        """,
+        # rolling 7-day distinct users per activity day
+        "weekly_active_users": """
+            WITH ud AS (
+              SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+              FROM events
+            ),
+            days AS (SELECT DISTINCT d FROM ud)
+            SELECT CAST(days.d AS BIGINT) AS d,
+                   CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_users
+            FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+            GROUP BY days.d ORDER BY d
         """,
         # per-vector stats; list_sum folds sequentially = np.cumsum
         "embedding_stats": """
