@@ -282,6 +282,21 @@ def _q_weekly_active_users(sf_dir: str):
     return rolling_active_users(_read(sf_dir, "events"), window=7).to_pandas()
 
 
+def _q_revenue_by_nation(sf_dir: str):
+    """Star-join aggregate: lineitem ⋈ orders via the two-sided hash
+    exchange, customer→nation broadcast dims, exact integer centi-cent
+    revenue (stages/relational.py)."""
+    from raydedup.stages.relational import revenue_by_nation
+
+    tbl = revenue_by_nation(
+        _read(sf_dir, "lineitem"),
+        _read(sf_dir, "orders"),
+        _read(sf_dir, "customer"),
+        _read(sf_dir, "nation"),
+    )
+    return tbl.to_pandas()
+
+
 def _q_jaccard_pairs(sf_dir: str):
     """J4/A7: all-pairs exact word-5-gram Jaccard >= 0.2 (brute force)."""
     from raydedup.stages.bruteforce import jaccard_pairs_bruteforce
@@ -1123,6 +1138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention_cohorts,
         "embedding_stats": _q_embedding_stats,
         "weekly_active_users": _q_weekly_active_users,
+        "revenue_by_nation": _q_revenue_by_nation,
         "jaccard_pairs": _q_jaccard_pairs,
         "jaccard_char_ngrams": _q_jaccard_char_ngrams,
         "containment_pairs": _q_containment_pairs,
@@ -1887,6 +1903,19 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / greatest(length(text), 1) AS punct_ratio,
                    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1) AS digit_ratio
             FROM documents ORDER BY doc_id
+        """,
+        # star-join revenue; exact integer centi-cents both sides
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+                       AS revenue_cc,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
         """,
         # rolling 7-day distinct users per activity day
         "weekly_active_users": """
