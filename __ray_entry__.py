@@ -1917,10 +1917,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name ORDER BY n_name
         """,
-        # rolling 7-day distinct users per activity day
+        # rolling 7-day distinct users per activity day (epoch-day
+        # FLOOR on both sides — see retention_cohorts note)
         "weekly_active_users": """
             WITH ud AS (
-              SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+              SELECT DISTINCT user_id,
+                     (epoch_us(ts) - CASE WHEN epoch_us(ts) < 0
+                                          THEN 86399999999 ELSE 0 END)
+                       // 86400000000 AS d
               FROM events
             ),
             days AS (SELECT DISTINCT d FROM ud)
@@ -1933,14 +1937,24 @@ def oracle_sql() -> dict[str, str]:
         "embedding_stats": """
             SELECT CAST(vec_id AS BIGINT) AS vec_id,
                    CAST(len(embedding) AS BIGINT) AS dim,
-                   sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS l2_norm,
-                   list_sum(CAST(embedding AS DOUBLE[])) / len(embedding) AS mean_val
+                   CASE WHEN len(embedding) = 0 THEN 0.0
+                        ELSE sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)))
+                   END AS l2_norm,
+                   CASE WHEN len(embedding) = 0 THEN 0.0
+                        ELSE list_sum(CAST(embedding AS DOUBLE[])) / len(embedding)
+                   END AS mean_val
             FROM embeddings ORDER BY vec_id
         """,
-        # weekly cohort retention: integer epoch-week floor on both sides
+        # weekly cohort retention: integer epoch-week FLOOR on both
+        # sides — DuckDB // truncates toward zero, so pre-1970
+        # timestamps need the floor correction (numpy // floors)
         "retention_cohorts": """
             WITH p AS (
-              SELECT user_id, epoch_us(ts) // 604800000000 AS per FROM events
+              SELECT user_id,
+                     (epoch_us(ts) - CASE WHEN epoch_us(ts) < 0
+                                          THEN 604799999999 ELSE 0 END)
+                       // 604800000000 AS per
+              FROM events
             ),
             u AS (SELECT user_id, min(per) AS cohort FROM p GROUP BY user_id),
             a AS (

@@ -85,24 +85,11 @@ def rolling_active_users(events: Dataset, window: int = 7) -> pa.Table:
     days ending at ``d``. Sorted by d."""
     if window < 1:
         raise ValueError("window must be >= 1")
-    from raydedup.stages.exchange import hash_exchange_apply
+    from raydedup.stages.exchange import cast_columns, hash_exchange_apply
 
-    def prep(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        if t.num_rows == 0 or t.num_columns == 0:
-            return pa.schema(
-                [("user_id", pa.int64()), ("ts", pa.timestamp("us"))]
-            ).empty_table()
-        return pa.table(
-            {
-                "user_id": pc.cast(t.column("user_id"), pa.int64()),
-                "ts": pc.cast(t.column("ts"), pa.timestamp("us")),
-            }
-        )
-
+    schema = pa.schema([("user_id", pa.int64()), ("ts", pa.timestamp("us"))])
     prepped = events.select_columns(["user_id", "ts"]).map_batches(
-        prep, batch_format="pyarrow"
+        lambda t: cast_columns(t, schema), batch_format="pyarrow"
     )
     parts = hash_exchange_apply(
         prepped, "user_id", lambda t: _active_bucket(t, int(window))

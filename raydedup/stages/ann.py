@@ -521,15 +521,21 @@ def embedding_stats(embeddings: Dataset, col: str = "embedding") -> Dataset:
                 ]
             ).empty_table()
         m = _batch_matrix(t, col)  # float64, one row per vector
-        sq = np.cumsum(m * m, axis=1)[:, -1]
-        sm = np.cumsum(m, axis=1)[:, -1]
         d = m.shape[1]
+        if d == 0:
+            # zero-length vectors: the degenerate case a sanity pass
+            # must report, not crash on (cumsum[:, -1] needs width >= 1)
+            zero = np.zeros(m.shape[0], dtype=np.float64)
+            sq, sm = zero, zero
+        else:
+            sq = np.cumsum(m * m, axis=1)[:, -1]
+            sm = np.cumsum(m, axis=1)[:, -1]
         return pa.table(
             {
                 "vec_id": t.column("vec_id").cast(pa.int64()),
                 "dim": pa.array(np.full(m.shape[0], d, dtype=np.int64), pa.int64()),
                 "l2_norm": pa.array(np.sqrt(sq), pa.float64()),
-                "mean_val": pa.array(sm / d, pa.float64()),
+                "mean_val": pa.array(sm / max(d, 1), pa.float64()),
             }
         )
 

@@ -300,3 +300,13 @@ def hash_exchange_apply(
     if not results:
         return ray.get(out_refs[0]) if out_refs else pa.table({})
     return pa.concat_tables(results, promote_options="default")
+
+
+def cast_columns(block: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Project + cast ``block`` to exactly ``schema`` (shared prep for
+    the events-table exchange stages). Handles the Ray 2.49 hazard of
+    0-row/0-column blocks by returning a typed empty table."""
+    if block.num_rows == 0 or block.num_columns == 0:
+        return schema.empty_table()
+    cols = {f.name: block.column(f.name).cast(f.type) for f in schema}
+    return pa.table(cols, schema=schema)

@@ -81,28 +81,23 @@ def funnel(events: Dataset, steps: list[str]) -> pa.Table:
     earliest-completion matching."""
     if len(steps) < 1:
         raise ValueError("funnel needs at least one step")
-    from raydedup.stages.exchange import hash_exchange_apply
+    from raydedup.stages.exchange import cast_columns, hash_exchange_apply
+
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("event_type", pa.large_string()),
+        ]
+    )
 
     def prep(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         if t.num_rows == 0 or t.num_columns == 0:
-            return pa.schema(
-                [
-                    ("user_id", pa.int64()),
-                    ("ts", pa.timestamp("us")),
-                    ("event_type", pa.large_string()),
-                ]
-            ).empty_table()
+            return schema.empty_table()
         keep = pc.is_in(t.column("event_type"), value_set=pa.array(list(set(steps))))
-        sub = t.filter(keep)
-        return pa.table(
-            {
-                "user_id": pc.cast(sub.column("user_id"), pa.int64()),
-                "ts": pc.cast(sub.column("ts"), pa.timestamp("us")),
-                "event_type": pc.cast(sub.column("event_type"), pa.large_string()),
-            }
-        )
+        return cast_columns(t.filter(keep), schema)
 
     prepped = events.select_columns(["user_id", "ts", "event_type"]).map_batches(
         prep, batch_format="pyarrow"

@@ -130,8 +130,20 @@ def revenue_by_nation(
         cnt = tl.column("n_items").to_numpy(zero_copy_only=False).astype(I64)[hit]
         cust_of = ocust[pos[hit]]
         ckb, cnb = ray.get(ck_ref), ray.get(cn_ref)
-        nidx = cnb[np.searchsorted(ckb, cust_of)]  # every custkey is in the dim
-        agg_rev = np.zeros(25 if nidx.size == 0 else int(nidx.max()) + 1, dtype=I64)
+        cpos = np.searchsorted(ckb, cust_of)
+        found = (cpos < ckb.shape[0]) & (
+            ckb[np.minimum(cpos, ckb.shape[0] - 1)] == cust_of
+        )
+        if not found.all():
+            # referential-integrity breach: silently booking revenue to
+            # the neighbouring custkey's nation would be a wrong answer
+            # with no signal — fail loudly instead
+            raise ValueError(
+                f"{int((~found).sum())} order custkeys missing from the "
+                "customer dimension"
+            )
+        nidx = cnb[cpos]
+        agg_rev = np.zeros(int(nidx.max()) + 1, dtype=I64)
         agg_cnt = np.zeros_like(agg_rev)
         np.add.at(agg_rev, nidx, rev)
         np.add.at(agg_cnt, nidx, cnt)
@@ -155,6 +167,12 @@ def revenue_by_nation(
     tot_rev = np.zeros(nk.shape[0], dtype=I64)
     tot_cnt = np.zeros(nk.shape[0], dtype=I64)
     pos = np.searchsorted(nk, nidx)
+    found = (pos < nk.shape[0]) & (nk[np.minimum(pos, nk.shape[0] - 1)] == nidx)
+    if not found.all():
+        raise ValueError(
+            f"{int((~found).sum())} customer nationkeys missing from the "
+            "nation dimension"
+        )
     np.add.at(tot_rev, pos, rev)
     np.add.at(tot_cnt, pos, cnt)
     keep = np.flatnonzero(tot_cnt)

@@ -52,12 +52,19 @@ def _retention_bucket(t: pa.Table, period_us: int) -> pa.Table:
     new_pair[1:] = (u[1:] != u[:-1]) | (offset[1:] != offset[:-1])
     c, k = cohort[new_pair], offset[new_pair]
 
-    key = c * np.int64(1 << 20) + k  # offsets are < 2^20 periods
-    uniq, counts = np.unique(key, return_counts=True)
+    # count per (cohort, k) cell: one more lexsort + run boundaries —
+    # no bit-packing, so no silent corruption for any period/offset range
+    order = np.lexsort((k, c))
+    cs, ks = c[order], k[order]
+    new_cell = np.empty(cs.shape[0], dtype=bool)
+    new_cell[0] = True
+    new_cell[1:] = (cs[1:] != cs[:-1]) | (ks[1:] != ks[:-1])
+    starts = np.flatnonzero(new_cell)
+    counts = np.diff(starts, append=I64(cs.shape[0]))
     return pa.table(
         {
-            "cohort": pa.array(uniq >> np.int64(20), type=pa.int64()),
-            "k": pa.array(uniq & np.int64((1 << 20) - 1), type=pa.int64()),
+            "cohort": pa.array(cs[starts], type=pa.int64()),
+            "k": pa.array(ks[starts], type=pa.int64()),
             "n_users": pa.array(counts.astype(I64), type=pa.int64()),
         }
     )
@@ -67,24 +74,11 @@ def retention(events: Dataset, period_s: int = 7 * 86400) -> pa.Table:
     """events(user_id, ts) -> (cohort, k, n_users): users cohorted by
     the epoch period of their first event; cell (cohort, k) counts
     users with any event k periods later. Sorted by (cohort, k)."""
-    from raydedup.stages.exchange import hash_exchange_apply
+    from raydedup.stages.exchange import cast_columns, hash_exchange_apply
 
-    def prep(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        if t.num_rows == 0 or t.num_columns == 0:
-            return pa.schema(
-                [("user_id", pa.int64()), ("ts", pa.timestamp("us"))]
-            ).empty_table()
-        return pa.table(
-            {
-                "user_id": pc.cast(t.column("user_id"), pa.int64()),
-                "ts": pc.cast(t.column("ts"), pa.timestamp("us")),
-            }
-        )
-
+    schema = pa.schema([("user_id", pa.int64()), ("ts", pa.timestamp("us"))])
     prepped = events.select_columns(["user_id", "ts"]).map_batches(
-        prep, batch_format="pyarrow"
+        lambda t: cast_columns(t, schema), batch_format="pyarrow"
     )
     period_us = int(period_s) * 1_000_000
     parts = hash_exchange_apply(

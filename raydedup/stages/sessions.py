@@ -92,32 +92,21 @@ def sessionize(events: Dataset, gap_s: int = 1800) -> Dataset:
     """
     import ray.data as rd
 
-    from raydedup.stages.exchange import hash_exchange_apply
+    from raydedup.stages.exchange import cast_columns, hash_exchange_apply
+
+    base = pa.schema(
+        [("user_id", pa.int64()), ("ts", pa.timestamp("us")), ("event_id", pa.int64())]
+    )
+    out_cols = pa.schema(list(base) + [("value_cents", pa.int64())])
 
     def prep(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         if t.num_rows == 0 or t.num_columns == 0:
-            return pa.schema(
-                [
-                    ("user_id", pa.int64()),
-                    ("ts", pa.timestamp("us")),
-                    ("event_id", pa.int64()),
-                    ("value_cents", pa.int64()),
-                ]
-            ).empty_table()
+            return out_cols.empty_table()
         v = t.column("value").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "user_id": pc.cast(t.column("user_id"), pa.int64()),
-                "ts": pc.cast(t.column("ts"), pa.timestamp("us")),
-                "event_id": pc.cast(t.column("event_id"), pa.int64()),
-                # np.rint + SQL round(value*100, 0): the repo's proven
-                # cent pair (values are 2-decimal, never exactly .5)
-                "value_cents": pa.array(
-                    np.rint(v * 100).astype(I64), type=pa.int64()
-                ),
-            }
+        # np.rint + SQL round(value*100, 0): the repo's proven cent pair
+        # (values are 2-decimal, never exactly .5)
+        return cast_columns(t, base).append_column(
+            "value_cents", pa.array(np.rint(v * 100).astype(I64), type=pa.int64())
         )
 
     prepped = events.select_columns(["event_id", "ts", "user_id", "value"]).map_batches(

@@ -183,3 +183,21 @@ def test_embedding_stats_matches_duckdb_bitwise(ray_session):
     want = con.execute(entry.oracle_sql()["embedding_stats"]).df()
     for c in ["vec_id", "dim", "l2_norm", "mean_val"]:
         assert (got[c].values == want[c].values).all(), c
+
+
+def test_embedding_stats_zero_length_vectors(ray_session):
+    """Zero-dim vectors are reported (dim=0, zeros), not crashed on."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.ann import embedding_stats
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[], []], pa.list_(pa.float32())),
+        }
+    )
+    got = embedding_stats(rd.from_arrow(tbl)).to_pandas().sort_values("vec_id")
+    assert got.dim.tolist() == [0, 0]
+    assert got.l2_norm.tolist() == [0.0, 0.0] and got.mean_val.tolist() == [0.0, 0.0]

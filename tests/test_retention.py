@@ -74,3 +74,23 @@ def test_partition_invariance_and_empty(ray_session):
     assert a.equals(b)
     empty = retention(_mkevents(ROWS).filter(lambda r: False))
     assert empty.num_rows == 0 and empty.schema.names == ["cohort", "k", "n_users"]
+
+
+def test_small_period_large_offsets(ray_session):
+    """period_s=1 over multi-day spans produces offsets far beyond any
+    packing assumption — counts must stay exact (regression for the
+    former 20-bit (cohort,k) bit-pack)."""
+    from raydedup.stages.retention import retention
+
+    SEC = 1_000_000
+    rows = [(1, 0), (1, (1 << 21) * SEC), (2, 5 * SEC)]
+    got = retention(_mkevents(rows), period_s=1)
+    cells = {
+        (c, k): n
+        for c, k, n in zip(
+            got.column("cohort").to_pylist(),
+            got.column("k").to_pylist(),
+            got.column("n_users").to_pylist(),
+        )
+    }
+    assert cells == {(0, 0): 1, (0, 1 << 21): 1, (5, 0): 1}
