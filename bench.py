@@ -195,6 +195,9 @@ def run_bench() -> dict:
     timed("stratified_sample_sf", lambda: q["stratified_sample"](SF_DIR))
     timed("hot_passages_sf", lambda: q["hot_passages"](SF_DIR))
     timed("repetition_scores_sf", lambda: q["repetition_scores"](SF_DIR))
+    timed("user_sessions_sf", lambda: q["user_sessions"](SF_DIR))
+    timed("weekly_active_users_sf", lambda: q["weekly_active_users"](SF_DIR))
+    timed("revenue_by_nation_sf", lambda: q["revenue_by_nation"](SF_DIR))
 
     out = {
         "metric": "dedup pipeline wall time (synthetic pages corpus, containment on)",

@@ -313,6 +313,51 @@ def cmd_search(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_events(args: argparse.Namespace) -> int:
+    """Event-table analytics: sessions | funnel | retention | wau over
+    an events parquet file/dir."""
+    _init_ray()
+    import ray.data as rd
+
+    ev = rd.read_parquet(args.events)
+    if args.op == "sessions":
+        from raydedup.stages.sessions import sessionize
+
+        df = sessionize(ev, gap_s=args.gap).to_pandas()
+        df = df.sort_values(["user_id", "session_id"]).head(args.top or len(df))
+        for r in df.itertuples(index=False):
+            print(f"{r.user_id}\t{r.session_id}\t{r.n_events}\t{r.sum_value_cents}")
+    elif args.op == "funnel":
+        from raydedup.stages.funnel import funnel
+
+        tbl = funnel(ev, args.steps or ["view", "click", "purchase"])
+        for s, et, n in zip(
+            tbl.column("step").to_pylist(),
+            tbl.column("event_type").to_pylist(),
+            tbl.column("n_users").to_pylist(),
+        ):
+            print(f"{s}\t{et}\t{n}")
+    elif args.op == "retention":
+        from raydedup.stages.retention import retention
+
+        tbl = retention(ev, period_s=args.period)
+        for c, k, n in zip(
+            tbl.column("cohort").to_pylist(),
+            tbl.column("k").to_pylist(),
+            tbl.column("n_users").to_pylist(),
+        ):
+            print(f"{c}\t{k}\t{n}")
+    else:  # wau
+        from raydedup.stages.active_users import rolling_active_users
+
+        tbl = rolling_active_users(ev, window=args.window)
+        for d, n in zip(
+            tbl.column("d").to_pylist(), tbl.column("n_users").to_pylist()
+        ):
+            print(f"{d}\t{n}")
+    return 0
+
+
 def cmd_stats(args: argparse.Namespace) -> int:
     _init_ray()
     import ray.data as rd
@@ -453,6 +498,16 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--mode", choices=["and", "or"], default="and")
     s.add_argument("--top", type=int, default=None)
     s.set_defaults(fn=cmd_search)
+
+    s = sub.add_parser("events", help="event analytics: sessions|funnel|retention|wau")
+    s.add_argument("op", choices=["sessions", "funnel", "retention", "wau"])
+    s.add_argument("events", help="events parquet file or directory")
+    s.add_argument("--gap", type=int, default=1800, help="session gap seconds")
+    s.add_argument("--steps", nargs="+", default=None, help="funnel event types")
+    s.add_argument("--period", type=int, default=7 * 86400, help="retention period seconds")
+    s.add_argument("--window", type=int, default=7, help="wau window days")
+    s.add_argument("--top", type=int, default=None)
+    s.set_defaults(fn=cmd_events)
 
     s = sub.add_parser("stats", help="index statistics")
     s.add_argument("index")

@@ -249,3 +249,43 @@ def test_search_verb_no_matches(ray_session, small_corpus, capsys, monkeypatch):
     rc = main(["search", paths["pages"], "zz-not-a-token-zz"])
     assert rc == 0
     assert capsys.readouterr().out.strip() == ""
+
+
+def test_events_verb(ray_session, capsys, monkeypatch, tmp_path):
+    """`events` runs each analytics op over an events parquet."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr("raydedup.cli._init_ray", lambda: None)
+    MIN = 60 * 1_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(np.array([0, 10 * MIN, 41 * MIN, 0], dtype="datetime64[us]")),
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "event_type": pa.array(["view", "click", "purchase", "view"], pa.large_string()),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+        }
+    )
+    f = str(tmp_path / "events.parquet")
+    pq.write_table(tbl, f)
+
+    rc = main(["events", "sessions", f, "--gap", "1800"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 3  # user1: 2 sessions, user2: 1
+
+    rc = main(["events", "funnel", f])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert [l.split("\t")[2] for l in out] == ["2", "1", "1"]
+
+    rc = main(["events", "wau", f, "--window", "1"])
+    assert rc == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 1
+
+    rc = main(["events", "retention", f])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == ["0", "0", "2"]
