@@ -297,6 +297,16 @@ def _q_revenue_by_nation(sf_dir: str):
     return tbl.to_pandas()
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Training-data chunking: 64-token whitespace-normalized windows
+    per doc, fully vectorized Arrow offset surgery + binary_join
+    (stages/chunking.py); row-local, streams with no shuffle."""
+    from raydedup.stages.chunking import chunk_documents
+
+    ds = chunk_documents(_read(sf_dir, "documents"), chunk_tokens=64)
+    return ds.to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
 def _q_jaccard_pairs(sf_dir: str):
     """J4/A7: all-pairs exact word-5-gram Jaccard >= 0.2 (brute force)."""
     from raydedup.stages.bruteforce import jaccard_pairs_bruteforce
@@ -1139,6 +1149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_stats": _q_embedding_stats,
         "weekly_active_users": _q_weekly_active_users,
         "revenue_by_nation": _q_revenue_by_nation,
+        "chunk_documents": _q_chunk_documents,
         "jaccard_pairs": _q_jaccard_pairs,
         "jaccard_char_ngrams": _q_jaccard_char_ngrams,
         "containment_pairs": _q_containment_pairs,
@@ -1903,6 +1914,24 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / greatest(length(text), 1) AS punct_ratio,
                    length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(length(text), 1) AS digit_ratio
             FROM documents ORDER BY doc_id
+        """,
+        # fixed-token-window chunking; chunks are tokens re-joined with
+        # single spaces on both sides (whitespace-normalizing)
+        "chunk_documents": """
+            WITH toks AS (
+              SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY pos) rn
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(trim(text), '\\s+')) AS w,
+                           generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+                    FROM documents
+                    WHERE length(trim(text)) > 0)
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST((rn - 1) // 64 AS BIGINT) AS chunk_id,
+                   string_agg(w, ' ' ORDER BY rn) AS text_chunk,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM toks GROUP BY doc_id, (rn - 1) // 64
+            ORDER BY doc_id, chunk_id
         """,
         # star-join revenue; exact integer centi-cents both sides
         "revenue_by_nation": """
