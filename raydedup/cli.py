@@ -313,6 +313,27 @@ def cmd_search(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_chunk(args: argparse.Namespace) -> int:
+    """Chunk a pages dir into fixed-token windows and write them as
+    partitioned parquet (streams end-to-end, never driver-collected)."""
+    _init_ray()
+    import pyarrow.parquet as pq
+
+    from raydedup.sources.pages import pages_to_docs, read_pages
+    from raydedup.stages.chunking import chunk_documents
+
+    files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
+    docs = pages_to_docs(read_pages(files))
+    chunks = chunk_documents(docs, chunk_tokens=args.tokens, overlap=args.overlap)
+    chunks.write_parquet(args.out)
+    n = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(args.out, "*.parquet"))
+    )
+    print(json.dumps({"chunks": n, "out": args.out}))
+    return 0
+
+
 def cmd_events(args: argparse.Namespace) -> int:
     """Event-table analytics: sessions | funnel | retention | wau over
     an events parquet file/dir."""
@@ -498,6 +519,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--mode", choices=["and", "or"], default="and")
     s.add_argument("--top", type=int, default=None)
     s.set_defaults(fn=cmd_search)
+
+    s = sub.add_parser("chunk", help="split pages into fixed-token chunks (parquet out)")
+    s.add_argument("pages")
+    s.add_argument("out")
+    s.add_argument("--tokens", type=int, default=128)
+    s.add_argument("--overlap", type=int, default=0)
+    s.set_defaults(fn=cmd_chunk)
 
     s = sub.add_parser("events", help="event analytics: sessions|funnel|retention|wau")
     s.add_argument("op", choices=["sessions", "funnel", "retention", "wau"])

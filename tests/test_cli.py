@@ -289,3 +289,23 @@ def test_events_verb(ray_session, capsys, monkeypatch, tmp_path):
     assert rc == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert out[0].split("\t") == ["0", "0", "2"]
+
+
+def test_chunk_verb(ray_session, small_corpus, tmp_path, capsys, monkeypatch):
+    """`chunk` writes token-window chunks as parquet; token totals match
+    the corpus token count."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr("raydedup.cli._init_ray", lambda: None)
+    _, paths = small_corpus
+    out = str(tmp_path / "chunks")
+    rc = main(["chunk", paths["pages"], out, "--tokens", "64"])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    files = g.glob(os.path.join(out, "*.parquet"))
+    assert files and info["chunks"] == sum(pq.read_metadata(f).num_rows for f in files)
+    t = pq.read_table(files[0])
+    assert set(t.schema.names) == {"doc_id", "chunk_id", "text_chunk", "n_tokens"}
+    assert max(t.column("n_tokens").to_pylist()) <= 64
