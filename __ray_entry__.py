@@ -232,6 +232,82 @@ def _q_search_terms(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_pii_scan(sf_dir: str):
+    """PII / pattern scan (stages/scrub.py scan_patterns): per-event
+    RE2 occurrence counts over the props metadata string — email, ipv4,
+    generic digit runs — single stateless Arrow pass, no shuffle."""
+    from raydedup.stages.scrub import PII_PATTERNS, scan_patterns
+
+    pats = {"email": PII_PATTERNS["email"], "ipv4": PII_PATTERNS["ipv4"], "number": r"[0-9]+"}
+    ds = scan_patterns(
+        _read(sf_dir, "events"), key_col="event_id", text_col="props", patterns=pats
+    )
+    df = ds.to_pandas().sort_values("event_id").reset_index(drop=True)
+    df["has_match"] = df["has_match"].astype("int64")
+    return df
+
+
+def _q_pii_redact(sf_dir: str):
+    """PII redaction (stages/scrub.py redact_patterns): email -> <EMAIL>,
+    ipv4 -> <IP>, digit runs -> <NUM>, applied in order inside Arrow's
+    RE2 replace kernel — the redacted text itself is hash-compared
+    against DuckDB's nested regexp_replace(..., 'g')."""
+    from raydedup.stages.scrub import redact_patterns
+
+    ds = redact_patterns(_read(sf_dir, "events"), key_col="event_id", text_col="props")
+    return ds.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+def _q_props_field_stats(sf_dir: str):
+    """Semi-structured field extraction + grouped stats: pull the
+    integer `k` field out of the props JSON string with an RE2 capture
+    (stages/scrub.py extract_int_field, event_type carried through),
+    then per-type integer count/sum/min/max via per-batch combiner
+    partials merged on the driver (O(types) rows). The oracle extracts
+    via DuckDB's real JSON path functions — an independent parser."""
+    from raydedup.stages.scrub import extract_int_field
+
+    ds = extract_int_field(
+        _read(sf_dir, "events"),
+        key_col="event_id",
+        text_col="props",
+        pattern=r'"k":\s*(?P<k>-?[0-9]+)',
+        group="k",
+        out_col="k",
+        carry=("event_type",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = t.filter(pc.is_valid(t.column("k")))
+        if ok.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                }
+            )
+        g = ok.group_by("event_type").aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")]
+        )
+        return g.rename_columns(["event_type", "n", "s", "mn", "mx"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby("event_type", as_index=False)
+        .agg(n_events=("n", "sum"), sum_k=("s", "sum"), min_k=("mn", "min"), max_k=("mx", "max"))
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    for c in ("n_events", "sum_k", "min_k", "max_k"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def _q_user_sessions(sf_dir: str):
     """Gap-based sessionization (30-min inactivity): one row per
     (user, session) with event count, span, exact cent-sum — ONE
@@ -1143,6 +1219,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "len_quantiles_by_lang": _q_len_quantiles_by_lang,
         "df_commonness": _q_df_commonness,
         "search_terms": _q_search_terms,
+        "pii_scan": _q_pii_scan,
+        "pii_redact": _q_pii_redact,
+        "props_field_stats": _q_props_field_stats,
         "user_sessions": _q_user_sessions,
         "event_funnel": _q_event_funnel,
         "retention_cohorts": _q_retention_cohorts,
@@ -2044,6 +2123,49 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             GROUP BY user_id, sid
             ORDER BY user_id, session_id
+        """,
+        # PII pattern scan: RE2 occurrence counts per event (DuckDB and
+        # Arrow share the RE2 engine -> counts are exactly comparable)
+        "pii_scan": """
+            WITH c AS (
+              SELECT event_id,
+                CAST(len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                CAST(len(regexp_extract_all(props, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ipv4,
+                CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_number
+              FROM events
+            )
+            SELECT event_id, n_email, n_ipv4, n_number,
+                   CAST((n_email + n_ipv4 + n_number) > 0 AS BIGINT) AS has_match
+            FROM c ORDER BY event_id
+        """,
+        # PII redaction: nested global regexp_replace in the same rule
+        # order as the engine; the redacted strings are hash-compared
+        "pii_redact": """
+            SELECT event_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(props,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+                     '[0-9]+', '<NUM>', 'g') AS redacted
+            FROM events ORDER BY event_id
+        """,
+        # semi-structured field stats: the oracle parses props with
+        # DuckDB's real JSON functions (independent of the engine's
+        # RE2 capture), integer aggregates only
+        "props_field_stats": """
+            WITH x AS (
+              SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events
+            )
+            SELECT event_type,
+                   CAST(count(k) AS BIGINT) AS n_events,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(min(k) AS BIGINT) AS min_k,
+                   CAST(max(k) AS BIGINT) AS max_k
+            FROM x WHERE k IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
         """,
         # keyword AND-search over lowered whitespace tokens
         "search_terms": """
