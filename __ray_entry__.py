@@ -232,6 +232,28 @@ def _q_search_terms(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_vocab_stats(sf_dir: str):
+    """Corpus vocabulary statistics (stages/tfidf.py vocab_stats): total
+    occurrences, distinct tokens, hapax count, max corpus frequency —
+    per-batch combiner, ONE token-hash exchange, O(buckets) driver merge."""
+    from raydedup.stages.tfidf import vocab_stats
+
+    return vocab_stats(_read(sf_dir, "documents")).to_pandas()
+
+
+def _q_cluster_size_stats(sf_dir: str):
+    """Duplication profile: component-size histogram over the flagship
+    pipeline's cluster assignment (stages/cluster.py
+    cluster_size_histogram — cluster-keyed exchange, per-bucket exact
+    sizes, O(buckets x sizes) driver merge)."""
+    from raydedup.config import DedupConfig
+    from raydedup.pipelines.dedup import run_dedup
+    from raydedup.stages.cluster import cluster_size_histogram
+
+    res = run_dedup(_docs(sf_dir), DedupConfig(batch_size=1024), containment=True)
+    return cluster_size_histogram(res.clusters).to_pandas()
+
+
 def _q_pii_scan(sf_dir: str):
     """PII / pattern scan (stages/scrub.py scan_patterns): per-event
     RE2 occurrence counts over the props metadata string — email, ipv4,
@@ -1219,6 +1241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "len_quantiles_by_lang": _q_len_quantiles_by_lang,
         "df_commonness": _q_df_commonness,
         "search_terms": _q_search_terms,
+        "vocab_stats": _q_vocab_stats,
+        "cluster_size_stats": _q_cluster_size_stats,
         "pii_scan": _q_pii_scan,
         "pii_redact": _q_pii_redact,
         "props_field_stats": _q_props_field_stats,
@@ -2123,6 +2147,28 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             GROUP BY user_id, sid
             ORDER BY user_id, session_id
+        """,
+        # corpus vocabulary statistics over lowered whitespace tokens
+        "vocab_stats": """
+            WITH toks AS (
+              SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+              FROM documents WHERE trim(lower(text)) <> ''
+            ),
+            cf AS (SELECT w, count(*) AS c FROM toks GROUP BY w)
+            SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS total_tokens,
+                   CAST(count(*) AS BIGINT) AS distinct_tokens,
+                   CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS hapax_tokens,
+                   CAST(coalesce(max(c), 0) AS BIGINT) AS max_token_count
+            FROM cf
+        """,
+        # component-size histogram over the flagship pipeline's
+        # assignment (wraps the full hash-green dedup_pipeline mirror)
+        "cluster_size_stats": f"""
+            WITH asn AS ({q_dedup_pipeline_sql()}),
+            sz AS (SELECT cluster_id, count(*) AS s FROM asn GROUP BY cluster_id)
+            SELECT CAST(s AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+            FROM sz GROUP BY s ORDER BY s
         """,
         # PII pattern scan: RE2 occurrence counts per event (DuckDB and
         # Arrow share the RE2 engine -> counts are exactly comparable)

@@ -265,3 +265,40 @@ def assignments_table(
         )
 
     return docs.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")
+
+
+def cluster_size_histogram(clusters: Dataset) -> pa.Table:
+    """clusters(doc_id, cluster_id) -> (cluster_size, n_clusters): how
+    many components have each size — the duplication-profile statistic
+    (`PanakoStorageKV.java:381-467` storage stats turned onto the
+    component axis).
+
+    Scale shape: ONE cluster_id-keyed hash exchange so every component's
+    rows land in the same bucket (per-bucket exact sizes via np.unique),
+    each bucket emits its own (size -> count) partial, and the driver
+    merges O(buckets x distinct_sizes) tiny rows — the full assignment
+    table is never collected.
+    """
+    from raydedup.stages.exchange import hash_exchange_apply
+
+    schema = pa.schema([("cluster_size", pa.int64()), ("n_clusters", pa.int64())])
+
+    def bucket_hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        cids = t.column("cluster_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        _, per_cluster = np.unique(cids, return_counts=True)
+        sizes, n = np.unique(per_cluster, return_counts=True)
+        return pa.table(
+            {
+                "cluster_size": pa.array(sizes.astype(np.int64), pa.int64()),
+                "n_clusters": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = hash_exchange_apply(
+        clusters.select_columns(["cluster_id"]), "cluster_id", bucket_hist
+    )
+    merged = parts.group_by("cluster_size").aggregate([("n_clusters", "sum")])
+    merged = merged.rename_columns(["cluster_size", "n_clusters"]).cast(schema)
+    return merged.sort_by("cluster_size")

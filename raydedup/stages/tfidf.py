@@ -362,3 +362,76 @@ def top_terms(
     if not out_refs:
         return rd.from_arrow(_TOP_TERMS_SCHEMA.empty_table())
     return rd.from_arrow_refs(out_refs)
+
+
+def vocab_stats(docs: Dataset) -> pa.Table:
+    """docs(doc_id, text) -> ONE row of corpus vocabulary statistics:
+    total token occurrences, distinct tokens, hapax tokens (corpus
+    frequency exactly 1) and the max corpus frequency — the vocabulary
+    health check (Zipf head/tail profile) a curation run reads before
+    choosing tokenizer/filters.
+
+    Scale shape: per-batch (token, cf_partial) combiner -> ONE
+    token-hash-keyed exchange (exact string grouping in-bucket, same
+    discipline as doc_frequency) -> each bucket emits ONE summary
+    partial -> driver adds O(buckets) rows. Distinct/hapax counts are
+    exact because a token's occurrences all land in one bucket.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _batch_doc_token_counts(t)
+        p = c.group_by("token").aggregate([("tf", "sum")])
+        p = p.rename_columns(["token", "cf_partial"]).cast(
+            pa.schema([("token", pa.large_string()), ("cf_partial", pa.int64())])
+        )
+        return _with_token_key(p)
+
+    partials = docs.select_columns(["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    from raydedup.stages.exchange import hash_exchange_apply
+
+    out_schema = pa.schema(
+        [
+            ("total_tokens", pa.int64()),
+            ("distinct_tokens", pa.int64()),
+            ("hapax_tokens", pa.int64()),
+            ("max_token_count", pa.int64()),
+        ]
+    )
+
+    def bucket_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        g = t.group_by("token").aggregate([("cf_partial", "sum")])
+        cf = g.column("cf_partial_sum").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "total_tokens": pa.array([int(cf.sum())], pa.int64()),
+                "distinct_tokens": pa.array([int(cf.shape[0])], pa.int64()),
+                "hapax_tokens": pa.array([int((cf == 1).sum())], pa.int64()),
+                "max_token_count": pa.array([int(cf.max())], pa.int64()),
+            }
+        )
+
+    parts = hash_exchange_apply(partials, "key", bucket_summary)
+    if parts.num_rows == 0:
+        return pa.table(
+            {
+                "total_tokens": pa.array([0], pa.int64()),
+                "distinct_tokens": pa.array([0], pa.int64()),
+                "hapax_tokens": pa.array([0], pa.int64()),
+                "max_token_count": pa.array([0], pa.int64()),
+            }
+        )
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "total_tokens": pa.array([pc.sum(parts.column("total_tokens")).as_py()], pa.int64()),
+            "distinct_tokens": pa.array([pc.sum(parts.column("distinct_tokens")).as_py()], pa.int64()),
+            "hapax_tokens": pa.array([pc.sum(parts.column("hapax_tokens")).as_py()], pa.int64()),
+            "max_token_count": pa.array([pc.max(parts.column("max_token_count")).as_py()], pa.int64()),
+        }
+    )

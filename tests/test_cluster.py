@@ -104,3 +104,25 @@ def test_vectorized_cc_long_chain(ray_session):
     mem, root = cluster_edges_arrays(ids[:-1], ids[1:])
     assert np.all(root == 5)
     assert set(mem.tolist()) == set(ids.tolist())
+
+
+def test_cluster_size_histogram(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.cluster import cluster_size_histogram
+
+    # clusters: {1,2,3} -> 10, {4} -> 4, {5,6} -> 50, {7} -> 7
+    cids = [10, 10, 10, 4, 50, 50, 7]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, 8), pa.int64()),
+                "cluster_id": pa.array(cids, pa.int64()),
+            }
+        )
+    )
+    for nb in (1, 4):
+        t = cluster_size_histogram(ds.repartition(nb))
+        assert t.column("cluster_size").to_pylist() == [1, 2, 3]
+        assert t.column("n_clusters").to_pylist() == [2, 1, 1]

@@ -197,3 +197,25 @@ def test_df_commonness_partition_invariance(ray_session):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_vocab_stats_matches_naive(ray_session):
+    from raydedup.stages.tfidf import vocab_stats
+
+    texts = TEXTS + ["naïve schön naïve", ""]
+    t = vocab_stats(_mkdocs(texts).repartition(3))
+    cf = Counter()
+    for x in texts:
+        cf.update(x.lower().split())
+    assert t.column("total_tokens")[0].as_py() == sum(cf.values())
+    assert t.column("distinct_tokens")[0].as_py() == len(cf)
+    assert t.column("hapax_tokens")[0].as_py() == sum(1 for v in cf.values() if v == 1)
+    assert t.column("max_token_count")[0].as_py() == max(cf.values())
+
+
+def test_vocab_stats_empty_corpus(ray_session):
+    from raydedup.stages.tfidf import vocab_stats
+
+    t = vocab_stats(_mkdocs(["", "   "]))
+    assert t.column("total_tokens")[0].as_py() == 0
+    assert t.column("distinct_tokens")[0].as_py() == 0
