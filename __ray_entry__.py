@@ -232,6 +232,17 @@ def _q_search_terms(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_event_zscores(sf_dir: str):
+    """Grouped outlier flag (stages/anomaly.py event_zscores): events
+    with |z| >= 2 within their event_type — integer-cent partials +
+    driver merge (O(types)), broadcast stats, stateless scoring pass;
+    the z doubles are hash-compared bit-for-bit against DuckDB."""
+    from raydedup.stages.anomaly import event_zscores
+
+    ds = event_zscores(_read(sf_dir, "events"), z_min=2.0)
+    return ds.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
 def _q_vocab_stats(sf_dir: str):
     """Corpus vocabulary statistics (stages/tfidf.py vocab_stats): total
     occurrences, distinct tokens, hapax count, max corpus frequency —
@@ -1241,6 +1252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "len_quantiles_by_lang": _q_len_quantiles_by_lang,
         "df_commonness": _q_df_commonness,
         "search_terms": _q_search_terms,
+        "event_zscores": _q_event_zscores,
         "vocab_stats": _q_vocab_stats,
         "cluster_size_stats": _q_cluster_size_stats,
         "pii_scan": _q_pii_scan,
@@ -2147,6 +2159,30 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             GROUP BY user_id, sid
             ORDER BY user_id, session_id
+        """,
+        # grouped z-score outliers: exact integer-cent sums, identical
+        # IEEE expression order on both sides -> bit-equal doubles
+        "event_zscores": """
+            WITH e AS (
+              SELECT event_id, event_type,
+                     CAST(round(value*100, 0) AS BIGINT) AS cents
+              FROM events
+            ),
+            st AS (
+              SELECT event_type, count(*) AS n, sum(cents) AS s,
+                     sum(cents*cents) AS ssq
+              FROM e GROUP BY event_type
+            ),
+            z AS (
+              SELECT e.event_id, e.event_type, e.cents,
+                     (CAST(e.cents AS DOUBLE) - CAST(st.s AS DOUBLE)/st.n)
+                     / sqrt(CAST(st.n*st.ssq - st.s*st.s AS DOUBLE)
+                            / (CAST(st.n AS DOUBLE)*CAST(st.n AS DOUBLE))) AS z
+              FROM e JOIN st USING (event_type)
+              WHERE st.n >= 2 AND st.n*st.ssq - st.s*st.s > 0
+            )
+            SELECT event_id, event_type, cents, z
+            FROM z WHERE abs(z) >= 2.0 ORDER BY event_id
         """,
         # corpus vocabulary statistics over lowered whitespace tokens
         "vocab_stats": """
