@@ -771,6 +771,18 @@ def _q_hot_passages(sf_dir: str):
     return tbl.to_pandas()
 
 
+def _q_collocations(sf_dir: str):
+    """Collocation discovery: adjacent lowered-token pairs occurring
+    >= 5 times corpus-wide, scored by lift = (c_xy*N)/(c_x*c_y) — the
+    phrase-mining pass over the token-adjacency axis. Hash-only count
+    exchanges; strings recovered only for the surviving head
+    (stages/collocations.py)."""
+    from raydedup.stages.collocations import collocations
+
+    tbl = collocations(_read(sf_dir, "documents"), min_count=5, top_k=20)
+    return tbl.to_pandas()
+
+
 def _q_events_type_stats(sf_dir: str):
     """A6: per-event-type counts + exact cent-sums + min/max value."""
     from ray.data.aggregate import Count, Max, Min, Sum
@@ -1291,6 +1303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": _q_orders_by_segment,
         "top_customers": _q_top_customers,
         "hot_passages": _q_hot_passages,
+        "collocations": _q_collocations,
         # rows-only
         "minhash_signatures": _q_minhash_signatures,
         "minhash_oph": _q_minhash_oph,
@@ -2914,6 +2927,41 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY shingle
         HAVING count(*) >= 3
         ORDER BY n_docs DESC, shingle
+        """,
+        # collocations: adjacent-token-pair lift. Exact int64 counts on
+        # both sides; lift is ONE IEEE division of exact int products
+        # (< 2^53 at oracle scale) so the doubles are bit-equal.
+        "collocations": """
+            WITH toks AS (
+              SELECT doc_id, w, pos
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+                           generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+                    FROM documents
+                    WHERE length(trim(lower(text))) > 0)
+            ), bi AS (
+              SELECT w AS w1,
+                     lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+              FROM toks
+              QUALIFY w2 IS NOT NULL
+            ), pc AS (
+              SELECT w1, w2, count(*) AS n_pair
+              FROM bi GROUP BY w1, w2
+              HAVING count(*) >= 5
+            ), uc AS (
+              SELECT w, count(*) AS c FROM toks GROUP BY w
+            ), tot AS (
+              SELECT count(*) AS n FROM toks
+            )
+            SELECT pc.w1, pc.w2, CAST(pc.n_pair AS BIGINT) AS n_pair,
+                   CAST(pc.n_pair * tot.n AS DOUBLE)
+                     / CAST(u1.c * u2.c AS DOUBLE) AS lift
+            FROM pc
+            CROSS JOIN tot
+            JOIN uc u1 ON u1.w = pc.w1
+            JOIN uc u2 ON u2.w = pc.w2
+            ORDER BY lift DESC, n_pair DESC, pc.w1, pc.w2
+            LIMIT 20
         """,
         "minhash_signatures": q_minhash_signatures(),
         "minhash_oph": q_minhash_oph_sql(),
