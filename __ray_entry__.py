@@ -783,6 +783,25 @@ def _q_collocations(sf_dir: str):
     return tbl.to_pandas()
 
 
+def _q_dedup_lines(sf_dir: str):
+    """C4/RefinedWeb-style boilerplate line removal: every occurrence of
+    a non-empty line shared by >= 2 distinct documents is stripped;
+    survivors rejoin with newline in original order (stages/lines.py —
+    hash-only counting exchange + broadcast filter, streams)."""
+    from raydedup.stages.lines import dedup_lines
+
+    ds = dedup_lines(_read(sf_dir, "documents"), min_docs=2)
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_hot_lines(sf_dir: str):
+    """Boilerplate line discovery: non-empty byte-exact lines occurring
+    in >= 2 distinct documents with their distinct-doc counts."""
+    from raydedup.stages.lines import hot_lines
+
+    return hot_lines(_read(sf_dir, "documents"), min_docs=2).to_pandas()
+
+
 def _q_events_type_stats(sf_dir: str):
     """A6: per-event-type counts + exact cent-sums + min/max value."""
     from ray.data.aggregate import Count, Max, Min, Sum
@@ -1304,6 +1323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": _q_top_customers,
         "hot_passages": _q_hot_passages,
         "collocations": _q_collocations,
+        "dedup_lines": _q_dedup_lines,
+        "hot_lines": _q_hot_lines,
         # rows-only
         "minhash_signatures": _q_minhash_signatures,
         "minhash_oph": _q_minhash_oph,
@@ -2962,6 +2983,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc u2 ON u2.w = pc.w2
             ORDER BY lift DESC, n_pair DESC, pc.w1, pc.w2
             LIMIT 20
+        """,
+        # line-level boilerplate dedup: lines = byte-exact split on \n
+        # (an empty text is one empty line on both sides); empty lines
+        # are structure, never counted or removed
+        "dedup_lines": """
+            WITH lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS l,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS pos
+              FROM documents
+            ), hot AS (
+              SELECT l FROM lines WHERE l <> ''
+              GROUP BY l HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(
+                     CASE WHEN l IN (SELECT l FROM hot) THEN NULL ELSE l END,
+                     chr(10) ORDER BY pos), '') AS text,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) FILTER (WHERE l IN (SELECT l FROM hot)) AS BIGINT) AS n_removed
+            FROM lines
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """,
+        "hot_lines": """
+            SELECT l AS line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                  FROM documents)
+            WHERE l <> ''
+            GROUP BY l HAVING count(DISTINCT doc_id) >= 2
+            ORDER BY n_docs DESC, line
         """,
         "minhash_signatures": q_minhash_signatures(),
         "minhash_oph": q_minhash_oph_sql(),

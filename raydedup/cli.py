@@ -291,6 +291,32 @@ def cmd_passages(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_lines(args: argparse.Namespace) -> int:
+    """Line-level boilerplate pass: with --out, strip every line shared
+    by >= --min-docs docs and write the cleaned docs as parquet; without,
+    print the hot lines (count TAB line, hottest first)."""
+    _init_ray()
+    from raydedup.sources.pages import pages_to_docs, read_pages
+    from raydedup.stages.lines import dedup_lines, hot_lines
+
+    files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
+    docs = pages_to_docs(read_pages(files))
+    if args.out:
+        import pyarrow.parquet as pq
+
+        dedup_lines(docs, min_docs=args.min_docs).write_parquet(args.out)
+        n = sum(
+            pq.read_metadata(f).num_rows
+            for f in glob.glob(os.path.join(args.out, "*.parquet"))
+        )
+        print(json.dumps({"docs": n, "out": args.out}))
+        return 0
+    tbl = hot_lines(docs, min_docs=args.min_docs, limit=args.top)
+    for s, n in zip(tbl.column("line").to_pylist(), tbl.column("n_docs").to_pylist()):
+        print(f"{n}\t{s}")
+    return 0
+
+
 def cmd_search(args: argparse.Namespace) -> int:
     """Index-free distributed grep: print doc_id TAB n_matched TAB
     n_hits for every doc whose tokens cover the query terms."""
@@ -512,6 +538,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--k", type=int, default=5)
     s.add_argument("--top", type=int, default=None)
     s.set_defaults(fn=cmd_passages)
+
+    s = sub.add_parser("lines", help="boilerplate lines: list (default) or strip with --out")
+    s.add_argument("pages")
+    s.add_argument("--min-docs", type=int, default=2)
+    s.add_argument("--out", default=None, help="write line-deduped docs parquet here")
+    s.add_argument("--top", type=int, default=None)
+    s.set_defaults(fn=cmd_lines)
 
     s = sub.add_parser("search", help="docs containing the query terms (distributed grep)")
     s.add_argument("pages")
