@@ -435,6 +435,26 @@ def _q_jaccard_char_ngrams(sf_dir: str):
     return jaccard_pairs_bruteforce(_docs(sf_dir), cfg=cfg, min_jaccard=0.2)
 
 
+def _q_fuzzy_pairs(sf_dir: str):
+    """A5 fuzzy-matcher family: byte-level Levenshtein distance +
+    normalized similarity over the exact-Jaccard candidate pair set
+    (stages/editdist.py — broadcast pair texts, vectorized-row DP)."""
+    import ray.data as rd
+
+    from raydedup.stages.bruteforce import jaccard_pairs_bruteforce
+    from raydedup.stages.editdist import fuzzy_pairs
+
+    base = jaccard_pairs_bruteforce(_docs(sf_dir), min_jaccard=0.2)
+    a = base["a"].to_numpy().astype(np.int64)
+    b = base["b"].to_numpy().astype(np.int64)
+    pairs = rd.from_arrow(
+        pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    )
+    ids = np.unique(np.concatenate([a, b])) if a.shape[0] else np.empty(0, np.int64)
+    df = fuzzy_pairs(pairs, _docs(sf_dir), ids).to_pandas()
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _q_containment_pairs(sf_dir: str):
     """W1 containment: docs whose text is a proper substring of another."""
     from raydedup.stages.bruteforce import containment_pairs_exact
@@ -1298,6 +1318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "jaccard_pairs": _q_jaccard_pairs,
         "jaccard_char_ngrams": _q_jaccard_char_ngrams,
+        "fuzzy_pairs": _q_fuzzy_pairs,
         "containment_pairs": _q_containment_pairs,
         "matched_segments": _q_matched_segments,
         "decontaminate": _q_decontaminate,
@@ -2448,6 +2469,33 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = ad
         JOIN sizes sb ON sb.doc_id = bd
         WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.2
+        ORDER BY a, b
+        """,
+        # fuzzy matcher: byte-level Levenshtein over the exact-Jaccard
+        # candidate pair set. DuckDB levenshtein() is byte-based
+        # (naïve→naive = 2) matching the engine's uint8 DP kernel;
+        # strlen() is byte length; sim is one raw IEEE division.
+        "fuzzy_pairs": _SHINGLES_CTE
+        + """
+        , sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        withn AS (
+          SELECT p.a, p.b,
+                 CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+                 greatest(strlen(da.text), strlen(db.text)) AS denom
+          FROM (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ni
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2) p
+          JOIN sizes sa ON sa.doc_id = p.a
+          JOIN sizes sb ON sb.doc_id = p.b
+          JOIN documents da ON da.doc_id = p.a
+          JOIN documents db ON db.doc_id = p.b
+          WHERE p.ni * 1.0 / (sa.n + sb.n - p.ni) >= 0.2
+        )
+        SELECT a, b, dist,
+               CASE WHEN denom = 0 THEN 1.0
+                    ELSE 1.0 - CAST(dist AS DOUBLE) / denom END AS sim
+        FROM withn
         ORDER BY a, b
         """,
         "containment_pairs": """
