@@ -232,6 +232,16 @@ def _q_search_terms(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_bm25_search(sf_dir: str):
+    """BM25 ranked search: top-20 docs for a 3-term query, log-free
+    odds-ratio idf for cross-engine bit parity (stages/bm25.py; zero
+    shuffle — O(terms) stats partials + per-block top-k merge)."""
+    from raydedup.stages.bm25 import bm25_search
+
+    tbl = bm25_search(_read(sf_dir, "documents"), ["data", "merge", "vector"], k=20)
+    return tbl.to_pandas()
+
+
 def _q_event_zscores(sf_dir: str):
     """Grouped outlier flag (stages/anomaly.py event_zscores): events
     with |z| >= 2 within their event_type — integer-cent partials +
@@ -355,6 +365,18 @@ def _q_user_sessions(sf_dir: str):
     )
 
 
+def _q_asof_attribution(sf_dir: str):
+    """As-of join: each purchase attributed to the user's most recent
+    STRICTLY-earlier click (ties on ts -> max event_id); inner join.
+    ONE user-keyed exchange, union-sort kernel (stages/asof.py)."""
+    from raydedup.stages.asof import asof_join_events
+
+    ds = asof_join_events(_read(sf_dir, "events"), "purchase", "click")
+    return (
+        ds.to_pandas().sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    )
+
+
 def _q_event_funnel(sf_dir: str):
     """Conversion funnel view -> click -> purchase, earliest-completion
     matching; ONE user-keyed exchange (stages/funnel.py)."""
@@ -421,6 +443,17 @@ def _q_jaccard_pairs(sf_dir: str):
     from raydedup.stages.bruteforce import jaccard_pairs_bruteforce
 
     return jaccard_pairs_bruteforce(_docs(sf_dir), min_jaccard=0.2)
+
+
+def _q_prefix_filter_pairs(sf_dir: str):
+    """Exact Jaccard >= 0.5 self-join via LOSSLESS prefix filtering
+    (stages/ppjoin.py — AllPairs rarest-first ordering + exact verify;
+    the LSH-free scale path whose output must equal brute force)."""
+    from raydedup.stages.ppjoin import prefix_filter_pairs
+
+    tbl, metrics = prefix_filter_pairs(_docs(sf_dir), tau=0.5)
+    assert metrics["dropped_runs"] == 0, metrics  # lossless on this corpus
+    return tbl.to_pandas()
 
 
 def _q_jaccard_char_ngrams(sf_dir: str):
@@ -1303,6 +1336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "len_quantiles_by_lang": _q_len_quantiles_by_lang,
         "df_commonness": _q_df_commonness,
         "search_terms": _q_search_terms,
+        "bm25_search": _q_bm25_search,
         "event_zscores": _q_event_zscores,
         "vocab_stats": _q_vocab_stats,
         "cluster_size_stats": _q_cluster_size_stats,
@@ -1310,6 +1344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "props_field_stats": _q_props_field_stats,
         "user_sessions": _q_user_sessions,
+        "asof_attribution": _q_asof_attribution,
         "event_funnel": _q_event_funnel,
         "retention_cohorts": _q_retention_cohorts,
         "embedding_stats": _q_embedding_stats,
@@ -1317,6 +1352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "chunk_documents": _q_chunk_documents,
         "jaccard_pairs": _q_jaccard_pairs,
+        "prefix_filter_pairs": _q_prefix_filter_pairs,
         "jaccard_char_ngrams": _q_jaccard_char_ngrams,
         "fuzzy_pairs": _q_fuzzy_pairs,
         "containment_pairs": _q_containment_pairs,
@@ -2215,6 +2251,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, sid
             ORDER BY user_id, session_id
         """,
+        # as-of join: the IGNORE-NULLS last_value window over the union
+        # of both sides mirrors the engine's union-sort kernel exactly —
+        # ORDER BY (ts, is_r, event_id) puts left(0) before right(1) at
+        # equal ts, so the 1-PRECEDING frame enforces strict ts < and
+        # the frame's last right row is the (ts, event_id)-max match
+        "asof_attribution": """
+            WITH ev AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_r
+              FROM events
+              WHERE event_type IN ('purchase', 'click')
+            ),
+            m AS (
+              SELECT event_id, user_id, ts, is_r,
+                     last_value(CASE WHEN is_r = 1 THEN event_id END IGNORE NULLS)
+                       OVER w AS m_eid,
+                     last_value(CASE WHEN is_r = 1 THEN ts END IGNORE NULLS)
+                       OVER w AS m_ts
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_r, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   ts,
+                   CAST(m_eid AS BIGINT) AS matched_event_id,
+                   m_ts AS matched_ts,
+                   CAST(epoch_us(ts) - epoch_us(m_ts) AS BIGINT) AS lag_us
+            FROM m
+            WHERE is_r = 0 AND m_eid IS NOT NULL
+            ORDER BY user_id, event_id
+        """,
         # grouped z-score outliers: exact integer-cent sums, identical
         # IEEE expression order on both sides -> bit-equal doubles
         "event_zscores": """
@@ -2317,6 +2385,56 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
             HAVING count(DISTINCT w) >= 3
             ORDER BY doc_id
+        """,
+        # BM25 ranked search: log-free odds-ratio idf (raw IEEE
+        # divisions only — ln is not bit-stable across engines); every
+        # double expression below is written in the engine kernel's
+        # exact evaluation order, terms summed in sorted-term order, so
+        # the scores hash-match bit-for-bit
+        "bm25_search": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS dl,
+                     len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                     t -> t = 'data')) AS tf0,
+                     len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                     t -> t = 'merge')) AS tf1,
+                     len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                     t -> t = 'vector')) AS tf2
+              FROM documents
+            ),
+            s AS (
+              SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                     sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+              FROM d
+            ),
+            scored AS (
+              SELECT doc_id, dl,
+                     (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS n_matched,
+                     0.0
+                     + ((n - df0) + 0.5) / (df0 + 0.5) * (tf0 * (1.2 + 1.0))
+                       / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                     + ((n - df1) + 0.5) / (df1 + 0.5) * (tf1 * (1.2 + 1.0))
+                       / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                     + ((n - df2) + 0.5) / (df2 + 0.5) * (tf2 * (1.2 + 1.0))
+                       / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                     AS score
+              FROM d, s
+            )
+            SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+                   CAST(doc_id AS BIGINT) AS doc_id,
+                   score,
+                   CAST(dl AS BIGINT) AS dl,
+                   CAST(n_matched AS BIGINT) AS n_matched
+            FROM scored
+            WHERE n_matched > 0
+            ORDER BY score DESC, doc_id
+            LIMIT 20
         """,
         # corpus-frequency commonness: integer df-sum per doc + ONE
         # final IEEE division (cross-engine bit parity, no float sums)
@@ -2441,6 +2559,25 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = ad
         JOIN sizes sb ON sb.doc_id = bd
         WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.2
+        ORDER BY a, b
+        """,
+        # prefix-filter join: the engine path is lossless candidate
+        # generation + exact verification, so the oracle is simply the
+        # brute-force Jaccard join at tau=0.5 (same shingle CTE)
+        "prefix_filter_pairs": _SHINGLES_CTE
+        + """
+        , sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS ad, b.doc_id AS bd, count(*) AS ni
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT ad AS a, bd AS b,
+               ni * 1.0 / (sa.n + sb.n - ni) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = ad
+        JOIN sizes sb ON sb.doc_id = bd
+        WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.5
         ORDER BY a, b
         """,
         # char-8-gram variant: substr() by character == the engine's
