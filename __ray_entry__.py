@@ -428,6 +428,45 @@ def _q_revenue_by_nation(sf_dir: str):
     return tbl.to_pandas()
 
 
+def _q_orders_no_lineitems(sf_dir: str):
+    """Big ⋈ big ANTI-join: orders with no lineitem rows — one
+    two-sided hash exchange, sorted-unique key probe per bucket
+    (stages/setjoin.py key_join_filter; neither side broadcasts)."""
+    from raydedup.stages.setjoin import key_join_filter
+
+    ds = key_join_filter(
+        _read(sf_dir, "orders"),
+        _read(sf_dir, "lineitem"),
+        "o_orderkey",
+        "l_orderkey",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+        anti=True,
+    )
+    return ds.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+
+
+def _q_top_docs_per_lang(sf_dir: str):
+    """Per-group top-k (row_number PARTITION BY analog): 3 longest docs
+    per language, ties on doc_id — ONE group-keyed exchange, run-length
+    rank arithmetic (stages/grouptopk.py)."""
+    from raydedup.stages.grouptopk import group_topk
+
+    ds = group_topk(
+        _read(sf_dir, "documents"), "lang", "n_chars", "doc_id", k=3,
+        columns=["lang", "n_chars", "doc_id"],
+    )
+    return ds.to_pandas().sort_values(["lang", "rank"]).reset_index(drop=True)
+
+
+def _q_value_histogram(sf_dir: str):
+    """Grouped fixed-width value histogram (5.00-unit bins) over the
+    events table — exact integer cents floored through the identical
+    double division DuckDB runs (stages/histogram.py; zero shuffle)."""
+    from raydedup.stages.histogram import value_histogram
+
+    return value_histogram(_read(sf_dir, "events"), width_cents=500).to_pandas()
+
+
 def _q_chunk_documents(sf_dir: str):
     """Training-data chunking: 64-token whitespace-normalized windows
     per doc, fully vectorized Arrow offset surgery + binary_join
@@ -1350,6 +1389,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_stats": _q_embedding_stats,
         "weekly_active_users": _q_weekly_active_users,
         "revenue_by_nation": _q_revenue_by_nation,
+        "orders_no_lineitems": _q_orders_no_lineitems,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "value_histogram": _q_value_histogram,
         "chunk_documents": _q_chunk_documents,
         "jaccard_pairs": _q_jaccard_pairs,
         "prefix_filter_pairs": _q_prefix_filter_pairs,
@@ -2385,6 +2427,51 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
             HAVING count(DISTINCT w) >= 3
             ORDER BY doc_id
+        """,
+        # big-fact anti-join: NOT EXISTS mirror; o_totalprice passes
+        # through both engines untouched (same parquet doubles)
+        "orders_no_lineitems": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(o_custkey AS BIGINT) AS o_custkey,
+                   o_orderstatus,
+                   o_totalprice
+            FROM orders o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+            )
+            ORDER BY o_orderkey
+        """,
+        # per-group top-k: row_number window mirror, (n_chars DESC,
+        # doc_id) total order on both sides
+        "top_docs_per_lang": """
+            WITH r AS (
+              SELECT lang, CAST(n_chars AS BIGINT) AS n_chars,
+                     CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                     ) AS BIGINT) AS rank
+              FROM documents
+            )
+            SELECT lang, n_chars, doc_id, rank FROM r
+            WHERE rank <= 3 ORDER BY lang, rank
+        """,
+        # grouped fixed-width histogram: exact integer cents floored
+        # through the SAME double division (DuckDB's BIGINT // truncates
+        # toward zero; floor(cents/500.0) floors on both engines)
+        "value_histogram": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(floor(CAST(round(value * 100, 0) AS BIGINT) / 500.0)
+                          AS BIGINT) AS bin
+              FROM events
+            )
+            SELECT event_type,
+                   bin,
+                   CAST(bin * 500 AS BIGINT) AS lo_cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM e
+            GROUP BY event_type, bin
+            ORDER BY event_type, bin
         """,
         # BM25 ranked search: log-free odds-ratio idf (raw IEEE
         # divisions only — ln is not bit-stable across engines); every
