@@ -74,13 +74,20 @@ def revenue_by_nation(
 
     from raydedup.stages.exchange import hash_exchange_join
 
-    # dimension broadcast: custkey -> nation name index (packed, sorted)
-    cust = pa.concat_tables(
-        ray.get(list(customer.select_columns(["c_custkey", "c_nationkey"]).to_arrow_refs()))
-    )
-    nat = pa.concat_tables(
-        ray.get(list(nation.select_columns(["n_nationkey", "n_name"]).to_arrow_refs()))
-    )
+    # dimension broadcast: custkey -> nation name index (packed, sorted).
+    # 0-row blocks skip the select_columns projection in Ray 2.49 and
+    # keep the full read schema — drop them and re-select per block so
+    # the concat never sees a mixed schema.
+    def _collect(ds: Dataset, cols: list[str]) -> pa.Table:
+        blocks = [
+            b.select(cols)
+            for b in ray.get(list(ds.select_columns(cols).to_arrow_refs()))
+            if b.num_rows
+        ]
+        return pa.concat_tables(blocks)
+
+    cust = _collect(customer, ["c_custkey", "c_nationkey"])
+    nat = _collect(nation, ["n_nationkey", "n_name"])
     ck = cust.column("c_custkey").to_numpy(zero_copy_only=False).astype(I64)
     cn = cust.column("c_nationkey").to_numpy(zero_copy_only=False).astype(I64)
     order = np.argsort(ck)
