@@ -189,6 +189,16 @@ def _q_repetition_scores(sf_dir: str):
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_doc_len_ranks(sf_dir: str):
+    """Exact global rank + quartile per doc by (n_chars, doc_id)
+    WITHOUT a global sort: distinct-value cumulative counts broadcast +
+    in-bucket tie ranking (stages/ranking.py global_rank)."""
+    from raydedup.stages.ranking import global_rank
+
+    ds = global_rank(_read(sf_dir, "documents"), "n_chars", "doc_id", ntile=4)
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_len_quantiles(sf_dir: str):
     """Exact doc-length percentiles via the value-count exchange (only
     distinct lengths cross the wire — stages/quantiles.py)."""
@@ -375,6 +385,29 @@ def _q_asof_attribution(sf_dir: str):
     return (
         ds.to_pandas().sort_values(["user_id", "event_id"]).reset_index(drop=True)
     )
+
+
+def _q_window_view_counts(sf_dir: str):
+    """Windowed range join (inequality join): per purchase, the count
+    of the same user's views in [ts-30min, ts) — ONE user-keyed
+    exchange, union-sort two-probe kernel (stages/rangejoin.py)."""
+    from raydedup.stages.rangejoin import window_count_join
+
+    ds = window_count_join(_read(sf_dir, "events"), "purchase", "view", window_s=1800)
+    return ds.to_pandas().sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+def _q_user_activity_pivot(sf_dir: str):
+    """Pivot long -> wide: per-user counts of each event type as
+    columns (stages/pivot.py; per-batch wide combiner + ONE group-keyed
+    exchange — group cardinality never reaches the driver)."""
+    from raydedup.stages.pivot import pivot_counts
+
+    ds = pivot_counts(
+        _read(sf_dir, "events"), "user_id", "event_type",
+        ["view", "click", "purchase", "signup", "error"],
+    )
+    return ds.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 
 def _q_event_funnel(sf_dir: str):
@@ -1372,6 +1405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "repetition_scores": _q_repetition_scores,
         "len_quantiles": _q_len_quantiles,
+        "doc_len_ranks": _q_doc_len_ranks,
         "len_quantiles_by_lang": _q_len_quantiles_by_lang,
         "df_commonness": _q_df_commonness,
         "search_terms": _q_search_terms,
@@ -1384,6 +1418,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_field_stats": _q_props_field_stats,
         "user_sessions": _q_user_sessions,
         "asof_attribution": _q_asof_attribution,
+        "window_view_counts": _q_window_view_counts,
+        "user_activity_pivot": _q_user_activity_pivot,
         "event_funnel": _q_event_funnel,
         "retention_cohorts": _q_retention_cohorts,
         "embedding_stats": _q_embedding_stats,
@@ -2325,6 +2361,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE is_r = 0 AND m_eid IS NOT NULL
             ORDER BY user_id, event_id
         """,
+        # pivot: conditional-count mirror, fixed category column order
+        "user_activity_pivot": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type NOT IN
+                     ('view','click','purchase','signup','error')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM events
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
+        # windowed range join: LEFT JOIN + count(v.ts) keeps zero-count
+        # purchases, [ts-30min, ts) closed-low / strict-high bounds
+        "window_view_counts": """
+            WITH p AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ),
+            v AS (
+              SELECT user_id, ts FROM events WHERE event_type = 'view'
+            )
+            SELECT CAST(p.user_id AS BIGINT) AS user_id,
+                   CAST(p.event_id AS BIGINT) AS event_id,
+                   p.ts,
+                   CAST(count(v.ts) AS BIGINT) AS n_in_window
+            FROM p
+            LEFT JOIN v
+              ON v.user_id = p.user_id
+             AND v.ts >= p.ts - INTERVAL 30 MINUTE
+             AND v.ts < p.ts
+            GROUP BY p.user_id, p.event_id, p.ts
+            ORDER BY user_id, event_id
+        """,
         # grouped z-score outliers: exact integer-cent sums, identical
         # IEEE expression order on both sides -> bit-equal doubles
         "event_zscores": """
@@ -2440,6 +2514,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
             )
             ORDER BY o_orderkey
+        """,
+        # global rank without a global sort: row_number mirror; the
+        # tile is pure integer arithmetic ((4*(rank-1)) // n) both sides
+        "doc_len_ranks": """
+            WITH r AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(n_chars AS BIGINT) AS n_chars,
+                     CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                          AS BIGINT) AS rank
+              FROM documents
+            ),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT doc_id, n_chars, rank,
+                   CAST((4 * (rank - 1)) // n.n AS BIGINT) AS tile
+            FROM r, n
+            ORDER BY doc_id
         """,
         # per-group top-k: row_number window mirror, (n_chars DESC,
         # doc_id) total order on both sides
