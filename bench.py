@@ -50,6 +50,10 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # worker prints are forwarded to the DRIVER's stdout by default
+        # and can land ahead of the single JSON line this script must
+        # emit — keep stdout machine-parseable
+        log_to_driver=False,
     )
     from ray.data import DataContext
 
