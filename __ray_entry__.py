@@ -1042,6 +1042,19 @@ def _q_lineitem_agg(sf_dir: str):
     return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
+def _q_orders_rollup(sf_dir: str):
+    """Rollup aggregate: orders by (status, priority) with 'ALL'
+    subtotal and grand-total rows, exact integer cent sums
+    (stages/rollup.py; zero shuffle — per-batch partials, O(groups)
+    driver merge)."""
+    from raydedup.stages.rollup import rollup_counts
+
+    tbl = rollup_counts(
+        _read(sf_dir, "orders"), "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    return tbl.to_pandas()
+
+
 def _q_orders_by_segment(sf_dir: str):
     """Relational join (J2 analog): orders x customer grouped by market
     segment — Dataset.join + groupby with exact integer sums."""
@@ -1455,6 +1468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_rate": _q_dedup_rate,
         "lineitem_agg": _q_lineitem_agg,
         "orders_by_segment": _q_orders_by_segment,
+        "orders_rollup": _q_orders_rollup,
         "top_customers": _q_top_customers,
         "hot_passages": _q_hot_passages,
         "collocations": _q_collocations,
@@ -2360,6 +2374,27 @@ def oracle_sql() -> dict[str, str]:
             FROM m
             WHERE is_r = 0 AND m_eid IS NOT NULL
             ORDER BY user_id, event_id
+        """,
+        # rollup: explicit three-level UNION (literal 'ALL' markers, no
+        # ROLLUP-NULL conflation); exact integer cents both sides
+        "orders_rollup": """
+            WITH base AS (
+              SELECT o_orderstatus AS k1, o_orderpriority AS k2,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                          AS BIGINT) AS sum_cents
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT k1, k2, n, sum_cents FROM base
+            UNION ALL
+            SELECT k1, 'ALL', CAST(sum(n) AS BIGINT),
+                   CAST(sum(sum_cents) AS BIGINT)
+            FROM base GROUP BY k1
+            UNION ALL
+            SELECT 'ALL', 'ALL', CAST(sum(n) AS BIGINT),
+                   CAST(sum(sum_cents) AS BIGINT)
+            FROM base
+            ORDER BY k1, k2
         """,
         # pivot: conditional-count mirror, fixed category column order
         "user_activity_pivot": """
