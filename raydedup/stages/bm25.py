@@ -54,6 +54,10 @@ def _doc_term_matrix(t: pa.Table, tset: list[str]):
     ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(I64)
     order = np.argsort(ids, kind="stable")
     ids_sorted = ids[order]
+    # the searchsorted row-mapping below silently mis-attributes tf/dl if
+    # a doc_id repeats within a batch — fail loudly instead
+    if ids_sorted.shape[0] > 1 and not np.all(np.diff(ids_sorted) > 0):
+        raise ValueError("bm25: duplicate doc_id within a batch")
 
     dl = np.zeros(ids.shape[0], dtype=I64)
     tf = np.zeros((ids.shape[0], len(tset)), dtype=I64)

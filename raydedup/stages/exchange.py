@@ -302,6 +302,42 @@ def hash_exchange_apply(
     return pa.concat_tables(results, promote_options="default")
 
 
+@ray.remote
+def _block_nrows(t: pa.Table) -> int:
+    # 0-column blocks (the no-donor empty fallback) count as empty even
+    # though concat-safe row counts could differ
+    return t.num_rows if t.num_columns else 0
+
+
+def refs_to_dataset(refs: list, schema: pa.Schema):
+    """Per-bucket result ObjectRefs -> streaming Dataset WITHOUT pulling
+    the tables to the driver: only each block's row count crosses the
+    wire (a tiny int per bucket); empty buckets are dropped by ref. If
+    every bucket is empty, a typed empty table built from ``schema``
+    keeps the output schema stable for downstream hash comparison."""
+    import ray.data as rd
+
+    rows = ray.get([_block_nrows.remote(r) for r in refs])
+    keep = [r for r, n in zip(refs, rows) if n > 0]
+    if not keep:
+        return rd.from_arrow(schema.empty_table())
+    return rd.from_arrow_refs(keep)
+
+
+def pa_schema_of(ds: Dataset, columns: list[str] | None = None) -> pa.Schema:
+    """pyarrow schema of a Dataset (optionally projected to ``columns``),
+    taken from metadata — does not execute the pipeline beyond schema
+    resolution. Used to build typed empty fallbacks when a whole side of
+    an exchange turns out to be 0 rows."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if not isinstance(base, pa.Schema):
+        base = pa.schema(zip(s.names, s.types))
+    if columns is None:
+        return base
+    return pa.schema([(c, base.field(c).type) for c in columns])
+
+
 def cast_columns(block: pa.Table, schema: pa.Schema) -> pa.Table:
     """Project + cast ``block`` to exactly ``schema`` (shared prep for
     the events-table exchange stages). Handles the Ray 2.49 hazard of

@@ -20,7 +20,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-import ray.data as rd
 from ray.data import Dataset
 
 I64 = np.int64
@@ -39,13 +38,18 @@ def group_topk(
     to [group_col, order_col, tie_col]."""
     import pyarrow.compute as pc
 
-    from raydedup.stages.exchange import hash_exchange_apply
+    from raydedup.stages.exchange import (
+        hash_exchange_apply,
+        pa_schema_of,
+        refs_to_dataset,
+    )
     from raydedup.hashing import hash_strings_u64
 
     columns = columns or [group_col, order_col, tie_col]
     for c in (group_col, order_col, tie_col):
         if c not in columns:
             raise ValueError(f"columns must include {c}")
+    out_schema = pa_schema_of(ds, columns).append(pa.field("rank", pa.int64()))
 
     def prep(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or t.num_columns == 0:
@@ -63,7 +67,7 @@ def group_topk(
 
     def bucket(t: pa.Table) -> pa.Table:
         if t is None or t.num_rows == 0 or t.num_columns == 0:
-            return None
+            return out_schema.empty_table()
         gk = t.column("_gkey").to_numpy(zero_copy_only=False)
         ov = t.column(order_col).to_numpy(zero_copy_only=False)
         tv = t.column(tie_col).to_numpy(zero_copy_only=False)
@@ -94,14 +98,6 @@ def group_topk(
         return out.append_column("rank", pa.array(rank[keep], pa.int64()))
 
     refs = hash_exchange_apply(prepped, "_gkey", bucket, collect=False)
-    import ray
-
-    parts = [t for t in ray.get(refs) if t is not None and t.num_rows]
-    if not parts:
-        return rd.from_arrow(
-            pa.schema(
-                [(c, pa.large_string() if c == group_col else pa.int64()) for c in columns]
-                + [("rank", pa.int64())]
-            ).empty_table()
-        )
-    return rd.from_arrow_refs([ray.put(t) for t in parts])
+    # empty buckets dropped remotely — group cardinality stays off the
+    # driver (only per-bucket row counts cross the wire)
+    return refs_to_dataset(refs, out_schema)

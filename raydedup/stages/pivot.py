@@ -15,7 +15,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-import ray.data as rd
 from ray.data import Dataset
 
 I64 = np.int64
@@ -87,12 +86,9 @@ def pivot_counts(
             cols[c] = pa.array(np.add.reduceat(v, starts).astype(I64), pa.int64())
         return pa.table(cols)
 
-    from raydedup.stages.exchange import hash_exchange_apply
+    from raydedup.stages.exchange import hash_exchange_apply, refs_to_dataset
 
     refs = hash_exchange_apply(prepped, group_col, sum_bucket, collect=False)
-    import ray
-
-    parts = [t for t in ray.get(refs) if t.num_rows]
-    if not parts:
-        return rd.from_arrow(out_schema.empty_table())
-    return rd.from_arrow_refs([ray.put(t) for t in parts])
+    # empty buckets dropped remotely: group cardinality never reaches
+    # the driver (only a row count per bucket does)
+    return refs_to_dataset(refs, out_schema)

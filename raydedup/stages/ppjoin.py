@@ -102,6 +102,10 @@ def _df_hot_table(docs: Dataset, cfg: DedupConfig, max_hot_vocab: int) -> pa.Tab
         partial, batch_format="pyarrow"
     )
     hot = hash_exchange_apply(prepped, "h", reduce_bucket)
+    if hot.num_rows == 0 or hot.num_columns == 0:
+        # fully-empty docs: the exchange's no-donor path yields a
+        # 0-COLUMN table — substitute the typed empty (h, df) table
+        return pa.table({"h": pa.array([], pa.int64()), "df": pa.array([], pa.int64())})
     if hot.num_rows > max_hot_vocab:
         df = hot.column("df").to_numpy(zero_copy_only=False)
         h = hot.column("h").to_numpy(zero_copy_only=False)

@@ -134,7 +134,7 @@ def global_rank(
         rank_bucket,
         collect=False,
     )
-    parts = [t for t in ray.get(refs) if t.num_rows]
-    if not parts:
-        return rd.from_arrow(out_schema.empty_table())
-    return rd.from_arrow_refs([ray.put(t) for t in parts])
+    from raydedup.stages.exchange import refs_to_dataset
+
+    # empty buckets dropped remotely (row counts only on the driver)
+    return refs_to_dataset(refs, out_schema)

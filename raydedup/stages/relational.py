@@ -84,6 +84,11 @@ def revenue_by_nation(
             for b in ray.get(list(ds.select_columns(cols).to_arrow_refs()))
             if b.num_rows
         ]
+        if not blocks:
+            # a fully-empty dimension: typed empty from Dataset metadata
+            from raydedup.stages.exchange import pa_schema_of
+
+            return pa_schema_of(ds, cols).empty_table()
         return pa.concat_tables(blocks)
 
     cust = _collect(customer, ["c_custkey", "c_nationkey"])

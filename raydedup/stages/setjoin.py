@@ -19,8 +19,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-import ray
-import ray.data as rd
 from ray.data import Dataset
 
 I64 = np.int64
@@ -42,8 +40,13 @@ def key_join_filter(
     if left_key not in columns:
         raise ValueError("columns must include left_key (the exchange key)")
 
+    from raydedup.stages.exchange import pa_schema_of, refs_to_dataset
+
     lproj = left.select_columns(columns)
-    left_schema = None
+    # typed schema of the projection, resolved up-front so a fully-empty
+    # left side still yields an empty result with the FULL projected
+    # schema (not just the key column)
+    out_schema = pa_schema_of(left, columns)
 
     def rprep(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or t.num_columns == 0:
@@ -56,7 +59,7 @@ def key_join_filter(
 
     def bucket(tl: pa.Table, tr: pa.Table) -> pa.Table:
         if tl.num_rows == 0 or tl.num_columns == 0:
-            return None  # dropped by the caller's filter below
+            return out_schema.empty_table()
         lk = tl.column(left_key).to_numpy(zero_copy_only=False).astype(I64)
         if tr.num_rows == 0 or tr.num_columns == 0:
             present = np.zeros(lk.shape[0], dtype=bool)
@@ -70,10 +73,6 @@ def key_join_filter(
     from raydedup.stages.exchange import hash_exchange_join
 
     refs = hash_exchange_join(lproj, rproj, left_key, right_key, bucket)
-    parts = [t for t in ray.get(refs) if t is not None and t.num_columns]
-    nonempty = [t for t in parts if t.num_rows]
-    if not nonempty:
-        if parts:
-            return rd.from_arrow(parts[0])
-        return rd.from_arrow(pa.table({left_key: pa.array([], pa.int64())}))
-    return rd.from_arrow_refs([ray.put(t) for t in nonempty])
+    # empty buckets are dropped remotely (only row counts reach the
+    # driver); a fully-empty result keeps the full projected schema
+    return refs_to_dataset(refs, out_schema)

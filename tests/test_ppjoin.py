@@ -124,3 +124,13 @@ def test_hot_run_drop_accounting(ray_session):
     full, m2 = prefix_filter_pairs(_mkdocs(rows), tau=0.5)
     assert m2["dropped_runs"] == 0
     assert full.num_rows == 45  # all 10-choose-2 identical pairs
+
+
+def test_prefix_filter_empty_docs(ray_session):
+    # ADVICE r2: fully-empty docs must yield a typed empty pair table,
+    # not a KeyError from the exchange's 0-column empty fallback
+    from raydedup.stages.ppjoin import prefix_filter_pairs
+
+    pairs, metrics = prefix_filter_pairs(_mkdocs([(0, "x")]).filter(lambda r: False))
+    assert pairs.num_rows == 0
+    assert metrics["dropped_runs"] == 0

@@ -144,3 +144,18 @@ def test_histogram_partition_invariance(ray_session):
     a = value_histogram(_ds(ev), width_cents=500)
     b = value_histogram(_ds(ev, 7), width_cents=500)
     assert a.equals(b)
+
+
+def test_anti_join_empty_left_keeps_schema(ray_session):
+    # ADVICE r2: a fully-empty left side must keep the FULL projected
+    # schema (k AND x), not collapse to the key column only
+    from raydedup.stages.setjoin import key_join_filter
+
+    empty = pa.table(
+        {"k": pa.array([], pa.int64()), "x": pa.array([], pa.large_string())}
+    )
+    out = key_join_filter(_ds(empty), _ds(RIGHT), "k", "r", ["k", "x"], anti=True)
+    # (ds.to_pandas() on a 0-row dataset drops columns — check the
+    # block schema, which is what downstream hash comparison sees)
+    assert out.schema().names == ["k", "x"]
+    assert out.count() == 0
