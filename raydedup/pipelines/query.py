@@ -53,12 +53,16 @@ def build_index(pages_path: str, index_dir: str, cfg: DedupConfig | None = None)
 
 def _cross_side_pairs(t: pa.Table, max_postings: int) -> pa.Table:
     """Per-bucket kernel: emit (query_doc, index_doc) pairs for band runs
-    containing both sides (side=1 query, side=0 index)."""
+    containing both sides (side=1 query, side=0 index).
+
+    Fully vectorized (run arithmetic, no per-run Python — the pattern
+    that measured 4.6× faster under a full task pool in the containment
+    kernel): one lexsort by (key, side, doc), raw-size cap per run,
+    in-run (side, doc) dedup by boundary mask, then the q×m cross
+    products of ALL runs emitted with one flat index computation."""
     keys = t.column("band_key").to_numpy(zero_copy_only=False)
     docs = t.column("doc_id").to_numpy(zero_copy_only=False)
     side = t.column("side").to_numpy(zero_copy_only=False)
-    order = np.lexsort((docs, keys))
-    keys, docs, side = keys[order], docs[order], side[order]
     n = keys.shape[0]
     empty = pa.table(
         {"q": pa.array([], pa.int64()), "m": pa.array([], pa.int64()),
@@ -66,28 +70,47 @@ def _cross_side_pairs(t: pa.Table, max_postings: int) -> pa.Table:
     )
     if n < 2:
         return empty
+    order = np.lexsort((docs, side, keys))
+    keys, docs, side = keys[order], docs[order], side[order]
+    # raw band runs (cap applies to RAW posting-run size, pre-dedup)
     boundary = np.empty(n, dtype=bool)
     boundary[0] = True
     np.not_equal(keys[1:], keys[:-1], out=boundary[1:])
     starts = np.flatnonzero(boundary)
     sizes = np.diff(np.append(starts, n))
-    out_q, out_m = [], []
-    for st, sz in zip(starts, sizes):
-        if sz < 2 or sz > max_postings:
-            continue
-        d = docs[st : st + sz]
-        s = side[st : st + sz]
-        qs = np.unique(d[s == 1])
-        ms = np.unique(d[s == 0])
-        if qs.shape[0] == 0 or ms.shape[0] == 0:
-            continue
-        qq, mm = np.meshgrid(qs, ms, indexing="ij")
-        out_q.append(qq.ravel())
-        out_m.append(mm.ravel())
-    if not out_q:
+    keep_run = (sizes >= 2) & (sizes <= max_postings)
+    if not keep_run.any():
         return empty
-    q = np.concatenate(out_q)
-    m = np.concatenate(out_m)
+    rowkeep = np.repeat(keep_run, sizes)
+    keys, docs, side = keys[rowkeep], docs[rowkeep], side[rowkeep]
+    # dedup (key, side, doc) triples (rows are sorted by all three)
+    uniq = np.empty(keys.shape[0], dtype=bool)
+    uniq[0] = True
+    uniq[1:] = (
+        (keys[1:] != keys[:-1]) | (side[1:] != side[:-1]) | (docs[1:] != docs[:-1])
+    )
+    keys, docs, side = keys[uniq], docs[uniq], side[uniq]
+    # per-run side counts: side 0 (index) sorts first within each run
+    nb = np.empty(keys.shape[0], dtype=bool)
+    nb[0] = True
+    np.not_equal(keys[1:], keys[:-1], out=nb[1:])
+    starts2 = np.flatnonzero(nb)
+    sizes2 = np.diff(np.append(starts2, keys.shape[0]))
+    q_cnt = np.add.reduceat(side, starts2)
+    m_cnt = sizes2 - q_cnt
+    both = (q_cnt > 0) & (m_cnt > 0)
+    if not both.any():
+        return empty
+    starts2, q_cnt, m_cnt = starts2[both], q_cnt[both], m_cnt[both]
+    # flat cross-product emission: output j of run i is
+    # (qdocs[j // m_i], mdocs[j % m_i])
+    counts = q_cnt * m_cnt
+    tot = int(counts.sum())
+    off = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    local = np.arange(tot, dtype=np.int64) - np.repeat(off, counts)
+    m_rep = np.repeat(m_cnt, counts)
+    q = docs[np.repeat(starts2 + m_cnt, counts) + local // m_rep]
+    m = docs[np.repeat(starts2, counts) + local % m_rep]
     order = np.lexsort((m, q))
     q, m = q[order], m[order]
     pb = np.empty(q.shape[0], dtype=bool)

@@ -10,6 +10,15 @@ import pytest
 from raydedup.cli import _cfg_from_args, build_parser, main
 
 
+@pytest.fixture(autouse=True)
+def _keep_session_ray(monkeypatch):
+    """main()'s finally tears down whatever Ray session exists — never
+    let an in-process CLI call kill the session-scoped pytest fixture
+    (tests that forgot the per-test patch poisoned any test file that
+    ran after this one)."""
+    monkeypatch.setattr("raydedup.cli._shutdown_ray", lambda: None)
+
+
 def _ns(**kw):
     import argparse
 
