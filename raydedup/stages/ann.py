@@ -335,49 +335,73 @@ def embedding_neardup_pairs(
     )
 
     _SENTINEL = np.int64(np.iinfo(np.int64).min)
+    _PAIR_SCHEMA = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("cosine", pa.float64())]
+    )
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy().astype(np.int64)
-        m = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]]))
-        frames = []
-        if len(ids) > max_bucket:
-            # degenerate hot bucket: deterministic sub-buckets, exact
-            # within each; cross-sub pairs dropped (counted via the
-            # sentinel metrics row below)
-            n_sub = int(np.ceil(len(ids) / max_bucket))
-            sub = (mix64(ids.view(np.uint64)) % np.uint64(n_sub)).astype(np.int64)
-            groups = [(np.flatnonzero(sub == s)) for s in range(n_sub)]
-            subbed = 1
-        else:
-            groups = [np.arange(len(ids))]
-            subbed = 0
-        for gidx in groups:
-            if gidx.shape[0] < 2:
-                continue
-            gm = m[gidx]
-            gids = ids[gidx]
-            sims = gm @ gm.T
-            ii, jj = np.triu_indices(gidx.shape[0], k=1)
-            keep = sims[ii, jj] >= threshold
-            a = np.minimum(gids[ii[keep]], gids[jj[keep]])
-            b = np.maximum(gids[ii[keep]], gids[jj[keep]])
-            frames.append(
-                pd.DataFrame(
-                    {"a": a, "b": b, "cosine": sims[ii[keep], jj[keep]].astype(np.float64)}
-                )
-            )
+    def pairs_kernel(t: pa.Table) -> pa.Table:
+        """One exchange bucket (= several whole centroid buckets): the
+        vector matrix is rebuilt ONCE zero-copy from the flattened list
+        column, then each centroid bucket's pairwise cosine runs as a
+        matmul over its row-slice — no per-row Python, no sort shuffle
+        (this replaced groupby().map_groups(pandas), which paid Ray's
+        comparison-sort exchange plus a per-row np.stack per group)."""
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _PAIR_SCHEMA.empty_table()
+        bk = t.column("bucket").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(bk, kind="stable")
+        bk, ids = bk[order], ids[order]
+        m = _normalize(_batch_matrix(t, vec_col))[order]
+        nb = np.empty(bk.shape[0], dtype=bool)
+        nb[0] = True
+        nb[1:] = bk[1:] != bk[:-1]
+        starts = np.flatnonzero(nb)
+        sizes = np.diff(np.append(starts, bk.shape[0]))
+        out_a, out_b, out_c = [], [], []
+        n_subbed = 0
+        for st, sz in zip(starts, sizes):
+            rids = ids[st : st + sz]
+            rm = m[st : st + sz]
+            if sz > max_bucket:
+                # degenerate hot bucket: deterministic sub-buckets,
+                # exact within each; cross-sub pairs dropped + COUNTED
+                n_sub = int(np.ceil(sz / max_bucket))
+                sub = (mix64(rids.view(np.uint64)) % np.uint64(n_sub)).astype(np.int64)
+                groups = [np.flatnonzero(sub == s) for s in range(n_sub)]
+                n_subbed += 1
+            else:
+                groups = [np.arange(sz)]
+            for gidx in groups:
+                if gidx.shape[0] < 2:
+                    continue
+                gm = rm[gidx]
+                gids = rids[gidx]
+                sims = gm @ gm.T
+                ii, jj = np.triu_indices(gidx.shape[0], k=1)
+                keep = sims[ii, jj] >= threshold
+                out_a.append(np.minimum(gids[ii[keep]], gids[jj[keep]]))
+                out_b.append(np.maximum(gids[ii[keep]], gids[jj[keep]]))
+                out_c.append(sims[ii[keep], jj[keep]].astype(np.float64))
         # in-band metrics row (a == int64 min can never be a real pair
-        # key): b carries the sub-bucketed flag for driver aggregation
-        frames.append(
-            pd.DataFrame(
-                {"a": np.array([_SENTINEL]), "b": np.array([subbed], dtype=np.int64),
-                 "cosine": np.array([0.0])}
-            )
+        # key): b carries the sub-bucketed count for driver aggregation
+        out_a.append(np.array([_SENTINEL]))
+        out_b.append(np.array([n_subbed], dtype=np.int64))
+        out_c.append(np.array([0.0]))
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), type=pa.float64()),
+            }
         )
-        return pd.concat(frames, ignore_index=True)
 
-    out = bucketed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
-    df = out.to_pandas()
+    from raydedup.stages.exchange import hash_exchange_apply
+
+    out_tbl = hash_exchange_apply(bucketed, "bucket", pairs_kernel)
+    if out_tbl.num_rows == 0 or out_tbl.num_columns == 0:
+        out_tbl = _PAIR_SCHEMA.empty_table()
+    df = out_tbl.to_pandas()
     meta = df[df["a"] == _SENTINEL]
     n_subbucketed = int(meta["b"].sum()) if len(meta) else 0
     # multi-probe duplicates: the same (a, b) can be found in up to
