@@ -28,7 +28,17 @@ I64 = np.int64
 
 
 def jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
-    """Exact Jaccard of two sorted unique arrays."""
+    """Exact Jaccard of two sorted unique arrays.
+
+    Measured (round 3): the per-PAIR numpy loop over this kernel beats
+    every batch formulation tried at LSH-candidate shapes (5k pairs x
+    150-600-element sets): a whole-batch (pid, value) lexsort +
+    duplicate count ran 17x SLOWER (np.lexsort over 3.7M u64), a
+    vectorized placement variant 4x slower, and a per-pair
+    searchsorted-membership variant ~1.2x slower at both small and
+    5k-element set sizes — np.intersect1d(assume_unique) is already a
+    C-level concat+sort with tiny constants. Keep the loop: it is
+    per-CANDIDATE (LSH-pruned), not per-row."""
     inter = np.intersect1d(a, b, assume_unique=True).shape[0]
     union = a.shape[0] + b.shape[0] - inter
     return inter / union if union else 1.0
