@@ -28,6 +28,7 @@ false-merge gates for both.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -69,6 +70,16 @@ def _select_ab(refs: list) -> list:
     return [sel.remote(r) for r in refs]
 
 
+def _flatten_refs(refs: list) -> list:
+    out = []
+    for r in refs:
+        if isinstance(r, list):
+            out.extend(_flatten_refs(r))
+        else:
+            out.append(r)
+    return out
+
+
 def run_dedup_scale(
     docs: Dataset,
     cfg: DedupConfig | None = None,
@@ -80,6 +91,25 @@ def run_dedup_scale(
     cfg = cfg or DedupConfig()
     t0 = time.perf_counter()
     metrics: dict[str, Any] = {}
+
+    # RAYDEDUP_SCALE_PROFILE=1: ray.wait-barrier after each stage and
+    # record its wall time in metrics["t_stage_*"]. Barriers REMOVE the
+    # pipeline's deliberate overlap, so profiled totals exceed real runs;
+    # use only to locate byte/compute hot spots.
+    _profile = os.environ.get("RAYDEDUP_SCALE_PROFILE") == "1"
+    _pt = [time.perf_counter()]
+
+    def _mark(name: str, refs: list) -> None:
+        if not _profile:
+            return
+        import ray as _ray
+
+        flat = _flatten_refs(refs)
+        if flat:
+            _ray.wait(flat, num_returns=len(flat), fetch_local=False)
+        now = time.perf_counter()
+        metrics[f"t_stage_{name}"] = now - _pt[0]
+        _pt[0] = now
     docs = docs.materialize()
 
     from raydedup.stages.exchange import (
@@ -97,6 +127,7 @@ def run_dedup_scale(
     # run_dedup's id-broadcast verify, BASELINE.md).
     doc_text = docs.select_columns(["doc_id", "text"])
     dsplit = split_dataset(doc_text, "doc_id", num_buckets)
+    _mark("text_split", dsplit)
 
     # --- exact sha edges (refs): same pure-NumPy kernels as run_dedup -----
     from raydedup.pipelines.dedup import sha_emit_table, sha_key_table
@@ -107,6 +138,7 @@ def run_dedup_scale(
     exact_refs = hash_exchange_apply(
         keyed, "sha_key", sha_emit_table, num_buckets, collect=False
     )
+    _mark("exact", exact_refs)
 
     # --- LSH candidates (refs) -------------------------------------------
     # fused two-exchange chain (emit wave re-splits on `a` in-task);
@@ -117,6 +149,7 @@ def run_dedup_scale(
     signatures = compute_signatures(docs, cfg, keep_shingles=False)
     postings = band_postings(signatures, cfg)
     cand_refs = candidate_pair_refs(postings, cfg, num_buckets)
+    _mark("sig_candidates", cand_refs)
     # NOTE: counted BEFORE the exact-member drop below (run_dedup counts
     # after its driver-side drop) — the drop happens implicitly at the
     # attach joins here, so the raw LSH candidate volume is the
@@ -142,6 +175,7 @@ def run_dedup_scale(
     msplit = split_dataset(
         [_member_table.remote(r) for r in exact_refs], "m", num_buckets
     )
+    _mark("member_split", msplit)
 
     # --- verification: refs-only semi-join + packed-shingle exchange ------
     # The candidate doc-id DEMAND is itself exchanged (never broadcast —
@@ -182,6 +216,7 @@ def run_dedup_scale(
         fp_expl_refs = reduce_join_split(
             dsplit, msplit, drop_exact_then_explode, num_buckets
         )
+        _mark("fp_explode", fp_expl_refs)
 
     @ray.remote
     def _pair_id_table(t: pa.Table) -> pa.Table:
@@ -211,6 +246,7 @@ def run_dedup_scale(
         return left.filter(pa.array(mem[pos] != v))
 
     idsplit = [reduce_join_split(idsplit, msplit, _drop_member_ids, num_buckets)]
+    _mark("demand_ids", idsplit)
 
     def filter_and_shingle(ids_tbl: pa.Table, docs_tbl: pa.Table) -> pa.Table:
         wanted = np.unique(ids_tbl.column("doc_id").to_numpy(zero_copy_only=False))
@@ -224,6 +260,7 @@ def run_dedup_scale(
     # per-bucket packed candidate shingles, already partitioned by
     # hash(doc_id) — usable directly as the right side of both joins
     shingled_refs = reduce_join_split(idsplit, dsplit, filter_and_shingle, num_buckets)
+    _mark("demand_shingle", shingled_refs)
     shsplit = [shingled_refs]
 
     # attach round 1 re-splits its output on ``b`` in-task (fused), so
@@ -233,6 +270,7 @@ def run_dedup_scale(
     r1 = reduce_join_resplit(
         psplit, shsplit, make_attach_a(), "b", num_buckets, num_buckets
     )
+    _mark("attach_a", r1)
     verified_refs = reduce_join_split(
         r1,
         shsplit,
@@ -242,6 +280,7 @@ def run_dedup_scale(
     # deferred count (see candidate_pairs note): no driver barrier between
     # verification and clustering submission
     ver_count_futs = [_count_rows.remote(r) for r in verified_refs]
+    _mark("attach_b_verify", verified_refs)
 
     # --- clustering round 1: exact + verified LSH edges -------------------
     # the shard actor pool is spawned ONCE and reused by the containment
@@ -258,6 +297,7 @@ def run_dedup_scale(
         shards=uf_shards,
         kill=False,
     )
+    _mark("cluster_r1", forest_refs)
 
     # --- containment over cluster REPRESENTATIVES only (refs) -------------
     # The round-1 forest (exact + near-dup members) filters the
@@ -321,6 +361,7 @@ def run_dedup_scale(
             _reduce_bucket.remote(combine_containment, *[w[j] for w in cont_wave])
             for j in range(num_buckets)
         ]
+        _mark("containment_pairs", cont_refs)
         # this count is a REQUIRED barrier: whether round-2 clustering
         # runs depends on it (and round 2 consumes the containment refs)
         metrics["containment_pairs"] = _total(cont_refs)

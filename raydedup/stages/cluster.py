@@ -79,28 +79,47 @@ def cluster_pairs_driver(pairs: Dataset | pd.DataFrame) -> dict[int, int]:
 
 @ray.remote
 class UnionFindShard:
-    """One shard of the distributed union-find actor pool."""
+    """One shard of the distributed union-find actor pool.
+
+    Edges are ACCUMULATED as arrays and contracted lazily with the
+    vectorized min-label kernel — the eager per-edge dict union-find this
+    replaced was the dominant cost of the refs-only clustering stage
+    (3-30 s at 300k docs vs 0 s for the driver's vectorized path; pure
+    Python per edge). add_edges is O(1) per call; contract() is one
+    cluster_edges_arrays pass over everything routed since the last
+    contract. External behavior is identical: components of the
+    accumulated edge multiset, state reset on contract."""
 
     def __init__(self, shard_id: int, n_shards: int) -> None:
         self.shard_id = shard_id
         self.n_shards = n_shards
-        self.uf = UnionFind()
+        self._ea: list[np.ndarray] = []
+        self._eb: list[np.ndarray] = []
 
     def add_edges(self, a: np.ndarray, b: np.ndarray) -> int:
-        for i in range(a.shape[0]):
-            self.uf.union(int(a[i]), int(b[i]))
-        return a.shape[0]
+        if a.shape[0]:
+            self._ea.append(np.asarray(a, dtype=np.int64))
+            self._eb.append(np.asarray(b, dtype=np.int64))
+        return int(a.shape[0])
 
     def contract(self) -> tuple[np.ndarray, np.ndarray]:
         """Spanning edges (root, member) of all local components; resets state."""
-        comp = self.uf.components()
-        a = np.fromiter((v for k, v in comp.items() if k != v), dtype=np.int64)
-        b = np.fromiter((k for k, v in comp.items() if k != v), dtype=np.int64)
-        self.uf = UnionFind()
-        return a, b
+        if not self._ea:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        ea = np.concatenate(self._ea)
+        eb = np.concatenate(self._eb)
+        self._ea, self._eb = [], []
+        members, roots = cluster_edges_arrays(ea, eb)
+        mask = members != roots
+        return roots[mask], members[mask]
 
-    def snapshot(self) -> dict[int, int]:
-        return self.uf.components()
+    def contract_table(self) -> pa.Table:
+        """contract() as an Arrow table — consumed directly as an
+        object-store ref by the exchange rounds (no wrapper-task hop)."""
+        a, b = self.contract()
+        return pa.table(
+            {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
+        )
 
 
 def _route_edges(shards, a: np.ndarray, b: np.ndarray, key: np.ndarray) -> None:
@@ -155,10 +174,8 @@ def cluster_pairs_actors(
         a = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
         b = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
 
-    uf = UnionFind()
-    for i in range(a.shape[0]):
-        uf.union(int(a[i]), int(b[i]))
-    components = uf.components()
+    members, roots = cluster_edges_arrays(a, b)
+    components = dict(zip(members.tolist(), roots.tolist()))
     for s in shards:
         ray.kill(s)
     return components

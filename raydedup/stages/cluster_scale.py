@@ -17,7 +17,7 @@ import pyarrow as pa
 
 import ray
 
-from raydedup.stages.cluster import UnionFind, UnionFindShard
+from raydedup.stages.cluster import UnionFindShard
 
 
 @ray.remote
@@ -42,14 +42,6 @@ def _route_table(shards: list, n_shards: int, *tables: pa.Table) -> int:
             futs.append(shards[s].add_edges.remote(lo[m], hi[m]))
     ray.get(futs)
     return int(a.shape[0])
-
-
-@ray.remote
-def _contract_to_table(shard) -> pa.Table:
-    a, b = ray.get(shard.contract.remote())
-    return pa.table(
-        {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
-    )
 
 
 def _pointer_jump(forest_refs: list, num_buckets: int, max_rounds: int = 48) -> list:
@@ -177,7 +169,7 @@ def cluster_edge_refs(
     prev_sig = None
     tables: list = []
     for _ in range(max_rounds):
-        tables = [_contract_to_table.remote(s) for s in shards]
+        tables = [s.contract_table.remote() for s in shards]
         sig = tuple(ray.get([_edge_sig.remote(t) for t in tables]))
         if sig == prev_sig:
             break
