@@ -431,6 +431,17 @@ def cmd_resolve(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_load(args: argparse.Namespace) -> int:
+    _init_ray()
+    from raydedup.pipelines.query import load_index
+
+    out = load_index(
+        args.index, args.src_index, _cfg_from_args(args), force=args.force
+    )
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_delete(args: argparse.Namespace) -> int:
     from raydedup.pipelines.query import delete_from_index
 
@@ -513,6 +524,17 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--set", action="append", metavar="KEY=VALUE",
                    help="override a DedupConfig key (repeatable)")
     s.set_defaults(fn=cmd_curate)
+
+    s = sub.add_parser(
+        "load", help="import another index's docs+signatures (skip present ids)"
+    )
+    s.add_argument("index", help="destination index dir")
+    s.add_argument("src_index", help="source index dir (docs/ + signatures/)")
+    s.add_argument("--force", action="store_true",
+                   help="import even when the source config hash differs")
+    s.add_argument("--set", action="append", metavar="KEY=VALUE",
+                   help="override a DedupConfig key (repeatable)")
+    s.set_defaults(fn=cmd_load)
 
     s = sub.add_parser("config", help="print the configuration in use")
     s.add_argument("--set", action="append", metavar="KEY=VALUE",

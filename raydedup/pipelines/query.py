@@ -411,6 +411,126 @@ def monitor_text(
     ).reset_index(drop=True)
 
 
+def load_index(
+    index_dir: str,
+    src_index_dir: str,
+    cfg: DedupConfig | None = None,
+    *,
+    force: bool = False,
+) -> dict:
+    """``panako load`` (``strategy/olaf/OlafStrategy.java:623-664``,
+    ``cli/Load.java``): bulk-import an externally-produced index — a
+    docs/ + signatures/ Parquet set, e.g. another engine run's store —
+    into an existing index, skipping doc_ids already present.
+
+    Semantics mirror the reference's cached-fingerprint import: already-
+    present resources are skipped (the ``hasResource`` check becomes a
+    doc_id anti-join), everything else is appended as new shards, and
+    the manifest records each imported source shard so a re-load is a
+    no-op (resume lineage, same as store).
+
+    Signatures are only comparable under the same shingle/minhash
+    config, so a source manifest carrying a DIFFERENT config hash is
+    refused unless ``force=True`` (the reference trusts cache files
+    blindly; refusing is the safe default when the config is encoded in
+    the payload). A source without a manifest is trusted as-is.
+
+    Scale note: the present-id set is gathered to the driver as one
+    sorted int64 array (8 B/doc — fine into the billions, same envelope
+    as delete_from_index); at 10^12 ids this verb would switch to a
+    per-bucket hash-exchange anti-join over the shard files.
+    """
+    from raydedup.state.checkpoint import CheckpointManager, _atomic_write_table
+
+    cfg = cfg or DedupConfig()
+    mgr = CheckpointManager(index_dir, cfg)
+
+    src_manifest = os.path.join(src_index_dir, "manifest.json")
+    if os.path.exists(src_manifest):
+        import json
+
+        with open(src_manifest) as f:
+            src_hash = json.load(f).get("config_hash")
+        if src_hash and src_hash != mgr.cfg_hash and not force:
+            raise ValueError(
+                f"source index config_hash {src_hash} != destination "
+                f"{mgr.cfg_hash}: signatures are not comparable across "
+                "configs (pass force=True to import anyway)"
+            )
+
+    src_docs = sorted(glob.glob(os.path.join(src_index_dir, "docs", "*.parquet")))
+    if not src_docs:
+        raise FileNotFoundError(f"no docs/*.parquet under {src_index_dir}")
+
+    # present-id gather: one column-pruned parallel read per dest shard
+    @ray.remote
+    def _ids_of(path: str) -> np.ndarray:
+        t = pq.read_table(path, columns=["doc_id"])
+        return np.unique(t.column("doc_id").to_numpy(zero_copy_only=False))
+
+    dest_files = sorted(glob.glob(os.path.join(index_dir, "docs", "*.parquet")))
+    parts = ray.get([_ids_of.remote(f) for f in dest_files])
+    present = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+    )
+    present_ref = ray.put(present)
+
+    @ray.remote
+    def _import_shard(
+        pres: np.ndarray, docs_f: str, sigs_f: str, dst_docs: str, dst_sigs: str
+    ) -> tuple[int, int]:
+        dt = pq.read_table(docs_f)
+        ids = dt.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ~np.isin(ids, pres)
+        n_new, n_skip = int(keep.sum()), int((~keep).sum())
+        if n_new == 0:
+            return 0, n_skip
+        _atomic_write_table(dt.filter(pa.array(keep)), dst_docs)
+        st = pq.read_table(sigs_f)
+        sids = st.column("doc_id").to_numpy(zero_copy_only=False)
+        _atomic_write_table(st.filter(pa.array(~np.isin(sids, pres))), dst_sigs)
+        return n_new, n_skip
+
+    from raydedup.state.checkpoint import shard_file_tag
+
+    futs: dict = {}
+    skipped_shards = 0
+    for df_path in src_docs:
+        st = os.stat(df_path)
+        key = f"load:{os.path.basename(src_index_dir.rstrip(os.sep))}:{os.path.basename(df_path)}:{st.st_size}"
+        if mgr.shard_done(key):
+            skipped_shards += 1
+            continue
+        sig_path = os.path.join(src_index_dir, "signatures", os.path.basename(df_path))
+        if not os.path.exists(sig_path):
+            raise FileNotFoundError(f"missing signature shard for {df_path}")
+        tag = shard_file_tag(key)
+        futs[
+            _import_shard.remote(
+                present_ref,
+                df_path,
+                sig_path,
+                mgr.path("docs", f"shard={tag}.parquet"),
+                mgr.path("signatures", f"shard={tag}.parquet"),
+            )
+        ] = (key, tag, df_path)
+
+    loaded_docs = skipped_docs = loaded_shards = 0
+    for ref, (key, tag, src_f) in futs.items():
+        n_new, n_skip = ray.get(ref)
+        loaded_docs += n_new
+        skipped_docs += n_skip
+        loaded_shards += 1
+        mgr.mark_shard(key, shard=tag, n_docs=n_new, source=src_f, imported=True)
+    return {
+        "loaded_docs": loaded_docs,
+        "skipped_docs": skipped_docs,
+        "loaded_shards": loaded_shards,
+        "skipped_shards": skipped_shards,
+        "index_dir": index_dir,
+    }
+
+
 def delete_from_index(index_dir: str, urls: list[str]) -> dict:
     """``panako delete`` (D4 index subtraction, ``cli/Delete.java:66-130``):
     remove docs by url from a stored index. Index-as-Parquet makes delete
