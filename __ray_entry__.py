@@ -697,6 +697,30 @@ def _q_media_frames(sf_dir: str):
     return df.sort_values(["media_id", "frame_index"]).reset_index(drop=True)
 
 
+def _q_media_keyframes(sf_dir: str):
+    """Deterministic keyframe selection (ST5 video face): the same
+    synthetic media table as media_frames, gated per (media_id,
+    frame_index) by mix64(m * POLY_B + f) < 0.1 of the hash space
+    (frame 0 always keys). The SQL oracle re-derives the identical
+    splitmix64 arithmetic in DuckDB."""
+    from raydedup.stages.multimodal import keyframe_sample
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "n_frames": pa.array(ids % 97 + 1, type=pa.int64()),
+            }
+        )
+
+    media = _read(sf_dir, "documents").select_columns(["doc_id"]).map_batches(
+        to_media, batch_format="pyarrow"
+    )
+    df = keyframe_sample(media, rate=0.1).to_pandas()
+    return df.sort_values(["media_id", "frame_index"]).reset_index(drop=True)
+
+
 def _q_corpus_splits(sf_dir: str):
     """Deterministic 80/10/10 train/valid/test split of documents by
     hash range — rows never move across splits under re-partitioning."""
@@ -1456,6 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_pipeline": _q_curate_pipeline,
         "corpus_splits": _q_corpus_splits,
         "media_frames": _q_media_frames,
+        "media_keyframes": _q_media_keyframes,
         "knn_cosine": _q_knn_cosine,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_cluster": _q_embedding_cluster,
@@ -2146,6 +2171,29 @@ SELECT qd AS query_doc_id, md AS match_doc_id,
        CAST(n_collisions AS BIGINT) AS n_collisions, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 3
 ORDER BY query_doc_id, rank
+"""
+
+
+def q_media_keyframes_sql():
+    """SQL mirror of keyframe_sample: explode frames 0..n_frames-1 per
+    media row, keep frame 0 plus frames whose mix64(m * POLY_B + f)
+    lands below 0.1 of the u64 space — identical constant derivation
+    (min(int(rate * 2^64), 2^64-1)) to the engine."""
+    thresh = min(int(0.1 * 2.0**64), 2**64 - 1)
+    h0 = addmod(mulmod("CAST(media_id AS UBIGINT)", POLY_B), "CAST(f AS UBIGINT)")
+    return f"""
+WITH frames AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CAST(unnest(range(0, doc_id % 97 + 1)) AS BIGINT) AS f
+  FROM documents
+), hp AS (
+  SELECT media_id, f, {h0} AS h0 FROM frames
+), mixed AS (
+  SELECT media_id, f, {mix64_cols('h0', 'kf')} FROM hp
+)
+SELECT media_id, f AS frame_index FROM mixed
+WHERE f = 0 OR kf < {thresh}::UBIGINT
+ORDER BY media_id, frame_index
 """
 
 
@@ -3064,6 +3112,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(unnest(range(0, doc_id % 97 + 1, 10)) AS BIGINT) AS frame_index
         FROM documents ORDER BY media_id, frame_index
         """,
+        "media_keyframes": q_media_keyframes_sql(),
         # 80/10/10 hash-range splits: edge constants computed EXACTLY as
         # the engine computes them (min(int(cum * 2^64), 2^64-1))
         "corpus_splits": f"""

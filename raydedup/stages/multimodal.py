@@ -121,33 +121,148 @@ def decode_media(
     )
 
 
+def _explode_frame_rows(
+    ids: np.ndarray, sizes: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(media_id, per-row count) -> flat (media_id, local_index) rows —
+    repeat/cumsum arithmetic, no per-row Python."""
+    sizes = sizes.astype(np.int64)
+    total = int(sizes.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    off = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    local = np.arange(total, dtype=np.int64) - np.repeat(off, sizes)
+    return np.repeat(ids.astype(np.int64), sizes), local
+
+
 def frame_sample(media: Dataset, every_n: int = 10) -> Dataset:
     """Video frame sampling: one synthetic frame-row per sampled frame
     index (flat-map shape; the payload decode itself stays stubbed)."""
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t.column("media_id").to_numpy(zero_copy_only=False)
-        frames = t.column("n_frames").to_numpy(zero_copy_only=False)
-        out_id, out_frame = [], []
-        for i in range(t.num_rows):
-            idxs = np.arange(0, max(int(frames[i]), 1), every_n, dtype=np.int64)
-            out_id.append(np.full(idxs.shape[0], ids[i], dtype=np.int64))
-            out_frame.append(idxs)
+        frames = np.maximum(
+            t.column("n_frames").to_numpy(zero_copy_only=False).astype(np.int64), 1
+        )
+        sizes = (frames + every_n - 1) // every_n
+        mid, local = _explode_frame_rows(ids, sizes)
         return pa.table(
             {
-                "media_id": pa.array(
-                    np.concatenate(out_id) if out_id else np.empty(0, np.int64),
-                    type=pa.int64(),
-                ),
-                "frame_index": pa.array(
-                    np.concatenate(out_frame) if out_frame else np.empty(0, np.int64),
-                    type=pa.int64(),
-                ),
+                "media_id": pa.array(mid, type=pa.int64()),
+                "frame_index": pa.array(local * every_n, type=pa.int64()),
             }
         )
 
     return media.select_columns(["media_id", "n_frames"]).map_batches(
         explode, batch_format="pyarrow"
+    )
+
+
+def keyframe_sample(media: Dataset, rate: float = 0.1) -> Dataset:
+    """Deterministic keyframe selection — the I-frame-extraction analog
+    when no codec is present: frame f of media m is a keyframe iff
+    f == 0 (codecs always key the first frame) or
+    mix64(m * POLY_B + f) falls below ``rate`` of the hash space. The
+    gate is a pure function of (media_id, frame_index), so sampling is
+    partition-invariant, resumable, and SQL-mirrorable (q:media_keyframes
+    hash-matches a DuckDB mirror of the same splitmix64 arithmetic)."""
+    from raydedup.hashing import U64, hash_pair_u64
+
+    thresh = U64(min(int(rate * 2.0**64), 2**64 - 1))
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_numpy(zero_copy_only=False)
+        frames = np.maximum(
+            t.column("n_frames").to_numpy(zero_copy_only=False).astype(np.int64), 1
+        )
+        mid, local = _explode_frame_rows(ids, frames)
+        score = hash_pair_u64(mid.view(np.uint64), local.view(np.uint64))
+        keep = (local == 0) | (score < thresh)
+        return pa.table(
+            {
+                "media_id": pa.array(mid[keep], type=pa.int64()),
+                "frame_index": pa.array(local[keep], type=pa.int64()),
+            }
+        )
+
+    return media.select_columns(["media_id", "n_frames"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def _fake_decode_audio(payload: bytes, sample_rate: int, n_samples: int) -> np.ndarray:
+    """Deterministic stand-in audio decoder: payload bytes -> float32 PCM
+    in [-1, 1). A real deployment swaps in soundfile/ffmpeg inside the
+    same actor; nothing else changes."""
+    seed = int.from_bytes(hashlib.blake2s(payload, digest_size=8).digest(), "little")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return (rng.random(n_samples, dtype=np.float32) * 2.0 - 1.0).astype(np.float32)
+
+
+class AudioDecodeKernel:
+    """Actor-pool audio decode + waveform features (the audio face of the
+    ST5 media stage; the reference's entire front-end is audio decode —
+    ``util/Key.java:85`` ffmpeg resample template).
+
+    __init__ binds the (stub) codec once per actor; __call__ decodes a
+    batch and emits per-row waveform features: media_id, duration_s,
+    rms, peak, zero_crossing_rate. decoder='fake' synthesises a
+    deterministic waveform from the payload bytes; real codec names
+    raise until the library exists in the container.
+    """
+
+    def __init__(self, decoder: str = "fake", max_samples: int = 4096):
+        if decoder == "fake":
+            self.decode = _fake_decode_audio
+        elif decoder in ("soundfile", "ffmpeg"):
+            raise NotImplementedError(
+                f"decoder {decoder!r}: audio codec libraries are not available "
+                "in this environment; use decoder='fake' (deterministic stub)"
+            )
+        else:
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.max_samples = max_samples
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        rates = batch.column("sample_rate").to_numpy(zero_copy_only=False)
+        n = len(payloads)
+        duration = np.empty(n, dtype=np.float64)
+        rms = np.empty(n, dtype=np.float32)
+        peak = np.empty(n, dtype=np.float32)
+        zcr = np.empty(n, dtype=np.float32)
+        for i in range(n):
+            sr = max(int(rates[i]), 1)
+            # stub length: one "sample per payload byte", capped — keeps
+            # worker heap bounded however large the binary row is
+            ns = min(len(payloads[i]), self.max_samples)
+            wave = self.decode(payloads[i], sr, max(ns, 1))
+            duration[i] = wave.shape[0] / sr
+            rms[i] = np.sqrt(np.mean(wave * wave))
+            peak[i] = np.abs(wave).max()
+            zcr[i] = float(np.mean(np.signbit(wave[1:]) != np.signbit(wave[:-1])))
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "duration_s": pa.array(duration, type=pa.float64()),
+                "rms": pa.array(rms, type=pa.float32()),
+                "peak": pa.array(peak, type=pa.float32()),
+                "zero_crossing_rate": pa.array(zcr, type=pa.float32()),
+            }
+        )
+
+
+def decode_audio(
+    media: Dataset, decoder: str = "fake", concurrency: int = 4, batch_size: int = 64
+) -> Dataset:
+    """Actor-pool audio-decode stage over the audio rows of a media
+    Dataset (small batch_size: binary rows are wide)."""
+    return media.map_batches(
+        AudioDecodeKernel,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"decoder": decoder},
     )
 
 

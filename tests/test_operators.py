@@ -249,10 +249,65 @@ def test_media_real_decoder_is_stubbed():
 def test_frame_sampling(rd):
     from raydedup.stages.multimodal import frame_sample, synthetic_media_table
 
-    ds = rd.from_arrow(synthetic_media_table(12))
+    tbl = synthetic_media_table(12)
+    ds = rd.from_arrow(tbl)
     out = frame_sample(ds, every_n=10).to_pandas()
     assert (out["frame_index"] % 10 == 0).all()
     assert out.groupby("media_id").size().ge(1).all()
+    # exact per-media count: ceil(max(n_frames,1) / 10)
+    nf = dict(zip(tbl.column("media_id").to_pylist(), tbl.column("n_frames").to_pylist()))
+    got = out.groupby("media_id").size()
+    for mid, n in nf.items():
+        assert got[mid] == (max(n, 1) + 9) // 10
+
+
+def test_keyframe_sampling_deterministic_and_gated(rd):
+    from raydedup.hashing import hash_pair_u64
+    from raydedup.stages.multimodal import keyframe_sample, synthetic_media_table
+
+    tbl = synthetic_media_table(30)
+    ds = rd.from_arrow(tbl)
+    out = keyframe_sample(ds, rate=0.1).to_pandas()
+    out2 = keyframe_sample(rd.from_arrow(tbl), rate=0.1).to_pandas()
+    key = lambda df: df.sort_values(["media_id", "frame_index"]).reset_index(drop=True)
+    assert key(out).equals(key(out2))  # partition/run invariant
+    # frame 0 always keyed, every media present
+    assert set(out[out.frame_index == 0].media_id) == set(tbl.column("media_id").to_pylist())
+    # gate matches the scalar definition row-for-row
+    import numpy as np
+
+    thr = np.uint64(min(int(0.1 * 2.0**64), 2**64 - 1))
+    m = out.media_id.to_numpy().astype(np.int64)
+    f = out.frame_index.to_numpy().astype(np.int64)
+    score = hash_pair_u64(m.view(np.uint64), f.view(np.uint64))
+    assert ((f == 0) | (score < thr)).all()
+    # rate=1.0 keeps every frame
+    full = keyframe_sample(rd.from_arrow(tbl), rate=1.0).to_pandas()
+    assert len(full) == sum(max(n, 1) for n in tbl.column("n_frames").to_pylist())
+
+
+def test_audio_decode_features(rd):
+    from raydedup.stages.multimodal import (
+        AudioDecodeKernel,
+        decode_audio,
+        synthetic_media_table,
+    )
+
+    tbl = synthetic_media_table(24)
+    out = decode_audio(rd.from_arrow(tbl), batch_size=8).to_pandas()
+    assert len(out) == 24
+    assert set(out.columns) == {"media_id", "duration_s", "rms", "peak", "zero_crossing_rate"}
+    assert (out.duration_s > 0).all()
+    assert (out.rms > 0).all() and (out.rms <= 1.0).all()
+    assert (out.peak <= 1.0).all()
+    assert out.zero_crossing_rate.between(0, 1).all()
+    # deterministic: same payload -> same features
+    out2 = decode_audio(rd.from_arrow(tbl), batch_size=8).to_pandas()
+    key = lambda df: df.sort_values("media_id").reset_index(drop=True)
+    assert key(out).equals(key(out2))
+    # real codec names stay a loud NotImplementedError
+    with pytest.raises(NotImplementedError):
+        AudioDecodeKernel(decoder="soundfile")
 
 
 # --- store / query lifecycle -----------------------------------------------
