@@ -145,7 +145,8 @@ def cmd_dedup(args: argparse.Namespace) -> int:
 
     files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
     out = run_dedup_checkpointed(
-        files, args.checkpoint, _cfg_from_args(args), containment=not args.no_containment
+        files, args.checkpoint, _cfg_from_args(args),
+        containment=not args.no_containment, mode=args.mode,
     )
     print(json.dumps({"clusters_dir": out["clusters_path"], **out["metrics"]}, default=str))
     return 0
@@ -495,6 +496,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("pages")
     s.add_argument("checkpoint")
     s.add_argument("--no-containment", action="store_true")
+    s.add_argument("--mode", choices=("auto", "base", "scale"), default="auto",
+                   help="phase-2 engine: driver-assisted (base), refs-only "
+                        "(scale), or pick by doc count (auto, default)")
     s.add_argument("--set", action="append", metavar="KEY=VALUE",
                    help="override a DedupConfig key (repeatable)")
     s.set_defaults(fn=cmd_dedup)

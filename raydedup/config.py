@@ -79,6 +79,14 @@ class DedupConfig:
     cluster_backend: str = "driver"  # "driver" | "actors"
     n_cluster_shards: int = 8
 
+    # --- pipeline dispatch: run_dedup_auto routes to the refs-only
+    # run_dedup_scale at or above this doc count. Crossover measured
+    # round 3 (32 CPUs, containment on): base faster ≤300k
+    # (12.7 s vs ~parity), scale 1.8x faster at 1M (49.1 s vs 88.7 s,
+    # /tmp/prof3_1m.log; BASELINE.md) — and the only variant whose
+    # driver memory is corpus-independent, i.e. the 10^12 path.
+    scale_min_docs: int = 500_000
+
     # --- execution
     batch_size: int = 4096
     target_block_rows: int = 65536

@@ -393,3 +393,34 @@ def run_dedup_scale(
     metrics["n_dup_docs"] = int(sum(ray.get(forest_count_futs)))
     metrics["t_total"] = time.perf_counter() - t0
     return DedupScaleResult(clusters=clusters, metrics=metrics)
+
+
+def run_dedup_auto(
+    docs: Dataset,
+    cfg: DedupConfig | None = None,
+    *,
+    containment: bool = True,
+    **scale_kw: Any,
+):
+    """Dispatch between run_dedup (driver-assisted, fastest below the
+    crossover) and run_dedup_scale (refs-only, corpus-independent driver
+    memory) on the input doc count vs ``cfg.scale_min_docs``.
+
+    Both paths are cluster-equivalent (same e2e recall/false-merge
+    gates); the measured crossover is ~300k docs at 32 CPUs and the
+    scale path is 1.8x faster by 1M (BASELINE.md round-3), so the
+    default threshold of 500k picks each variant where it wins. The
+    chosen path is recorded in ``metrics["dedup_path"]``. Returns that
+    path's native result type (both expose .clusters and .metrics)."""
+    cfg = cfg or DedupConfig()
+    n_docs = docs.count()  # parquet-backed inputs: metadata-only
+    if n_docs >= cfg.scale_min_docs:
+        res = run_dedup_scale(docs, cfg, containment=containment, **scale_kw)
+        res.metrics["dedup_path"] = "scale"
+    else:
+        from raydedup.pipelines.dedup import run_dedup
+
+        res = run_dedup(docs, cfg, containment=containment)
+        res.metrics["dedup_path"] = "base"
+    res.metrics["n_docs"] = n_docs
+    return res

@@ -207,6 +207,7 @@ def run_dedup_checkpointed(
     *,
     containment: bool = True,
     max_shards: int | None = None,
+    mode: str = "auto",
 ) -> dict[str, Any] | None:
     """Resumable dedup over a list of pages parquet shards.
 
@@ -217,8 +218,16 @@ def run_dedup_checkpointed(
     processes only that many pending shards and returns None (the
     kill-point used by the resume test).
 
+    ``mode``: "base" keeps phase 2 on the driver-assisted run_dedup
+    stages (pairs/components checkpointed individually); "scale" routes
+    phase 2 through the refs-only run_dedup_scale (driver memory
+    corpus-independent, single "clusters" checkpoint — phase 2 is
+    recomputable, phase 1 holds the expensive extraction); "auto"
+    (default) picks by doc count vs ``cfg.scale_min_docs``, same
+    crossover policy as run_dedup_auto.
+
     Returns {"clusters_path", "components_path", "metrics"} when
-    complete.
+    complete (components_path is None on the scale route).
     """
     import ray.data as rd
 
@@ -228,6 +237,8 @@ def run_dedup_checkpointed(
     from raydedup.stages.verify import verify_pairs_exchange
     from raydedup.util import to_arrow_table
 
+    if mode not in ("auto", "base", "scale"):
+        raise ValueError(f"mode must be auto|base|scale, got {mode!r}")
     cfg = cfg or DedupConfig()
     mgr = CheckpointManager(ckpt_dir, cfg)
     metrics: dict[str, Any] = {"resumed_shards": 0, "processed_shards": 0}
@@ -247,6 +258,8 @@ def run_dedup_checkpointed(
 
     # --- phase 2: global stages ------------------------------------------
     docs = rd.read_parquet(mgr.path("docs"))
+    if mode == "scale" or (mode == "auto" and docs.count() >= cfg.scale_min_docs):
+        return _phase2_scale(mgr, docs, cfg, containment, metrics)
     signatures = rd.read_parquet(mgr.path("signatures"))
     pairs_path = mgr.path("pairs.parquet")
     if not mgr.stage_done("pairs"):
@@ -343,5 +356,49 @@ def run_dedup_checkpointed(
     return {
         "clusters_path": clusters_dir,
         "components_path": comp_path,
+        "metrics": metrics,
+    }
+
+
+def _phase2_scale(
+    mgr: CheckpointManager,
+    docs,
+    cfg: DedupConfig,
+    containment: bool,
+    metrics: dict[str, Any],
+) -> dict[str, Any]:
+    """Scale-mode phase 2: the refs-only run_dedup_scale end-to-end,
+    checkpointed as ONE stage. The pair table / component map never
+    exist as driver objects (the reason this mode exists), so the
+    per-stage pairs/components checkpoints of the base path have
+    nothing corpus-sized to persist; phase 2 re-runs from the phase-1
+    docs on a crash, which is the cheap part (extraction is phase 1)."""
+    import glob as _glob
+    import shutil
+
+    clusters_dir = mgr.path("clusters")
+    if not mgr.stage_done("scale_clusters"):
+        from raydedup.pipelines.dedup_scale import run_dedup_scale
+
+        res = run_dedup_scale(docs, cfg, containment=containment)
+        tmp_dir = clusters_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        res.clusters.write_parquet(tmp_dir)
+        shutil.rmtree(clusters_dir, ignore_errors=True)
+        os.replace(tmp_dir, clusters_dir)
+        n_out = sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in _glob.glob(os.path.join(clusters_dir, "*.parquet"))
+        )
+        mgr.mark_stage(
+            "scale_clusters",
+            n_docs=n_out,
+            **{k: v for k, v in res.metrics.items() if isinstance(v, (int, float))},
+        )
+    metrics.update({k: v for k, v in mgr.manifest["stages"].items()})
+    metrics["dedup_path"] = "scale"
+    return {
+        "clusters_path": clusters_dir,
+        "components_path": None,
         "metrics": metrics,
     }

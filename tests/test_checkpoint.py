@@ -117,3 +117,40 @@ def test_config_change_invalidates_lineage(tmp_path, cfg):
     assert CheckpointManager(str(tmp_path / "c"), cfg).shard_done("x:1")
     other = cfg.with_overrides(jaccard_tau=0.9)
     assert not CheckpointManager(str(tmp_path / "c"), other).shard_done("x:1")
+
+
+def test_checkpointed_scale_mode(ray_session, small_corpus, tmp_path, cfg):
+    """mode='scale' routes phase 2 through the refs-only pipeline:
+    clusters identical to a direct run_dedup_scale, single
+    'scale_clusters' stage in the manifest, re-invocation a no-op —
+    and mode='auto' with a tiny threshold picks the same route."""
+    from raydedup.pipelines.dedup_scale import run_dedup_scale
+    from raydedup.sources.pages import pages_to_docs, read_pages
+
+    spec, paths = small_corpus
+    files = _pages_files(paths)
+    d = str(tmp_path / "scale")
+    out = run_dedup_checkpointed(files, d, cfg, mode="scale")
+    assert out is not None and out["components_path"] is None
+    assert out["metrics"]["dedup_path"] == "scale"
+    manifest = json.load(open(os.path.join(d, "manifest.json")))
+    assert set(manifest["stages"]) == {"scale_clusters"}
+    got = _clusters_df(out)
+
+    direct = run_dedup_scale(
+        pages_to_docs(read_pages(paths["pages"])), cfg, containment=True
+    ).clusters.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[direct.columns], direct)
+
+    # re-invocation: no-op (stage marked done)
+    again = run_dedup_checkpointed(files, d, cfg, mode="scale")
+    m2 = json.load(open(os.path.join(d, "manifest.json")))
+    assert manifest == m2
+    pd.testing.assert_frame_equal(_clusters_df(again), got)
+
+    # auto + tiny threshold -> same scale route from a fresh dir
+    cfg_auto = cfg.with_overrides(scale_min_docs=1)
+    d2 = str(tmp_path / "auto")
+    out2 = run_dedup_checkpointed(files, d2, cfg_auto, mode="auto")
+    assert out2["metrics"]["dedup_path"] == "scale"
+    pd.testing.assert_frame_equal(_clusters_df(out2), got)

@@ -66,3 +66,30 @@ def test_scale_determinism(ray_session, small_corpus):
         pages_to_docs(read_pages(paths["pages"])), cfg, num_buckets=8, n_shards=5
     ).clusters.to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_run_dedup_auto_routes_by_doc_count(both_runs, small_corpus):
+    """run_dedup_auto: below scale_min_docs -> driver-assisted base path,
+    at/above -> refs-only scale path; both report the route in metrics
+    and the scale route stays cluster-equivalent on base's edges."""
+    from raydedup.pipelines.dedup_scale import run_dedup_auto
+
+    spec, paths = small_corpus
+    _, scale, std = both_runs
+    cfg = DedupConfig(batch_size=256)
+    docs = pages_to_docs(read_pages(paths["pages"]))
+
+    base_res = run_dedup_auto(docs, cfg, containment=True)
+    assert base_res.metrics["dedup_path"] == "base"
+    assert base_res.metrics["n_docs"] == spec.n_docs
+    assert hasattr(base_res, "verified_pairs")  # native DedupResult
+
+    scale_res = run_dedup_auto(
+        docs, cfg.with_overrides(scale_min_docs=1), containment=True,
+        num_buckets=16, n_shards=3,
+    )
+    assert scale_res.metrics["dedup_path"] == "scale"
+    s = scale_res.clusters.to_pandas()
+    smap = dict(zip(s.doc_id, s.cluster_id))
+    vp = std.verified_pairs.to_pandas()
+    assert all(smap[a] == smap[b] for a, b in zip(vp.a, vp.b))
