@@ -721,6 +721,84 @@ def _q_media_keyframes(sf_dir: str):
     return df.sort_values(["media_id", "frame_index"]).reset_index(drop=True)
 
 
+_SNAP_TS_BASE_US = 1_735_689_600_000_000  # TIMESTAMP '2025-01-01 00:00:00' in us
+
+
+def _q_url_snapshots(sf_dir: str):
+    """Snapshot dedup (keep the newest capture per url): a synthetic
+    multi-crawl pages table derived from documents — url collides
+    across docs via doc_id % 100, warc_ts = 2025-01-01 +
+    (doc_id*37 % 1009) hours — reduced by the combiner-first keyed
+    argmax (stages/snapshot.py keep_latest: order warc_ts DESC, tie
+    doc_id ASC). The CC analog of skip-if-present freshness
+    (cli/Store.java:119-127)."""
+    import pyarrow.compute as pc
+
+    from raydedup.stages.snapshot import keep_latest
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        url = pc.binary_join_element_wise(
+            pc.cast(t.column("source"), pa.string()),
+            pc.cast(pa.array(ids % 100, type=pa.int64()), pa.string()),
+            "/",
+        )
+        ts_us = _SNAP_TS_BASE_US + (ids * 37 % 1009) * 3_600_000_000
+        return pa.table(
+            {
+                "url": url,
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "warc_ts": pa.array(ts_us.view("datetime64[us]")),
+            }
+        )
+
+    pages = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "source"]
+    ).map_batches(to_pages, batch_format="pyarrow")
+    df = keep_latest(
+        pages, "url", "warc_ts", "doc_id", columns=["url", "doc_id", "warc_ts"]
+    ).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+# shared gate constants for the synthetic component graph (engine and
+# SQL embed the SAME ints, computed once here exactly like keyframes)
+_GRAPH_T_CHAIN = min(int(0.45 * 2.0**64), 2**64 - 1)
+_GRAPH_T_STAR = min(int(0.05 * 2.0**64), 2**64 - 1)
+
+
+def _q_graph_components(sf_dir: str):
+    """Standalone connected components over a deterministic synthetic
+    edge table (chain edges doc->doc+1 gated at 45% of the hash space,
+    star edges doc->floor100(doc) at 5%): the dedup pipeline's sharded
+    union-find + pointer-jump clustering stage exposed as a generic
+    operator (stages/cluster_scale.py connected_components). Oracle =
+    recursive min-reachable-label CTE."""
+    from raydedup.hashing import U64, hash_pair_u64
+    from raydedup.stages.cluster_scale import connected_components
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+    max_id = docs.max("doc_id")
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ch = (hash_pair_u64(ids.view(U64), np.uint64(1)) < U64(_GRAPH_T_CHAIN)) & (
+            ids < max_id
+        )
+        st = (hash_pair_u64(ids.view(U64), np.uint64(2)) < U64(_GRAPH_T_STAR)) & (
+            ids % 100 != 0
+        )
+        a = np.concatenate([ids[ch], ids[st]])
+        b = np.concatenate([ids[ch] + 1, ids[st] - ids[st] % 100])
+        return pa.table(
+            {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
+        )
+
+    edges = docs.map_batches(to_edges, batch_format="pyarrow")
+    df = connected_components(edges, n_shards=4, num_buckets=16).to_pandas()
+    return df.sort_values("node").reset_index(drop=True)
+
+
 def _q_corpus_splits(sf_dir: str):
     """Deterministic 80/10/10 train/valid/test split of documents by
     hash range — rows never move across splits under re-partitioning."""
@@ -1481,6 +1559,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_splits": _q_corpus_splits,
         "media_frames": _q_media_frames,
         "media_keyframes": _q_media_keyframes,
+        "url_snapshots": _q_url_snapshots,
+        "graph_components": _q_graph_components,
         "knn_cosine": _q_knn_cosine,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_cluster": _q_embedding_cluster,
@@ -2171,6 +2251,59 @@ SELECT qd AS query_doc_id, md AS match_doc_id,
        CAST(n_collisions AS BIGINT) AS n_collisions, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 3
 ORDER BY query_doc_id, rank
+"""
+
+
+def q_url_snapshots_sql():
+    """row_number() mirror of keep_latest over the same derived pages
+    table (warc_ts DESC, doc_id ASC per url)."""
+    return """
+WITH pages AS (
+  SELECT source || '/' || CAST(doc_id % 100 AS VARCHAR) AS url,
+         doc_id,
+         TIMESTAMP '2025-01-01 00:00:00'
+           + (doc_id * 37 % 1009) * INTERVAL 1 HOUR AS warc_ts
+  FROM documents
+), r AS (
+  SELECT url, doc_id, warc_ts,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, doc_id ASC) AS rn
+  FROM pages
+)
+SELECT url, doc_id, warc_ts FROM r WHERE rn = 1 ORDER BY url
+"""
+
+
+def q_graph_components_sql():
+    """Recursive min-reachable-label CTE over the same gated synthetic
+    edge set (identical splitmix64 constants as the engine)."""
+    h1 = addmod(mulmod("CAST(doc_id AS UBIGINT)", POLY_B), "1::UBIGINT")
+    h2 = addmod(mulmod("CAST(doc_id AS UBIGINT)", POLY_B), "2::UBIGINT")
+    return f"""
+WITH gates AS (
+  SELECT doc_id, {mix64_cols(h1, 'hc')}, {mix64_cols(h2, 'hs')} FROM documents
+), chain AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM gates
+  WHERE hc < {_GRAPH_T_CHAIN}::UBIGINT
+    AND doc_id < (SELECT max(doc_id) FROM documents)
+), star AS (
+  SELECT doc_id AS a, doc_id - doc_id % 100 AS b FROM gates
+  WHERE hs < {_GRAPH_T_STAR}::UBIGINT AND doc_id % 100 <> 0
+), edges AS (
+  SELECT a, b FROM chain UNION ALL SELECT a, b FROM star
+), sym AS (
+  SELECT a AS x, b AS y FROM edges UNION SELECT b, a FROM edges
+), nodes AS (
+  SELECT DISTINCT x AS node FROM sym
+), walk AS (
+  WITH RECURSIVE w(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.y, w.r FROM w JOIN sym e ON e.x = w.node
+  )
+  SELECT node, r FROM w
+)
+SELECT node, min(r) AS component FROM walk GROUP BY node ORDER BY node
 """
 
 
@@ -3113,6 +3246,8 @@ def oracle_sql() -> dict[str, str]:
         FROM documents ORDER BY media_id, frame_index
         """,
         "media_keyframes": q_media_keyframes_sql(),
+        "url_snapshots": q_url_snapshots_sql(),
+        "graph_components": q_graph_components_sql(),
         # 80/10/10 hash-range splits: edge constants computed EXACTLY as
         # the engine computes them (min(int(cum * 2^64), 2^64-1))
         "corpus_splits": f"""

@@ -215,3 +215,58 @@ def assignments_exchange(docs, forest_refs: list, num_buckets: int = 32):
         docs.select_columns(["doc_id"]), forest_refs, "doc_id", "b", assign, num_buckets
     )
     return rd.from_arrow_refs(refs)
+
+
+def connected_components(
+    edges, n_shards: int = 8, num_buckets: int = 32
+):
+    """Generic refs-only connected components over an (a:int64, b:int64)
+    edge Dataset: every DISTINCT ENDPOINT gets (node, component) where
+    component = the minimum node id reachable from it (the same
+    min-label convention the dedup forest uses; SQL mirror = recursive
+    min-reachable-label CTE).
+
+    This is the dedup pipeline's clustering stage exposed standalone:
+    edges route to sharded union-find actors from tasks, contraction
+    repeats until the spanning forest is stable, pointer-jump exchanges
+    collapse cross-shard chains — driver traffic is per-shard
+    signatures, never edges (stages/cluster_scale.py:134). The node set
+    is derived refs-only too: per-bucket endpoint dedup on the same
+    exchange that co-partitions the assignment join."""
+    from raydedup.stages.exchange import hash_exchange_apply, refs_to_dataset
+
+    # one execution of the edge lineage; the SAME block refs feed the
+    # union-find routing AND the endpoint distinct (re-using refs beats
+    # re-running the Dataset twice — each lazy consumer is its own job)
+    edge_refs = list(edges.select_columns(["a", "b"]).to_arrow_refs())
+    forest = cluster_edge_refs(edge_refs, n_shards=n_shards, num_buckets=num_buckets)
+
+    @ray.remote
+    def _endpoints(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        flat = np.unique(
+            np.concatenate(
+                [
+                    t.column("a").to_numpy(zero_copy_only=False),
+                    t.column("b").to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"doc_id": pa.array(flat, type=pa.int64())})
+
+    def uniq(t: pa.Table) -> pa.Table:
+        ids = np.unique(t.column("doc_id").to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+    ep_refs = [_endpoints.remote(r) for r in edge_refs]
+    node_refs = hash_exchange_apply(ep_refs, "doc_id", uniq, num_buckets, collect=False)
+    nodes = refs_to_dataset(node_refs, pa.schema([("doc_id", pa.int64())]))
+    asg = assignments_exchange(nodes, forest, num_buckets)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": t.column("doc_id"), "component": t.column("cluster_id")}
+        )
+
+    return asg.map_batches(rename, batch_format="pyarrow")

@@ -332,7 +332,17 @@ def pa_schema_of(ds: Dataset, columns: list[str] | None = None) -> pa.Schema:
     s = ds.schema()
     base = getattr(s, "base_schema", None)
     if not isinstance(base, pa.Schema):
-        base = pa.schema(zip(s.names, s.types))
+        # pandas-backed datasets report numpy dtypes here, not
+        # pa.DataType — map them (object/str dtypes -> string)
+        def _pa_type(t):
+            if isinstance(t, pa.DataType):
+                return t
+            try:
+                return pa.from_numpy_dtype(np.dtype(t))
+            except (TypeError, pa.ArrowNotImplementedError):
+                return pa.string()
+
+        base = pa.schema([(n, _pa_type(t)) for n, t in zip(s.names, s.types)])
     if columns is None:
         return base
     return pa.schema([(c, base.field(c).type) for c in columns])

@@ -1,0 +1,136 @@
+"""keep_latest (snapshot dedup) and the standalone connected_components
+operator vs pure-Python references."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from raydedup.stages.cluster_scale import connected_components
+from raydedup.stages.snapshot import keep_latest
+
+
+def _ref_keep_latest(df: pd.DataFrame, key, order, tie) -> pd.DataFrame:
+    df = df.sort_values([key, order, tie], ascending=[True, False, True])
+    return df.groupby(key, as_index=False).head(1)
+
+
+@pytest.fixture()
+def pages_df():
+    rng = np.random.default_rng(404)
+    n = 5000
+    return pd.DataFrame(
+        {
+            "url": [f"d{int(i)}.example/p{int(i) % 7}" for i in rng.integers(0, 400, n)],
+            "warc_ts": pd.to_datetime(rng.integers(0, 10_000, n), unit="h"),
+            "doc_id": rng.integers(0, 10**9, n).astype("int64"),
+        }
+    )
+
+
+def test_keep_latest_matches_reference(ray_session, pages_df):
+    out = (
+        keep_latest(
+            rd.from_pandas(pages_df), "url", "warc_ts", "doc_id",
+            columns=["url", "doc_id", "warc_ts"],
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    ref = (
+        _ref_keep_latest(pages_df, "url", "warc_ts", "doc_id")[
+            ["url", "doc_id", "warc_ts"]
+        ]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, ref)
+
+
+def test_keep_latest_partition_invariant_and_ties(ray_session, pages_df):
+    # force exact order ties: duplicate every row with a bumped doc_id —
+    # the winner per (url, ts) must be the SMALLER doc_id
+    dup = pages_df.copy()
+    dup["doc_id"] = dup["doc_id"] + 1
+    both = pd.concat([dup, pages_df], ignore_index=True)
+    a = (
+        keep_latest(rd.from_pandas(both), "url", "warc_ts", "doc_id")
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    b = (
+        keep_latest(rd.from_pandas(both).repartition(13), "url", "warc_ts", "doc_id")
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    ref = _ref_keep_latest(both, "url", "warc_ts", "doc_id")
+    assert set(zip(a.url, a.doc_id)) == set(zip(ref.url, ref.doc_id))
+
+
+def test_keep_latest_int_key_and_float_order(ray_session):
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 2, 3],
+            "v": [0.5, 0.9, -1.0, -1.0, 2.0],
+            "t": [9, 7, 4, 3, 1],
+        }
+    )
+    out = keep_latest(rd.from_pandas(df), "k", "v", "t").to_pandas()
+    got = dict(zip(out.k, out.t))
+    assert got == {1: 7, 2: 3, 3: 1}
+
+
+class _UF:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def test_connected_components_matches_reference(ray_session):
+    rng = np.random.default_rng(77)
+    a = rng.integers(0, 2000, 4000).astype("int64")
+    b = rng.integers(0, 2000, 4000).astype("int64")
+    edges = pa.table({"a": pa.array(a), "b": pa.array(b)})
+    out = connected_components(rd.from_arrow(edges), n_shards=3, num_buckets=8).to_pandas()
+
+    uf = _UF()
+    for x, y in zip(a, b):
+        uf.union(int(x), int(y))
+    nodes = sorted(set(a.tolist()) | set(b.tolist()))
+    # min-label convention: component id = min node id in the component
+    root_min: dict[int, int] = {}
+    for n in nodes:
+        r = uf.find(n)
+        root_min[r] = min(root_min.get(r, n), n)
+    ref = {n: root_min[uf.find(n)] for n in nodes}
+
+    assert len(out) == len(nodes)
+    got = dict(zip(out.node, out.component))
+    assert got == ref
+
+
+def test_connected_components_chain_collapses(ray_session):
+    # one long chain exercises multi-round contraction + pointer jumping
+    n = 5000
+    edges = pa.table(
+        {
+            "a": pa.array(np.arange(n - 1, dtype="int64")),
+            "b": pa.array(np.arange(1, n, dtype="int64")),
+        }
+    )
+    out = connected_components(rd.from_arrow(edges), n_shards=4, num_buckets=8).to_pandas()
+    assert len(out) == n
+    assert (out.component == 0).all()
