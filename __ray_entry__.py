@@ -721,6 +721,20 @@ def _q_media_keyframes(sf_dir: str):
     return df.sort_values(["media_id", "frame_index"]).reset_index(drop=True)
 
 
+def _q_distinct_users_kmv(sf_dir: str):
+    """KMV distinct-count sketch (k=64) of users per event type: the
+    A6 stats surface extended with the sketch a 10^12-doc pipeline
+    needs (exact COUNT(DISTINCT) shuffles every pair; the sketch ships
+    <=k hashes per group per batch). Deterministic and bit-mirrorable:
+    the SQL oracle re-derives the same mix64 value hashes, k-th order
+    statistic and single-division estimator."""
+    from raydedup.stages.sketch import kmv_distinct
+
+    events = _read(sf_dir, "events").select_columns(["event_type", "user_id"])
+    df = kmv_distinct(events, "event_type", "user_id", k=64).to_pandas()
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
 _SNAP_TS_BASE_US = 1_735_689_600_000_000  # TIMESTAMP '2025-01-01 00:00:00' in us
 
 
@@ -1561,6 +1575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_keyframes": _q_media_keyframes,
         "url_snapshots": _q_url_snapshots,
         "graph_components": _q_graph_components,
+        "distinct_users_kmv": _q_distinct_users_kmv,
         "knn_cosine": _q_knn_cosine,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_cluster": _q_embedding_cluster,
@@ -2251,6 +2266,32 @@ SELECT qd AS query_doc_id, md AS match_doc_id,
        CAST(n_collisions AS BIGINT) AS n_collisions, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 3
 ORDER BY query_doc_id, rank
+"""
+
+
+def q_distinct_users_kmv_sql():
+    """Mirror of the KMV sketch: same mix64 value hash, distinct
+    hashes, k-th order statistic per group, same single-division
+    estimator ((k-1)::DOUBLE * 2^64::DOUBLE) / h_k::DOUBLE."""
+    return f"""
+WITH h AS (
+  SELECT event_type, {mix64_cols('CAST(user_id AS UBIGINT)', 'vh')} FROM events
+), d AS (
+  SELECT DISTINCT event_type, vh FROM h
+), r AS (
+  SELECT event_type, vh,
+         row_number() OVER (PARTITION BY event_type ORDER BY vh ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS nd
+  FROM d
+)
+SELECT event_type,
+       CAST(least(nd, 64) AS BIGINT) AS n_tracked,
+       CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+            ELSE (63.0 * 18446744073709551616.0) / CAST(vh AS DOUBLE)
+       END AS est_distinct
+FROM r
+WHERE rn = least(nd, 64)
+ORDER BY event_type
 """
 
 
@@ -3248,6 +3289,7 @@ def oracle_sql() -> dict[str, str]:
         "media_keyframes": q_media_keyframes_sql(),
         "url_snapshots": q_url_snapshots_sql(),
         "graph_components": q_graph_components_sql(),
+        "distinct_users_kmv": q_distinct_users_kmv_sql(),
         # 80/10/10 hash-range splits: edge constants computed EXACTLY as
         # the engine computes them (min(int(cum * 2^64), 2^64-1))
         "corpus_splits": f"""

@@ -202,6 +202,8 @@ def run_bench() -> dict:
     timed("user_sessions_sf", lambda: q["user_sessions"](SF_DIR))
     timed("weekly_active_users_sf", lambda: q["weekly_active_users"](SF_DIR))
     timed("revenue_by_nation_sf", lambda: q["revenue_by_nation"](SF_DIR))
+    timed("url_snapshots_sf", lambda: q["url_snapshots"](SF_DIR))
+    timed("graph_components_sf", lambda: q["graph_components"](SF_DIR))
 
     out = {
         "metric": "dedup pipeline wall time (synthetic pages corpus, containment on)",

@@ -134,3 +134,44 @@ def test_connected_components_chain_collapses(ray_session):
     out = connected_components(rd.from_arrow(edges), n_shards=4, num_buckets=8).to_pandas()
     assert len(out) == n
     assert (out.component == 0).all()
+
+
+def test_kmv_distinct_accuracy_and_invariance(ray_session):
+    from raydedup.stages.sketch import kmv_distinct
+
+    rng = np.random.default_rng(99)
+    n = 40_000
+    groups = np.array(["g0", "g1", "g2", "g3"])[rng.integers(0, 4, n)]
+    # true distinct per group: ~3000, 300, 40 (exact path), huge skew
+    vals = np.where(
+        groups == "g0",
+        rng.integers(0, 3000, n),
+        np.where(groups == "g1", rng.integers(0, 300, n), rng.integers(0, 40, n)),
+    ).astype("int64")
+    df = pd.DataFrame({"g": groups, "v": vals})
+    out = kmv_distinct(rd.from_pandas(df), "g", "v", k=64).to_pandas()
+    true = df.groupby("g")["v"].nunique()
+    got = dict(zip(out.g, out.est_distinct))
+    for g, t in true.items():
+        if t < 64:
+            assert got[g] == t  # exact below k
+        else:
+            assert abs(got[g] - t) / t < 0.5  # 1/sqrt(64) noise, loose gate
+    # partition invariance: values identical under any input blocking
+    out2 = kmv_distinct(rd.from_pandas(df).repartition(17), "g", "v", k=64).to_pandas()
+    key = lambda d: d.sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(out), key(out2))
+
+
+def test_kmv_distinct_string_values_and_small_k(ray_session):
+    from raydedup.stages.sketch import kmv_distinct
+
+    df = pd.DataFrame(
+        {"g": ["a"] * 6 + ["b"] * 2, "v": ["x", "y", "z", "x", "y", "w", "p", "p"]}
+    )
+    out = kmv_distinct(rd.from_pandas(df), "g", "v", k=8).to_pandas()
+    got = dict(zip(out.g, out.est_distinct))
+    assert got == {"a": 4.0, "b": 1.0}
+    assert dict(zip(out.g, out.n_tracked)) == {"a": 4, "b": 1}
+    with pytest.raises(ValueError):
+        kmv_distinct(rd.from_pandas(df), "g", "v", k=1)
