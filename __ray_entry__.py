@@ -735,6 +735,46 @@ def _q_distinct_users_kmv(sf_dir: str):
     return df.sort_values("event_type").reset_index(drop=True)
 
 
+def _q_url_canonical(sf_dir: str):
+    """URL canonicalization (stages/urlnorm.py): deterministic messy
+    urls derived from documents (tracking params, fragments, default
+    ports, doubled slashes gated on doc_id residues) -> canonical form.
+    Both sides run the LITERAL same RE2 pass chain (Arrow
+    replace_substring_regex / DuckDB regexp_replace)."""
+    import pyarrow.compute as pc
+
+    from raydedup.stages.urlnorm import canonicalize_urls
+
+    def to_urls(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = pc.cast(t.column("source"), pa.string())
+        port = pc.if_else(pa.array(ids % 5 == 0), ":80", "")
+        slash = pc.if_else(pa.array(ids % 11 == 0), "//", "/")
+        pid = pc.cast(pa.array(ids % 40, type=pa.int64()), pa.string())
+        q5 = pc.cast(pa.array(ids % 5, type=pa.int64()), pa.string())
+        utm_q = pc.binary_join_element_wise("?utm_source=x&q=", q5, "")
+        plain_q = pc.binary_join_element_wise("?q=", q5, "")
+        m2 = pa.array(ids % 2 == 0)
+        q = pc.if_else(
+            pa.array(ids % 3 == 0),
+            pc.if_else(m2, utm_q, "?utm_source=x"),
+            pc.if_else(m2, plain_q, ""),
+        )
+        frag = pc.if_else(pa.array(ids % 7 == 0), "#sec", "")
+        url = pc.binary_join_element_wise(
+            "http://", src, ".example.com", port, "/p", slash, pid, q, frag, ""
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()), "url": url}
+        )
+
+    urls = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "source"]
+    ).map_batches(to_urls, batch_format="pyarrow")
+    df = canonicalize_urls(urls).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 _SNAP_TS_BASE_US = 1_735_689_600_000_000  # TIMESTAMP '2025-01-01 00:00:00' in us
 
 
@@ -1576,6 +1616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_snapshots": _q_url_snapshots,
         "graph_components": _q_graph_components,
         "distinct_users_kmv": _q_distinct_users_kmv,
+        "url_canonical": _q_url_canonical,
         "knn_cosine": _q_knn_cosine,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_cluster": _q_embedding_cluster,
@@ -2292,6 +2333,47 @@ SELECT event_type,
 FROM r
 WHERE rn = least(nd, 64)
 ORDER BY event_type
+"""
+
+
+def q_url_canonical_sql():
+    """Mirror of canonicalize_urls: same derived messy urls, the
+    identical RE2 pass chain staged through CTEs."""
+    from raydedup.stages.urlnorm import URL_PASSES_POST, URL_PASSES_PRE
+
+    pre = "url"
+    for pat, rep in URL_PASSES_PRE:
+        pre = f"regexp_replace({pre}, '{pat}', '{rep}', 'g')"
+    post = "u2"
+    for pat, rep in URL_PASSES_POST:
+        post = f"regexp_replace({post}, '{pat}', '{rep}', 'g')"
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         'http://' || source || '.example.com'
+         || CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END
+         || '/p' || CASE WHEN doc_id % 11 = 0 THEN '//' ELSE '/' END
+         || CAST(doc_id % 40 AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 THEN
+              CASE WHEN doc_id % 2 = 0
+                   THEN '?utm_source=x&q=' || CAST(doc_id % 5 AS VARCHAR)
+                   ELSE '?utm_source=x' END
+            ELSE
+              CASE WHEN doc_id % 2 = 0
+                   THEN '?q=' || CAST(doc_id % 5 AS VARCHAR)
+                   ELSE '' END
+            END
+         || CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END AS url
+  FROM documents
+), s1 AS (
+  SELECT doc_id, url, {pre} AS u1 FROM raw
+), s2 AS (
+  SELECT doc_id, url,
+         CASE WHEN contains(u1, '?') THEN u1
+              ELSE regexp_replace(u1, '&', '?') END AS u2
+  FROM s1
+)
+SELECT doc_id, url, {post} AS canonical_url FROM s2 ORDER BY doc_id
 """
 
 
@@ -3290,6 +3372,7 @@ def oracle_sql() -> dict[str, str]:
         "url_snapshots": q_url_snapshots_sql(),
         "graph_components": q_graph_components_sql(),
         "distinct_users_kmv": q_distinct_users_kmv_sql(),
+        "url_canonical": q_url_canonical_sql(),
         # 80/10/10 hash-range splits: edge constants computed EXACTLY as
         # the engine computes them (min(int(cum * 2^64), 2^64-1))
         "corpus_splits": f"""

@@ -175,3 +175,65 @@ def test_kmv_distinct_string_values_and_small_k(ray_session):
     assert dict(zip(out.g, out.n_tracked)) == {"a": 4, "b": 1}
     with pytest.raises(ValueError):
         kmv_distinct(rd.from_pandas(df), "g", "v", k=1)
+
+
+def test_url_canonicalization_pinned():
+    from raydedup.stages.urlnorm import canonical_url_column
+
+    cases = {
+        "http://a.com/x?utm_source=tw&b=2#frag": "http://a.com/x?b=2",
+        "https://b.com:443/p//q///r?utm_a=1": "https://b.com/p/q/r",
+        "http://c.com:80/": "http://c.com/",
+        "http://d.com/x?b=1&utm_x=2&c=3": "http://d.com/x?b=1&c=3",
+        "http://e.com/x?utm_a=1&utm_b=2": "http://e.com/x",
+        "http://f.com/x?fbclid=abc": "http://f.com/x",
+        "http://g.com/x?a=1&gclid=z&b=2&": "http://g.com/x?a=1&b=2",
+        "http://h.com:8080/x?a=1": "http://h.com:8080/x?a=1",
+        "http://i.com/plain": "http://i.com/plain",
+        "http://j.com/x#only-frag": "http://j.com/x",
+        "http://k.com//double//slash": "http://k.com/double/slash",
+        "": "",
+    }
+    got = canonical_url_column(pa.array(list(cases))).to_pylist()
+    assert got == list(cases.values())
+    # idempotent: canonical(canonical(u)) == canonical(u)
+    assert canonical_url_column(pa.array(got)).to_pylist() == got
+
+
+def test_url_canonicalization_duckdb_parity():
+    import duckdb
+
+    from raydedup.stages.urlnorm import (
+        URL_PASSES_POST,
+        URL_PASSES_PRE,
+        canonical_url_column,
+    )
+
+    rng = np.random.default_rng(31)
+    parts = ["?utm_source=a", "?q=1", "&utm_medium=b", "&r=2", "#f", ":80", "//"]
+    urls = [
+        "http://s%d.com%s/p%s%s"
+        % (i, ":80" if i % 4 == 0 else "", "/x" * int(rng.integers(0, 3)),
+           "".join(rng.choice(parts, size=int(rng.integers(0, 4)))))
+        for i in range(300)
+    ]
+    got = canonical_url_column(pa.array(urls)).to_pylist()
+    pre = "url"
+    for pat, rep in URL_PASSES_PRE:
+        pre = f"regexp_replace({pre}, '{pat}', '{rep}', 'g')"
+    post = "u2"
+    for pat, rep in URL_PASSES_POST:
+        post = f"regexp_replace({post}, '{pat}', '{rep}', 'g')"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in urls])
+    ora = [
+        r[0]
+        for r in con.execute(
+            f"""WITH s1 AS (SELECT url, {pre} AS u1 FROM t),
+            s2 AS (SELECT url, CASE WHEN contains(u1,'?') THEN u1
+                   ELSE regexp_replace(u1,'&','?') END AS u2 FROM s1)
+            SELECT {post} FROM s2"""
+        ).fetchall()
+    ]
+    assert got == ora
