@@ -815,6 +815,254 @@ def _q_url_snapshots(sf_dir: str):
     return df.sort_values("url").reset_index(drop=True)
 
 
+def _to_page_table(t: pa.Table) -> pa.Table:
+    """Deterministic multi-line 'page' rendering of a document: the
+    single-line synthetic text decorated with residue-gated boilerplate
+    lines (nav bullet, terminal punctuation, see-also, js/cookie wall,
+    copyright footer, lorem marker) so line-level web-text rules have
+    something to discriminate on. The SQL mirror (_PAGE_SQL) builds the
+    LITERAL same string."""
+    import pyarrow.compute as pc
+
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    text = pc.cast(t.column("text"), pa.string())
+    nav = pc.if_else(pa.array(ids % 7 == 0), "• nav home\n", "")
+    punct = pc.if_else(
+        pa.array(ids % 3 == 0),
+        "...",
+        pc.if_else(pa.array(ids % 3 == 1), ".", ""),
+    )
+    pid40 = pc.cast(pa.array(ids % 40, type=pa.int64()), pa.string())
+    seealso = pc.if_else(
+        pa.array(ids % 4 == 0),
+        pc.binary_join_element_wise("\nsee also part ", pid40, " of the set.", ""),
+        "",
+    )
+    js = pc.if_else(
+        pa.array(ids % 5 == 0), "\nenable javascript and cookies to continue", ""
+    )
+    foot = pc.if_else(pa.array(ids % 2 == 0), "\ncopyright 2025", "")
+    lorem = pc.if_else(pa.array(ids % 97 == 0), "\nlorem ipsum dolor sit amet", "")
+    page = pc.binary_join_element_wise(nav, text, punct, seealso, js, foot, lorem, "")
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": page})
+
+
+_PAGE_SQL = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN '• nav home' || chr(10) ELSE '' END
+         || text
+         || CASE WHEN doc_id % 3 = 0 THEN '...'
+                 WHEN doc_id % 3 = 1 THEN '.' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN chr(10) || 'see also part ' || CAST(doc_id % 40 AS VARCHAR) || ' of the set.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || 'enable javascript and cookies to continue'
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'copyright 2025' ELSE '' END
+         || CASE WHEN doc_id % 97 = 0
+                 THEN chr(10) || 'lorem ipsum dolor sit amet' ELSE '' END AS text
+  FROM documents
+"""
+
+
+def _pages(sf_dir: str):
+    return (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "text"])
+        .map_batches(_to_page_table, batch_format="pyarrow")
+    )
+
+
+def _q_gopher_filter(sf_dir: str):
+    """Gopher/MassiveText doc-quality gates (stages/qualityfilter.py,
+    Rae et al. 2021) over the derived page rendering: word-count bounds,
+    mean-word-length band, alpha-word fraction, distinct-stopword floor,
+    bullet/ellipsis line fractions. Every verdict is an integer
+    cross-multiplied comparison; the oracle imports the same constants.
+    Web-text analog of the reference's hit-quality acceptance gates
+    (strategy/olaf/OlafStrategy.java match filtering)."""
+    from raydedup.stages.qualityfilter import gopher_rules
+
+    df = gopher_rules(_pages(sf_dir)).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_c4_line_clean(sf_dir: str):
+    """C4-style line cleaning (stages/qualityfilter.py, Raffel et al.
+    2020): keep lines with >=3 words ending in terminal punctuation and
+    no js/cookie marker; flag docs carrying bad-doc markers. Emits
+    per-doc line counts + the reassembled clean text (Arrow
+    binary_join over the filtered line list)."""
+    from raydedup.stages.qualityfilter import c4_line_filter
+
+    df = c4_line_filter(_pages(sf_dir)).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+# deterministic typographic mess injected around the raw text (engine and
+# SQL build the LITERAL same string; residues pick which docs get which)
+_MESSY_PRE2 = "   "
+_MESSY_PRE3 = "“intro” — "
+_MESSY_TAIL4 = "\n\n\n\ntail   \tend"
+_MESSY_TAIL5 = " …​"
+_MESSY_TAIL7 = "\x07\x1b"
+_MESSY_TAIL11 = "   "
+
+
+def _sql_str(s: str) -> str:
+    """A python string as a DuckDB expression; control bytes via chr()."""
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        if ord(ch) < 32 or ord(ch) == 127:
+            if buf:
+                parts.append("'" + buf.replace("'", "''") + "'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+        else:
+            buf += ch
+    if buf:
+        parts.append("'" + buf.replace("'", "''") + "'")
+    return " || ".join(parts) if parts else "''"
+
+
+def _to_messy_table(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    text = pc.cast(t.column("text"), pa.string())
+    p2 = pc.if_else(pa.array(ids % 2 == 0), _MESSY_PRE2, "")
+    p3 = pc.if_else(pa.array(ids % 3 == 0), _MESSY_PRE3, "")
+    t4 = pc.if_else(pa.array(ids % 4 == 0), _MESSY_TAIL4, "")
+    t5 = pc.if_else(pa.array(ids % 5 == 0), _MESSY_TAIL5, "")
+    t7 = pc.if_else(pa.array(ids % 7 == 0), _MESSY_TAIL7, "")
+    t11 = pc.if_else(pa.array(ids % 11 == 0), _MESSY_TAIL11, "")
+    messy = pc.binary_join_element_wise(p2, p3, text, t4, t5, t7, t11, "")
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": messy})
+
+
+def _q_text_normalize(sf_dir: str):
+    """Typographic normalization (stages/textnorm.py): the M8
+    canonical-format surface on text — control/zero-width strip, NBSP,
+    curly quotes, unicode dashes/ellipsis, whitespace collapse — as an
+    RE2 pass chain over deterministically-messied docs. Both sides run
+    the LITERAL same patterns (Arrow replace_substring_regex / DuckDB
+    regexp_replace)."""
+    from raydedup.stages.textnorm import normalize_text
+
+    messy = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "text"])
+        .map_batches(_to_messy_table, batch_format="pyarrow")
+    )
+    out = normalize_text(messy)
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return t
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "raw_chars": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+                "norm_chars": pc.cast(
+                    pc.utf8_length(t.column("norm_text")), pa.int64()
+                ),
+                "norm_text": t.column("norm_text"),
+            }
+        )
+
+    df = out.map_batches(project, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_text_normalize_sql():
+    """Mirror of _q_text_normalize: same messy derivation, same literal
+    pass chain."""
+    from raydedup.stages.textnorm import text_normalize_sql
+
+    messy = (
+        f"CASE WHEN doc_id % 2 = 0 THEN {_sql_str(_MESSY_PRE2)} ELSE '' END"
+        f" || CASE WHEN doc_id % 3 = 0 THEN {_sql_str(_MESSY_PRE3)} ELSE '' END"
+        f" || text"
+        f" || CASE WHEN doc_id % 4 = 0 THEN {_sql_str(_MESSY_TAIL4)} ELSE '' END"
+        f" || CASE WHEN doc_id % 5 = 0 THEN {_sql_str(_MESSY_TAIL5)} ELSE '' END"
+        f" || CASE WHEN doc_id % 7 = 0 THEN {_sql_str(_MESSY_TAIL7)} ELSE '' END"
+        f" || CASE WHEN doc_id % 11 = 0 THEN {_sql_str(_MESSY_TAIL11)} ELSE '' END"
+    )
+    norm = text_normalize_sql("text")
+    return f"""
+WITH messy AS (
+  SELECT doc_id, {messy} AS text FROM documents
+), n AS (
+  SELECT doc_id, length(text) AS raw_chars, {norm} AS norm_text FROM messy
+)
+SELECT doc_id, raw_chars, length(norm_text) AS norm_chars, norm_text
+FROM n ORDER BY doc_id
+"""
+
+
+def _q_webtext_funnel(sf_dir: str):
+    """Composed curation chain: C4 line clean -> drop flagged docs ->
+    Gopher gates on the CLEANED text -> survivors. Both operators are
+    row-local, so the whole funnel is ONE fused map_batches — the
+    between-stage join the SQL mirror spells out never materializes
+    (rows stay aligned through filter masks inside the batch)."""
+    import pyarrow.compute as pc
+
+    from raydedup.stages.qualityfilter import (
+        c4_line_filter_batch,
+        gopher_rules_batch,
+    )
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_lines": pa.array([], pa.int64()),
+            "n_kept": pa.array([], pa.int64()),
+            "n_words": pa.array([], pa.int64()),
+            "word_chars": pa.array([], pa.int64()),
+            "n_stopwords": pa.array([], pa.int64()),
+        }
+    )
+
+    def funnel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return empty
+        c4t = c4_line_filter_batch(t)
+        kept = c4t.filter(pc.equal(c4t.column("keep_doc"), 1))
+        if kept.num_rows == 0:
+            return empty
+        gt = gopher_rules_batch(
+            pa.table(
+                {
+                    "doc_id": kept.column("doc_id"),
+                    "text": kept.column("clean_text"),
+                }
+            )
+        )
+        survived = pc.equal(gt.column("keep"), 1)
+        g2 = gt.filter(survived)
+        c2 = kept.filter(survived)
+        return pa.table(
+            {
+                "doc_id": g2.column("doc_id"),
+                "n_lines": c2.column("n_lines"),
+                "n_kept": c2.column("n_kept"),
+                "n_words": g2.column("n_words"),
+                "word_chars": g2.column("word_chars"),
+                "n_stopwords": g2.column("n_stopwords"),
+            }
+        )
+
+    df = _pages(sf_dir).map_batches(funnel, batch_format="pyarrow").to_pandas()
+    if "doc_id" not in df.columns:  # all-empty result loses its schema
+        df = empty.to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 # shared gate constants for the synthetic component graph (engine and
 # SQL embed the SAME ints, computed once here exactly like keyframes)
 _GRAPH_T_CHAIN = min(int(0.45 * 2.0**64), 2**64 - 1)
@@ -1617,6 +1865,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": _q_graph_components,
         "distinct_users_kmv": _q_distinct_users_kmv,
         "url_canonical": _q_url_canonical,
+        "gopher_filter": _q_gopher_filter,
+        "c4_line_clean": _q_c4_line_clean,
+        "webtext_funnel": _q_webtext_funnel,
+        "text_normalize": _q_text_normalize,
         "knn_cosine": _q_knn_cosine,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_cluster": _q_embedding_cluster,
@@ -2394,6 +2646,143 @@ WITH pages AS (
   FROM pages
 )
 SELECT url, doc_id, warc_ts FROM r WHERE rn = 1 ORDER BY url
+"""
+
+
+_WTRIM = "regexp_replace(regexp_replace({x}, '^\\s+', ''), '\\s+$', '')"
+
+
+def _gopher_sql_body(src: str) -> str:
+    """gopher_rules as SQL over any CTE ``src`` with (doc_id, text):
+    identical thresholds imported from stages/qualityfilter.py,
+    whitespace trim via RE2 (DuckDB trim() strips spaces only), and
+    rule verdicts as the same integer cross-multiplications."""
+    from raydedup.stages import qualityfilter as qf
+
+    wt = _WTRIM.format(x="text")
+    sw = " + ".join(
+        f"(CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END)"
+        for w in qf.GOPHER_STOPWORDS
+    )
+    rules = {
+        "words_ok": (
+            f"n_words >= {qf.GOPHER_MIN_WORDS} AND n_words <= {qf.GOPHER_MAX_WORDS}"
+        ),
+        "mwl_ok": (
+            f"{qf.GOPHER_MWL_MIN}*n_words <= word_chars"
+            f" AND word_chars <= {qf.GOPHER_MWL_MAX}*n_words"
+        ),
+        "alpha_ok": (
+            f"{qf.GOPHER_ALPHA_DEN}*n_alpha_words >= {qf.GOPHER_ALPHA_NUM}*n_words"
+        ),
+        "stop_ok": f"n_stopwords >= {qf.GOPHER_MIN_STOPWORDS}",
+        "bullet_ok": (
+            f"{qf.GOPHER_BULLET_DEN}*n_bullet_lines"
+            f" < {qf.GOPHER_BULLET_NUM}*n_lines"
+        ),
+        "ellipsis_ok": (
+            f"{qf.GOPHER_ELLIPSIS_DEN}*n_ellipsis_lines"
+            f" < {qf.GOPHER_ELLIPSIS_NUM}*n_lines"
+        ),
+    }
+    verdicts = ",\n  ".join(
+        f"CAST({expr} AS BIGINT) AS {name}" for name, expr in rules.items()
+    )
+    keep_all = " AND ".join(rules.values())
+    return f"""
+base AS (
+  SELECT doc_id,
+    CASE WHEN length({wt})=0 THEN 0
+         ELSE len(string_split_regex({wt}, '\\s+')) END AS n_words,
+    length(regexp_replace(text, '\\s', '', 'g')) AS word_chars,
+    CASE WHEN length({wt})=0 THEN 0
+         ELSE len(list_filter(string_split_regex({wt}, '\\s+'),
+                              w -> regexp_matches(w, '[a-zA-Z]'))) END
+      AS n_alpha_words,
+    CASE WHEN length({wt})=0 THEN []
+         ELSE string_split_regex(lower({wt}), '\\s+') END AS toks,
+    string_split(text, chr(10)) AS lines
+  FROM {src}
+), cnt AS (
+  SELECT doc_id, n_words, word_chars, n_alpha_words,
+    {sw} AS n_stopwords,
+    len(lines) AS n_lines,
+    len(list_filter(lines, l -> regexp_matches(l, '{qf.BULLET_RE}')))
+      AS n_bullet_lines,
+    len(list_filter(lines, l -> regexp_matches(l, '{qf.ELLIPSIS_RE}')))
+      AS n_ellipsis_lines
+  FROM base
+), gopher AS (
+SELECT doc_id, n_words, word_chars, n_alpha_words, n_stopwords,
+  n_lines, n_bullet_lines, n_ellipsis_lines,
+  {verdicts},
+  CAST({keep_all} AS BIGINT) AS keep
+FROM cnt
+)"""
+
+
+def q_gopher_filter_sql():
+    """gopher_rules body over the derived pages."""
+    return f"""
+WITH pages AS ({_PAGE_SQL}), {_gopher_sql_body('pages')}
+SELECT * FROM gopher ORDER BY doc_id
+"""
+
+
+def _c4_sql_body(src: str) -> str:
+    """c4_line_filter as SQL over any CTE ``src`` with (doc_id, text);
+    COALESCE('') matches Arrow binary_join on an empty kept-line list."""
+    from raydedup.stages import qualityfilter as qf
+
+    wtl = _WTRIM.format(x="l")
+    bad_line = " AND ".join(
+        f"NOT contains(lower(l), '{m}')" for m in qf.C4_BAD_LINE_MARKERS
+    )
+    bad_doc = " OR ".join(
+        "contains(lower(text), '" + m.replace("'", "''") + "')"
+        for m in qf.C4_BAD_DOC_MARKERS
+    )
+    return f"""
+c4base AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+    list_filter(string_split(text, chr(10)), l ->
+      length({wtl}) > 0
+      AND len(string_split_regex({wtl}, '\\s+')) >= {qf.C4_MIN_LINE_WORDS}
+      AND regexp_matches(l, '{qf.C4_TERMINAL_RE}')
+      AND {bad_line}) AS kept
+  FROM {src}
+), c4 AS (
+SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+  CAST(NOT ({bad_doc}) AS BIGINT) AS keep_doc,
+  COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+FROM c4base
+)"""
+
+
+def q_c4_line_clean_sql():
+    """c4_line_filter body over the derived pages."""
+    return f"""
+WITH pages AS ({_PAGE_SQL}), {_c4_sql_body('pages')}
+SELECT * FROM c4 ORDER BY doc_id
+"""
+
+
+def q_webtext_funnel_sql():
+    """Composed curation chain: C4 line clean over the derived pages,
+    drop flagged docs, re-run the Gopher gates on the CLEANED text,
+    keep survivors. One CTE chain reusing both operator bodies — the
+    engine composes the same two stages (c4_line_filter ->
+    gopher_rules) with a projection in between."""
+    return f"""
+WITH pages AS ({_PAGE_SQL}), {_c4_sql_body('pages')},
+cleaned AS (
+  SELECT doc_id, clean_text AS text FROM c4 WHERE keep_doc = 1
+), {_gopher_sql_body('cleaned')}
+SELECT g.doc_id, c.n_lines, c.n_kept, g.n_words, g.word_chars,
+       g.n_stopwords
+FROM gopher g JOIN c4 c USING (doc_id)
+WHERE g.keep = 1
+ORDER BY g.doc_id
 """
 
 
@@ -3373,6 +3762,10 @@ def oracle_sql() -> dict[str, str]:
         "graph_components": q_graph_components_sql(),
         "distinct_users_kmv": q_distinct_users_kmv_sql(),
         "url_canonical": q_url_canonical_sql(),
+        "gopher_filter": q_gopher_filter_sql(),
+        "c4_line_clean": q_c4_line_clean_sql(),
+        "webtext_funnel": q_webtext_funnel_sql(),
+        "text_normalize": q_text_normalize_sql(),
         # 80/10/10 hash-range splits: edge constants computed EXACTLY as
         # the engine computes them (min(int(cum * 2^64), 2^64-1))
         "corpus_splits": f"""

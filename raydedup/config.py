@@ -50,6 +50,14 @@ class DedupConfig:
     # two-round hash-exchange join; the exchange remains the 10^12 path
     verify_broadcast_max_docs: int = 150_000
 
+    # --- ingress normalization (M8 canonical-format surface on text;
+    # stages/textnorm.py). When set, run_dedup/run_dedup_scale replace
+    # the text column with its typographically-normalized form (and
+    # recompute text_sha256) BEFORE any stage, so signatures, verify
+    # re-shingling, containment winnowing and the exact pass all see the
+    # one canonical text. Default off: byte-faithful to the extractor.
+    normalize: bool = False
+
     # --- skew handling (north-rule requirement; reference has none --
     # a hot LMDB key is just a long duplicate chain, PanakoStorageKV.java:335-370)
     # Hot-key policy: runs above max_band_postings are degenerate

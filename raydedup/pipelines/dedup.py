@@ -180,6 +180,11 @@ def run_dedup(
     metrics: dict[str, Any] = {}
     import ray
 
+    if cfg.normalize:
+        from raydedup.stages.textnorm import normalized_docs
+
+        docs = normalized_docs(docs)
+
     # Pin the extracted docs table once (it feeds the exact pass, the
     # signature pass AND the containment pass — re-running extraction per
     # consumer triples the read) and split it into enough blocks that

@@ -110,6 +110,11 @@ def run_dedup_scale(
         now = time.perf_counter()
         metrics[f"t_stage_{name}"] = now - _pt[0]
         _pt[0] = now
+
+    if cfg.normalize:
+        from raydedup.stages.textnorm import normalized_docs
+
+        docs = normalized_docs(docs)
     docs = docs.materialize()
 
     from raydedup.stages.exchange import (
