@@ -204,6 +204,8 @@ def run_bench() -> dict:
     timed("revenue_by_nation_sf", lambda: q["revenue_by_nation"](SF_DIR))
     timed("url_snapshots_sf", lambda: q["url_snapshots"](SF_DIR))
     timed("graph_components_sf", lambda: q["graph_components"](SF_DIR))
+    timed("webtext_funnel_sf", lambda: q["webtext_funnel"](SF_DIR))
+    timed("text_normalize_sf", lambda: q["text_normalize"](SF_DIR))
 
     out = {
         "metric": "dedup pipeline wall time (synthetic pages corpus, containment on)",

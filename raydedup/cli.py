@@ -318,6 +318,94 @@ def cmd_lines(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_normalize(args: argparse.Namespace) -> int:
+    """Typographic normalization pass: with --out, write the docs with
+    text (and sha) replaced by the canonical form; without, print a
+    per-corpus summary of how many docs changed."""
+    _init_ray()
+    from raydedup.sources.pages import pages_to_docs, read_pages
+    from raydedup.stages.textnorm import normalized_docs
+
+    files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
+    docs = pages_to_docs(read_pages(files))
+    out = normalized_docs(docs)
+    if args.out:
+        out.write_parquet(args.out)
+        print(json.dumps({"docs": out.count(), "out": args.out}))
+        return 0
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from raydedup.stages.textnorm import normalize_text_column
+
+    def delta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "changed": pa.array([], pa.int64())})
+        norm = normalize_text_column(t.column("text"))
+        ch = pc.sum(
+            pc.cast(pc.invert(pc.equal(t.column("text"), norm)), pa.int64())
+        ).as_py()
+        return pa.table({"n": [t.num_rows], "changed": [int(ch or 0)]})
+
+    df = docs.map_batches(delta, batch_format="pyarrow").to_pandas()
+    print(json.dumps({"docs": int(df["n"].sum()), "changed": int(df["changed"].sum())}))
+    return 0
+
+
+def cmd_quality(args: argparse.Namespace) -> int:
+    """Quality-filter rules: Gopher doc gates + C4 line cleaning. With
+    --out, write per-doc verdicts + cleaned text as parquet; without,
+    print a pass-rate summary."""
+    _init_ray()
+    from raydedup.sources.pages import pages_to_docs, read_pages
+    from raydedup.stages.qualityfilter import (
+        c4_line_filter_batch,
+        gopher_rules_batch,
+    )
+
+    files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
+    docs = pages_to_docs(read_pages(files))
+
+    import pyarrow as pa
+
+    def both(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "keep": pa.array([], pa.int64()),
+                 "keep_doc": pa.array([], pa.int64()),
+                 "n_kept": pa.array([], pa.int64()),
+                 "clean_text": pa.array([], pa.string())}
+            )
+        g = gopher_rules_batch(t)
+        c = c4_line_filter_batch(t)
+        return pa.table(
+            {"doc_id": g.column("doc_id"), "keep": g.column("keep"),
+             "keep_doc": c.column("keep_doc"), "n_kept": c.column("n_kept"),
+             "clean_text": c.column("clean_text")}
+        )
+
+    out = docs.map_batches(both, batch_format="pyarrow")
+    if args.out:
+        out.write_parquet(args.out)
+        print(json.dumps({"docs": out.count(), "out": args.out}))
+        return 0
+    df = out.to_pandas()
+    print(
+        json.dumps(
+            {
+                "docs": len(df),
+                "gopher_pass": int(df["keep"].sum()),
+                "c4_doc_pass": int(df["keep_doc"].sum()),
+                "c4_lines_kept": int(df["n_kept"].sum()),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_search(args: argparse.Namespace) -> int:
     """Index-free distributed grep: print doc_id TAB n_matched TAB
     n_hits for every doc whose tokens cover the query terms."""
@@ -571,6 +659,16 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--out", default=None, help="write line-deduped docs parquet here")
     s.add_argument("--top", type=int, default=None)
     s.set_defaults(fn=cmd_lines)
+
+    s = sub.add_parser("normalize", help="typographic text normalization (parquet out or summary)")
+    s.add_argument("pages")
+    s.add_argument("--out", default=None, help="write normalized docs parquet here")
+    s.set_defaults(fn=cmd_normalize)
+
+    s = sub.add_parser("quality", help="Gopher/C4 quality-filter verdicts (parquet out or summary)")
+    s.add_argument("pages")
+    s.add_argument("--out", default=None, help="write per-doc verdicts parquet here")
+    s.set_defaults(fn=cmd_quality)
 
     s = sub.add_parser("search", help="docs containing the query terms (distributed grep)")
     s.add_argument("pages")

@@ -318,3 +318,48 @@ def test_chunk_verb(ray_session, small_corpus, tmp_path, capsys, monkeypatch):
     t = pq.read_table(files[0])
     assert set(t.schema.names) == {"doc_id", "chunk_id", "text_chunk", "n_tokens"}
     assert max(t.column("n_tokens").to_pylist()) <= 64
+
+
+def test_normalize_and_quality_verbs(
+    ray_session, small_corpus, tmp_path, capsys, monkeypatch
+):
+    """`normalize` reports changed-doc counts and writes canonical docs;
+    `quality` reports Gopher/C4 pass rates and writes verdicts."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr("raydedup.cli._init_ray", lambda: None)
+    _, paths = small_corpus
+
+    rc = main(["normalize", paths["pages"]])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip())
+    assert summary["docs"] > 0 and 0 <= summary["changed"] <= summary["docs"]
+
+    out = str(tmp_path / "normed")
+    rc = main(["normalize", paths["pages"], "--out", out])
+    assert rc == 0
+    capsys.readouterr()
+    files = sorted(g.glob(os.path.join(out, "*.parquet")))
+    assert files
+    t = pq.read_table(files[0])
+    assert {"doc_id", "text", "text_sha256"} <= set(t.column_names)
+
+    rc = main(["quality", paths["pages"]])
+    assert rc == 0
+    qsum = json.loads(capsys.readouterr().out.strip())
+    assert qsum["docs"] == summary["docs"]
+    assert 0 <= qsum["gopher_pass"] <= qsum["docs"]
+    assert 0 <= qsum["c4_doc_pass"] <= qsum["docs"]
+
+    qout = str(tmp_path / "verdicts")
+    rc = main(["quality", paths["pages"], "--out", qout])
+    assert rc == 0
+    capsys.readouterr()
+    qfiles = sorted(g.glob(os.path.join(qout, "*.parquet")))
+    assert qfiles
+    qt = pq.read_table(qfiles[0])
+    assert {"doc_id", "keep", "keep_doc", "n_kept", "clean_text"} <= set(
+        qt.column_names
+    )

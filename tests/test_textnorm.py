@@ -116,6 +116,37 @@ def test_normalize_flag_collapses_typographic_neardups(ray_session):
     assert n0 == n1
 
 
+def test_normalize_flag_on_scale_pipeline(ray_session):
+    # same typographic-variant corpus through the refs-only scale
+    # pipeline: the ingress hook must behave identically there.
+    from raydedup.config import DedupConfig
+    from raydedup.pipelines.dedup_scale import run_dedup_scale
+    from raydedup.stages.extract import sha256_of_utf8_array
+
+    words = [f"tok{i}" for i in range(30)]
+    a = " ".join(w + "…" for w in words)
+    b = " ".join(w + "..." for w in words)
+    fillers = [" ".join(f"w{i}x{j}" for i in range(25)) for j in range(6)]
+    texts = [a, b, *fillers]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    t = t.append_column("text_sha256", sha256_of_utf8_array(t.column("text")))
+    docs = rd.from_arrow(t)
+    res = run_dedup_scale(
+        docs,
+        DedupConfig(batch_size=64, normalize=True),
+        containment=False,
+        num_buckets=4,
+        n_shards=2,
+    )
+    cl = res.clusters.to_pandas().set_index("doc_id")["cluster_id"]
+    assert cl.loc[0] == cl.loc[1]
+
+
 def test_pass_chain_is_re2_safe():
     # every pattern must compile under RE2 semantics on both engines:
     # exercised by applying each pass to a probe string via Arrow and
