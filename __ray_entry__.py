@@ -1004,6 +1004,59 @@ FROM n ORDER BY doc_id
 """
 
 
+def _q_embedding_decon(sf_dir: str):
+    """Semantic decontamination (stages/ann.py embedding_decontaminate):
+    eval set = vec_id % 20 == 0 (the benchmark side, small), train =
+    the rest. Eval matrix broadcast once via ray.put; train streams
+    through ONE map_batches matmul — zero shuffle (the embedding-space
+    analog of pipelines/decontaminate.py's k-gram broadcast)."""
+    import pyarrow.compute as pc
+
+    from raydedup.stages.ann import embedding_decontaminate
+
+    emb = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+
+    def side(keep_eval: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return t
+            ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            m = (ids % 20 == 0) if keep_eval else (ids % 20 != 0)
+            return t.filter(pa.array(m))
+
+        return fn
+
+    ev = emb.map_batches(side(True), batch_format="pyarrow").to_pandas()
+    train = emb.map_batches(side(False), batch_format="pyarrow")
+    df = embedding_decontaminate(train, ev, threshold=0.4).to_pandas()
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
+def q_embedding_decon_sql():
+    """Cross-score mirror: row_number argmax (cosine DESC, eval id ASC)
+    per train vector, flag at the same literal threshold."""
+    return """
+WITH ev AS (
+  SELECT vec_id AS eid, embedding FROM embeddings WHERE vec_id % 20 = 0
+), tr AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0
+), scored AS (
+  SELECT t.vec_id, e.eid,
+         list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS c
+  FROM tr t CROSS JOIN ev e
+), best AS (
+  SELECT vec_id, eid, c,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY c DESC, eid ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, eid AS matched_eval_id, c AS max_cosine,
+       CAST(c >= 0.4 AS BIGINT) AS flagged
+FROM best WHERE rn = 1 ORDER BY vec_id
+"""
+
+
 def _q_webtext_funnel(sf_dir: str):
     """Composed curation chain: C4 line clean -> drop flagged docs ->
     Gopher gates on the CLEANED text -> survivors. Both operators are
@@ -1869,6 +1922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_line_clean": _q_c4_line_clean,
         "webtext_funnel": _q_webtext_funnel,
         "text_normalize": _q_text_normalize,
+        "embedding_decon": _q_embedding_decon,
         "knn_cosine": _q_knn_cosine,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_cluster": _q_embedding_cluster,
@@ -3766,6 +3820,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_clean": q_c4_line_clean_sql(),
         "webtext_funnel": q_webtext_funnel_sql(),
         "text_normalize": q_text_normalize_sql(),
+        "embedding_decon": q_embedding_decon_sql(),
         # 80/10/10 hash-range splits: edge constants computed EXACTLY as
         # the engine computes them (min(int(cum * 2^64), 2^64-1))
         "corpus_splits": f"""

@@ -566,3 +566,69 @@ def embedding_stats(embeddings: Dataset, col: str = "embedding") -> Dataset:
     return embeddings.select_columns(["vec_id", col]).map_batches(
         kernel, batch_format="pyarrow"
     )
+
+
+def embedding_decontaminate(
+    train: Dataset,
+    eval_vectors: pd.DataFrame | pa.Table,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Semantic decontamination: for every TRAIN vector, the most-similar
+    EVAL vector (cosine argmax, ties to the smaller eval id) and a flag
+    when that similarity reaches ``threshold``.
+
+    The text analog lives in pipelines/decontaminate.py (k-gram
+    broadcast); this is the same broadcast-small-side shape on the
+    embedding column: the eval matrix is normalized once, shipped once
+    via ``ray.put`` (read zero-copy by every task), and the train side
+    streams through ONE map_batches — per-batch matmul, no shuffle, no
+    pairwise blowup. At 10^12 train docs the cost is one pass; the eval
+    side (benchmarks) is small by construction.
+
+    Output: (vec_id, matched_eval_id, max_cosine, flagged) for every
+    train row.
+    """
+    ev = (
+        eval_vectors
+        if isinstance(eval_vectors, pd.DataFrame)
+        else eval_vectors.to_pandas()
+    )
+    ev = ev.sort_values(id_col).reset_index(drop=True)  # argmax tie -> smaller id
+    eids = ev[id_col].to_numpy().astype(np.int64)
+    em = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in ev[vec_col]]))
+    em_ref = ray.put(em)
+    eids_ref = ray.put(eids)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "matched_eval_id": pa.array([], pa.int64()),
+                    "max_cosine": pa.array([], pa.float64()),
+                    "flagged": pa.array([], pa.int64()),
+                }
+            )
+        q = ray.get(em_ref)
+        qi = ray.get(eids_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        sims = m @ q.T  # (rows x n_eval)
+        best = np.argmax(sims, axis=1)  # first max == smallest eval id
+        best_sim = sims[np.arange(sims.shape[0]), best]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "matched_eval_id": pa.array(qi[best], pa.int64()),
+                "max_cosine": pa.array(best_sim.astype(np.float64), pa.float64()),
+                "flagged": pa.array(
+                    (best_sim >= threshold).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return train.select_columns([id_col, vec_col]).map_batches(
+        score_batch, batch_format="pyarrow"
+    )

@@ -201,3 +201,54 @@ def test_embedding_stats_zero_length_vectors(ray_session):
     got = embedding_stats(rd.from_arrow(tbl)).to_pandas().sort_values("vec_id")
     assert got.dim.tolist() == [0, 0]
     assert got.l2_norm.tolist() == [0.0, 0.0] and got.mean_val.tolist() == [0.0, 0.0]
+
+
+def test_embedding_decontaminate_matches_naive(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from raydedup.stages.ann import embedding_decontaminate
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    ev = pd.DataFrame(
+        {
+            "vec_id": np.arange(0, 12, dtype=np.int64),
+            "embedding": list(rng.normal(size=(12, dim))),
+        }
+    )
+    tr_m = rng.normal(size=(200, dim))
+    # plant exact copies of eval vectors (cosine 1.0, must flag) and a
+    # tie: train row equal to eval 3 AND eval 7 being identical vectors
+    ev.at[7, "embedding"] = np.asarray(ev.at[3, "embedding"]).copy()
+    tr_m[0] = ev.at[3, "embedding"]
+    tr_m[1] = ev.at[5, "embedding"]
+    tr = pd.DataFrame(
+        {
+            "vec_id": np.arange(100, 300, dtype=np.int64),
+            # plain python lists -> Arrow list<double>, the parquet shape
+            "embedding": [list(map(float, r)) for r in tr_m],
+        }
+    )
+    out = (
+        embedding_decontaminate(rd.from_pandas(tr).repartition(5), ev, 0.9)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    def norm(m):
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    em = norm(np.stack(ev["embedding"].to_numpy()))
+    tm = norm(tr_m)
+    sims = tm @ em.T
+    best = sims.argmax(axis=1)
+    assert (out["matched_eval_id"].to_numpy() == ev["vec_id"].to_numpy()[best]).all()
+    np.testing.assert_allclose(
+        out["max_cosine"].to_numpy(), sims[np.arange(200), best], rtol=0, atol=0
+    )
+    assert (out["flagged"].to_numpy() == (sims[np.arange(200), best] >= 0.9)).all()
+    row0 = out.set_index("vec_id").loc[100]
+    assert row0["matched_eval_id"] == 3 and row0["flagged"] == 1  # tie -> smaller id
+    assert out.set_index("vec_id").loc[101, "matched_eval_id"] == 5
