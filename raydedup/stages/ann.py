@@ -596,6 +596,10 @@ def embedding_decontaminate(
         else eval_vectors.to_pandas()
     )
     ev = ev.sort_values(id_col).reset_index(drop=True)  # argmax tie -> smaller id
+    if len(ev) == 0:
+        raise ValueError(
+            "embedding_decontaminate: empty eval set (nothing to score against)"
+        )
     eids = ev[id_col].to_numpy().astype(np.int64)
     em = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in ev[vec_col]]))
     em_ref = ray.put(em)
