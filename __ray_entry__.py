@@ -1057,6 +1057,135 @@ FROM best WHERE rn = 1 ORDER BY vec_id
 """
 
 
+def _to_neardup_emb_table(t: pa.Table) -> pa.Table:
+    """Deterministic near-copy derivation for the embedding-SimHash
+    oracle: every vec_id % 10 == 0 vector gains a twin (vec_id +
+    1000000) with ONE component negated (j = vec_id % dim). Negation is
+    exact in both float32 and DOUBLE, so the Ray and SQL derivations
+    are bit-identical. Row-local (partition-invariant)."""
+    if t.num_rows == 0 or t.num_columns == 0:
+        return t
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    emb = t.column("embedding").combine_chunks()
+    vals = emb.flatten().to_numpy(zero_copy_only=False)
+    dim = vals.shape[0] // ids.shape[0]
+    m = vals.reshape(ids.shape[0], dim)
+    sel = ids % 10 == 0
+    d = m[sel].copy()
+    dids = ids[sel]
+    d[np.arange(dids.shape[0]), dids % dim] *= -1
+    allm = np.vstack([m, d])
+    allids = np.concatenate([ids, dids + 1_000_000])
+    n = allids.shape[0]
+    emb_out = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32)),
+        pa.array(allm.ravel(), type=pa.float32()),
+    )
+    return pa.table({"vec_id": pa.array(allids), "embedding": emb_out})
+
+
+def _q_embedding_simhash(sf_dir: str):
+    """Signed-random-projection 64-bit sketch per embedding
+    (stages/embsketch.py): all-integer after a single exact floor
+    quantization, so the full sketch column hash-matches SQL. The
+    embedding analog of the text SimHash fingerprint (M5; ref
+    strategy/panako fingerprint hash packing)."""
+    from raydedup.stages.embsketch import embedding_simhash
+
+    ds = embedding_simhash(_read(sf_dir, "embeddings"))
+    return ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+def _q_embedding_neardup_hamming(sf_dir: str):
+    """Hamming-banded embedding near-dup pairs (stages/embsketch.py):
+    vectors reduce to 8-byte sketches BEFORE the single band exchange
+    (the float matrix never shuffles); cross-band duplicate pairs are
+    suppressed shuffle-free by the first-matching-band rule. Runs over
+    the derived near-copy corpus (_to_neardup_emb_table) so the
+    default (max_hamming=3, 4x16 bands) config has real matches."""
+    from raydedup.stages.embsketch import embedding_neardup_simhash
+
+    emb = (
+        _read(sf_dir, "embeddings")
+        .select_columns(["vec_id", "embedding"])
+        .map_batches(_to_neardup_emb_table, batch_format="pyarrow")
+    )
+    return embedding_neardup_simhash(emb, max_hamming=3, n_bands=4)
+
+
+def _emb_sketch_sql(base_cte: str) -> str:
+    """Shared sketch prelude: component table ``base(vec_id, j, v)`` ->
+    per-vector UBIGINT sketch ``sk(vec_id, sk_u)``. Integer-only after
+    floor(v * 2^20); signs from the splitmix64 mirror."""
+    return f"""
+WITH {base_cte},
+w AS (
+  SELECT vec_id, j, CAST(floor(v * 1048576.0) AS BIGINT) AS w FROM base
+), gridraw AS (
+  SELECT i.i, j.j, CAST(1000003 + i.i * 64 + j.j AS UBIGINT) AS gx
+  FROM (SELECT CAST(unnest(range(64)) AS BIGINT) AS i) i
+  CROSS JOIN (SELECT CAST(unnest(range(64)) AS BIGINT) AS j) j
+), grid AS (
+  SELECT i, j, {mix64_cols('gx', 'g')} FROM gridraw
+), sgn AS (
+  SELECT i, j, CASE WHEN (g >> 63) = 0::UBIGINT THEN 1 ELSE -1 END AS s
+  FROM grid
+), acc AS (
+  SELECT w.vec_id, sgn.i, sum(sgn.s * w.w) AS a
+  FROM w JOIN sgn ON w.j = sgn.j
+  GROUP BY w.vec_id, sgn.i
+), sk AS (
+  SELECT vec_id,
+         {m64("sum(CASE WHEN a >= 0 THEN CAST(1::UBIGINT << i AS HUGEINT) ELSE 0::HUGEINT END)")} AS sk_u
+  FROM acc GROUP BY vec_id
+)"""
+
+
+_EMB_COMP_CTE = """comp AS (
+  SELECT vec_id, pos - 1 AS j, CAST(v AS DOUBLE) AS v FROM (
+    SELECT vec_id, unnest(embedding) AS v,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings)
+)"""
+
+
+def q_embedding_simhash_sql():
+    return (
+        _emb_sketch_sql(_EMB_COMP_CTE + ", base AS (SELECT * FROM comp)")
+        + f"\nSELECT vec_id, {as_i64('sk_u')} AS sketch FROM sk ORDER BY vec_id"
+    )
+
+
+def q_embedding_neardup_hamming_sql():
+    """Pairs mirror over the derived near-copy corpus. The band-match
+    predicate mirrors the banding; at max_hamming=3 with 4 bands it is
+    implied by pigeonhole (the engine's recall-1.0 guarantee)."""
+    base = (
+        _EMB_COMP_CTE
+        + """, base AS (
+  SELECT vec_id, j, v FROM comp
+  UNION ALL
+  SELECT vec_id + 1000000, j,
+         CASE WHEN j = vec_id % 64 THEN -v ELSE v END
+  FROM comp WHERE vec_id % 10 = 0
+)"""
+    )
+    return (
+        _emb_sketch_sql(base)
+        + """
+SELECT x.vec_id AS a, y.vec_id AS b,
+       CAST(bit_count(xor(x.sk_u, y.sk_u)) AS BIGINT) AS hamming
+FROM sk x JOIN sk y ON x.vec_id < y.vec_id
+WHERE bit_count(xor(x.sk_u, y.sk_u)) <= 3
+  AND ((x.sk_u & 65535::UBIGINT) = (y.sk_u & 65535::UBIGINT)
+    OR ((x.sk_u >> 16) & 65535::UBIGINT) = ((y.sk_u >> 16) & 65535::UBIGINT)
+    OR ((x.sk_u >> 32) & 65535::UBIGINT) = ((y.sk_u >> 32) & 65535::UBIGINT)
+    OR (x.sk_u >> 48) = (y.sk_u >> 48))
+ORDER BY a, b
+"""
+    )
+
+
 def _q_webtext_funnel(sf_dir: str):
     """Composed curation chain: C4 line clean -> drop flagged docs ->
     Gopher gates on the CLEANED text -> survivors. Both operators are
@@ -1925,6 +2054,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_decon": _q_embedding_decon,
         "knn_cosine": _q_knn_cosine,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_simhash": _q_embedding_simhash,
+        "embedding_neardup_hamming": _q_embedding_neardup_hamming,
         "embedding_cluster": _q_embedding_cluster,
         "events_hourly": _q_events_hourly,
         "top_docs_by_len": _q_top_docs_by_len,
@@ -3865,6 +3996,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
             ORDER BY a, b
         """,
+        "embedding_simhash": q_embedding_simhash_sql(),
+        "embedding_neardup_hamming": q_embedding_neardup_hamming_sql(),
         # connected components over the cosine edge set: min-label
         # reachability == union-by-min (the flagship convention)
         "embedding_cluster": """
