@@ -567,6 +567,19 @@ def _q_containment_pairs(sf_dir: str):
     return containment_pairs_exact(_docs(sf_dir))
 
 
+def _q_substring_index_pairs(sf_dir: str):
+    """The north rule's suffix-array substring pass at index scale
+    (stages/substring.py): every (inner, outer) where inner's FULL text
+    (>= 64 bytes) occurs verbatim inside outer's — distributed
+    Rabin-Karp window-index join (lossless, no posting caps; includes
+    equal-text pairs, unlike q:containment_pairs' proper-substring
+    brute-force formulation)."""
+    from raydedup.stages.substring import substring_pairs
+
+    tbl, _metrics = substring_pairs(_docs(sf_dir), min_len=64)
+    return tbl.to_pandas()
+
+
 def _q_matched_segments(sf_dir: str):
     """Matched-segment extraction over the exact containment pairs: the
     token-level longest common substring per pair — Panako's matched
@@ -2033,6 +2046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_char_ngrams": _q_jaccard_char_ngrams,
         "fuzzy_pairs": _q_fuzzy_pairs,
         "containment_pairs": _q_containment_pairs,
+        "substring_index_pairs": _q_substring_index_pairs,
         "matched_segments": _q_matched_segments,
         "decontaminate": _q_decontaminate,
         "hash_sample": _q_hash_sample,
@@ -3732,6 +3746,19 @@ def oracle_sql() -> dict[str, str]:
              AND length(a.text) < length(b.text)
              AND position(a.text in b.text) > 0
             ORDER BY a, b
+        """,
+        # full-substring index join: ordered containment incl. the
+        # equal-text case; octet_length mirrors the engine's byte-level
+        # window (== length() on this ASCII corpus, but stated in the
+        # engine's own units)
+        "substring_index_pairs": """
+            SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+                   octet_length(a.text::BLOB) AS inner_len
+            FROM documents a JOIN documents b
+              ON a.doc_id != b.doc_id
+            WHERE octet_length(a.text::BLOB) >= 64
+              AND position(a.text in b.text) > 0
+            ORDER BY inner_id, outer_id
         """,
         # token-level longest common substring per containment pair via
         # the diagonal-run (gaps-and-islands) formulation: token-match
