@@ -146,7 +146,8 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
     out = run_dedup_checkpointed(
         files, args.checkpoint, _cfg_from_args(args),
-        containment=not args.no_containment, mode=args.mode,
+        containment=not args.no_containment, substring=args.substring,
+        mode=args.mode,
     )
     print(json.dumps({"clusters_dir": out["clusters_path"], **out["metrics"]}, default=str))
     return 0
@@ -584,6 +585,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("pages")
     s.add_argument("checkpoint")
     s.add_argument("--no-containment", action="store_true")
+    s.add_argument("--substring", action="store_true",
+                   help="also run the exact full-substring pass over "
+                        "cluster representatives (suffix-array analog)")
     s.add_argument("--mode", choices=("auto", "base", "scale"), default="auto",
                    help="phase-2 engine: driver-assisted (base), refs-only "
                         "(scale), or pick by doc count (auto, default)")

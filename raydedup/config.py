@@ -76,6 +76,7 @@ class DedupConfig:
     containment_stride: int = 32  # winnowing stride on the probe side
     containment_min_coverage: float = 0.20  # analog of percentOfSecondsWithMatches >= 0.2 (Key.java:205)
     containment_max_postings: int = 10  # fp keys shared by more docs are site-wide boilerplate -> dropped
+    substring_min_len: int = 64  # exact full-substring pass: min inner-doc bytes
 
     # --- decontamination (graft extension; eval-set k-gram overlap)
     # eval shingle-key sets up to this size broadcast (one sorted u64

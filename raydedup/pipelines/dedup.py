@@ -170,6 +170,7 @@ def run_dedup(
     *,
     use_simhash: bool = False,
     containment: bool = False,
+    substring: bool = False,
     collect_metrics: bool = False,
     num_partitions: int | None = None,
 ) -> DedupResult:
@@ -447,6 +448,43 @@ def run_dedup(
             )
             metrics["t_cont_recluster"] = time.perf_counter() - tc0 - metrics["t_cont_exchange"]
     metrics["t_containment"] = time.perf_counter() - t3
+
+    # --- exact substring pass (the north rule's suffix-array analog) ------
+    # Same reps+singletons sweep as the winnowed containment pass, but
+    # LOSSLESS: a Rabin-Karp window-index join finds every doc whose full
+    # text occurs verbatim inside another's (stages/substring.py), with a
+    # bytes-level verify removing hash collisions. Links merge as
+    # (outer -> inner) edges in another union-find round.
+    if substring:
+        from raydedup.stages.substring import substring_pairs
+
+        ts0 = time.perf_counter()
+        non_reps_s = members[members != roots]
+        excluded = np.unique(np.concatenate([non_reps_s, exact_members_arr]))
+        sub_docs = docs
+        if excluded.shape[0]:
+            ex_ref = ray.put(excluded)
+
+            def _drop_clustered(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0 or t.num_columns == 0:
+                    return t
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                return t.filter(pa.array(~np.isin(ids, ray.get(ex_ref))))
+
+            sub_docs = docs.map_batches(_drop_clustered, batch_format="pyarrow")
+        sub_tbl, sub_m = substring_pairs(sub_docs, min_len=cfg.substring_min_len)
+        metrics["substring_candidates"] = sub_m["candidates"]
+        metrics["substring_pairs"] = sub_tbl.num_rows
+        if sub_tbl.num_rows:
+            members, roots = _cluster(
+                np.concatenate(
+                    [roots, sub_tbl.column("outer_id").to_numpy(zero_copy_only=False)]
+                ),
+                np.concatenate(
+                    [members, sub_tbl.column("inner_id").to_numpy(zero_copy_only=False)]
+                ),
+            )
+        metrics["t_substring"] = time.perf_counter() - ts0
 
     metrics["n_dup_docs"] = int(members.shape[0])
     metrics["n_clusters"] = int(np.unique(roots).shape[0])

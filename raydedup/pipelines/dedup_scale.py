@@ -37,6 +37,7 @@ import numpy as np
 import pyarrow as pa
 
 import ray
+import ray.data as rd
 from ray.data import Dataset
 
 from raydedup.config import DedupConfig
@@ -85,6 +86,7 @@ def run_dedup_scale(
     cfg: DedupConfig | None = None,
     *,
     containment: bool = True,
+    substring: bool = False,
     num_buckets: int = 64,
     n_shards: int = 8,
 ) -> DedupScaleResult:
@@ -310,6 +312,7 @@ def run_dedup_scale(
     # run_dedup's representative sweep: members share ~every fingerprint
     # with their representative, so sweeping them only floods the pair
     # exchange with redundant rows. The forest never touches the driver.
+    extra_edge_refs: list = []
     if containment:
         def drop_forest_members(left: pa.Table, right: pa.Table) -> pa.Table:
             # left = exploded postings bucket (fp_key, doc_id, n_fp),
@@ -372,19 +375,64 @@ def run_dedup_scale(
         metrics["containment_pairs"] = _total(cont_refs)
         metrics["t_containment_done"] = time.perf_counter() - t0
         if metrics["containment_pairs"]:
-            # round 2: merge containment links into the forest (the
-            # forest's own edges re-attach the members transitively) —
-            # on the SAME warm shard actors as round 1
-            forest_refs = cluster_edge_refs(
-                forest_refs + cont_refs,
-                n_shards=n_shards,
-                num_buckets=min(num_buckets, 32),
-                shards=uf_shards,
-                kill=True,
+            extra_edge_refs += cont_refs
+
+    # --- exact substring pass over representatives (refs) -----------------
+    # The lossless counterpart of the winnowed containment sweep
+    # (stages/substring.py): round-1 near/exact members are dropped from
+    # the text split via the co-partitioned forest join (the same
+    # member-drop shape as the fingerprint sweep), and the Rabin-Karp
+    # window-index join runs over the surviving reps + singletons.
+    # Driver cost is O(substring candidate pairs) — the verified-pair
+    # order, not the corpus — the one driver-side table this mode keeps.
+    if substring:
+        def drop_members_docs(left: pa.Table, right: pa.Table) -> pa.Table:
+            ra = right.column("a").to_numpy(zero_copy_only=False)
+            rb = right.column("b").to_numpy(zero_copy_only=False)
+            mem = np.sort(rb[ra != rb])
+            if mem.shape[0] and left.num_rows:
+                ids = left.column("doc_id").to_numpy(zero_copy_only=False)
+                pos = np.minimum(np.searchsorted(mem, ids), mem.shape[0] - 1)
+                left = left.filter(pa.array(mem[pos] != ids))
+            return left
+
+        from raydedup.stages.substring import substring_pairs
+
+        rep_doc_refs = reduce_join_split(
+            dsplit,
+            split_dataset(forest_refs, "b", num_buckets),
+            drop_members_docs,
+            num_buckets,
+        )
+        sub_tbl, sub_m = substring_pairs(
+            rd.from_arrow_refs(rep_doc_refs), min_len=cfg.substring_min_len
+        )
+        metrics["substring_candidates"] = sub_m["candidates"]
+        metrics["substring_pairs"] = sub_tbl.num_rows
+        metrics["t_substring_done"] = time.perf_counter() - t0
+        if sub_tbl.num_rows:
+            extra_edge_refs.append(
+                ray.put(
+                    pa.table(
+                        {
+                            "a": sub_tbl.column("outer_id").cast(pa.int64()),
+                            "b": sub_tbl.column("inner_id").cast(pa.int64()),
+                        }
+                    )
+                )
             )
-        else:
-            for s in uf_shards:
-                ray.kill(s)
+
+    if extra_edge_refs:
+        # round 2: merge containment/substring links into the forest (the
+        # forest's own edges re-attach the members transitively) — on the
+        # SAME warm shard actors as round 1
+        forest_refs = cluster_edge_refs(
+            forest_refs + extra_edge_refs,
+            n_shards=n_shards,
+            num_buckets=min(num_buckets, 32),
+            shards=uf_shards,
+            kill=True,
+        )
     else:
         for s in uf_shards:
             ray.kill(s)
@@ -405,6 +453,7 @@ def run_dedup_auto(
     cfg: DedupConfig | None = None,
     *,
     containment: bool = True,
+    substring: bool = False,
     **scale_kw: Any,
 ):
     """Dispatch between run_dedup (driver-assisted, fastest below the
@@ -420,12 +469,14 @@ def run_dedup_auto(
     cfg = cfg or DedupConfig()
     n_docs = docs.count()  # parquet-backed inputs: metadata-only
     if n_docs >= cfg.scale_min_docs:
-        res = run_dedup_scale(docs, cfg, containment=containment, **scale_kw)
+        res = run_dedup_scale(
+            docs, cfg, containment=containment, substring=substring, **scale_kw
+        )
         res.metrics["dedup_path"] = "scale"
     else:
         from raydedup.pipelines.dedup import run_dedup
 
-        res = run_dedup(docs, cfg, containment=containment)
+        res = run_dedup(docs, cfg, containment=containment, substring=substring)
         res.metrics["dedup_path"] = "base"
     res.metrics["n_docs"] = n_docs
     return res

@@ -206,6 +206,7 @@ def run_dedup_checkpointed(
     cfg: DedupConfig | None = None,
     *,
     containment: bool = True,
+    substring: bool = False,
     max_shards: int | None = None,
     mode: str = "auto",
 ) -> dict[str, Any] | None:
@@ -259,7 +260,7 @@ def run_dedup_checkpointed(
     # --- phase 2: global stages ------------------------------------------
     docs = rd.read_parquet(mgr.path("docs"))
     if mode == "scale" or (mode == "auto" and docs.count() >= cfg.scale_min_docs):
-        return _phase2_scale(mgr, docs, cfg, containment, metrics)
+        return _phase2_scale(mgr, docs, cfg, containment, substring, metrics)
     signatures = rd.read_parquet(mgr.path("signatures"))
     pairs_path = mgr.path("pairs.parquet")
     if not mgr.stage_done("pairs"):
@@ -297,6 +298,40 @@ def run_dedup_checkpointed(
                 ),
             )
             edges.append(cont.select(["a", "b"]))
+        if substring:
+            # exact full-substring links (stages/substring.py), swept over
+            # exact REPRESENTATIVES only: byte-identical texts contain each
+            # other, so a k-copy sha group would emit k^2 pairs — the sha
+            # edges reattach those members transitively instead
+            from raydedup.stages.substring import substring_pairs
+
+            ex_members = np.sort(
+                exact_edges.column("b").to_numpy(zero_copy_only=False)
+            )
+            sub_docs = docs
+            if ex_members.shape[0]:
+                import ray as _ray
+
+                em_ref = _ray.put(ex_members)
+
+                def _drop_exact(t: pa.Table) -> pa.Table:
+                    if t.num_rows == 0 or t.num_columns == 0:
+                        return t
+                    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                    em = _ray.get(em_ref)
+                    pos = np.minimum(np.searchsorted(em, ids), em.shape[0] - 1)
+                    return t.filter(pa.array(em[pos] != ids))
+
+                sub_docs = docs.map_batches(_drop_exact, batch_format="pyarrow")
+            sub_tbl, _sm = substring_pairs(sub_docs, min_len=cfg.substring_min_len)
+            edges.append(
+                pa.table(
+                    {
+                        "a": sub_tbl.column("outer_id").cast(pa.int64()),
+                        "b": sub_tbl.column("inner_id").cast(pa.int64()),
+                    }
+                )
+            )
         all_edges = pa.concat_tables(edges)
         _atomic_write_table(all_edges, pairs_path)
         mgr.mark_stage(
@@ -365,6 +400,7 @@ def _phase2_scale(
     docs,
     cfg: DedupConfig,
     containment: bool,
+    substring: bool,
     metrics: dict[str, Any],
 ) -> dict[str, Any]:
     """Scale-mode phase 2: the refs-only run_dedup_scale end-to-end,
@@ -380,7 +416,7 @@ def _phase2_scale(
     if not mgr.stage_done("scale_clusters"):
         from raydedup.pipelines.dedup_scale import run_dedup_scale
 
-        res = run_dedup_scale(docs, cfg, containment=containment)
+        res = run_dedup_scale(docs, cfg, containment=containment, substring=substring)
         tmp_dir = clusters_dir + ".tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
         res.clusters.write_parquet(tmp_dir)

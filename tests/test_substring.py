@@ -104,3 +104,59 @@ def test_emitter_masks_cross_doc_windows():
     probes = out.filter(pa.compute.equal(out.column("side"), 1))
     assert probes.num_rows == 2
     assert (side == 1).sum() == 2
+
+
+def _docs_with_sha(texts: list[str]) -> "rd.Dataset":
+    import hashlib
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": texts,
+                "text_sha256": pa.array(
+                    [hashlib.sha256(t.encode()).digest() for t in texts], pa.binary()
+                ),
+            }
+        )
+    )
+
+
+def test_dedup_substring_flag_both_engines(ray_session):
+    """substring=True merges full-substring containments into clusters on
+    BOTH engines, and the two produce the same partition."""
+    from raydedup import DedupConfig
+    from raydedup.pipelines.dedup import run_dedup
+    from raydedup.pipelines.dedup_scale import run_dedup_scale
+
+    rng = np.random.default_rng(23)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf"]
+    texts = [
+        " ".join(rng.choice(words, size=300).tolist()) for _ in range(70)
+    ]
+    texts.append(texts[3][100:300])   # 70: substring of 3
+    texts.append(texts[7])            # 71: exact dup of 7
+    texts.append(texts[10][30:600])   # 72: substring of 10
+    docs = _docs_with_sha(texts)
+    cfg = DedupConfig(batch_size=16)
+
+    def canon(df):
+        groups = df.groupby("cluster_id")["doc_id"].apply(lambda s: tuple(sorted(s)))
+        return sorted(g for g in groups if len(g) > 1)
+
+    r_base = run_dedup(docs, cfg, substring=True)
+    c_base = r_base.clusters.to_pandas()
+    m = dict(zip(c_base.doc_id, c_base.cluster_id))
+    assert m[70] == m[3] and m[71] == m[7] and m[72] == m[10]
+    assert r_base.metrics["substring_pairs"] >= 2
+
+    r_scale = run_dedup_scale(docs, cfg, substring=True, num_buckets=8, n_shards=4)
+    c_scale = r_scale.clusters.to_pandas()
+    assert canon(c_base) == canon(c_scale)
+
+    # without the flag the containments stay separate
+    r_off = run_dedup(docs, cfg, substring=False)
+    c_off = r_off.clusters.to_pandas()
+    m_off = dict(zip(c_off.doc_id, c_off.cluster_id))
+    assert m_off[70] != m_off[3] and m_off[72] != m_off[10]
+    assert m_off[71] == m_off[7]  # exact dup still merged
