@@ -580,6 +580,33 @@ def _q_substring_index_pairs(sf_dir: str):
     return tbl.to_pandas()
 
 
+def _q_bloom_unseen(sf_dir: str):
+    """Bloom-prefiltered cross-corpus anti-join (stages/bloom.py): NEW =
+    documents with doc_id % 3 == 0, SEEN = the rest; keep new docs whose
+    text occurs nowhere in seen (byte equality). Bloom-negatives resolve
+    locally with zero shuffle; bloom-positives are verified byte-exact
+    through one co-partitioned exchange, so the result is independent of
+    the bloom's false-positive rate."""
+    from raydedup.stages.bloom import unseen_docs
+
+    docs = _docs(sf_dir)
+
+    def _split(t, keep_new: bool):
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = (ids % 3) == 0
+        return t.filter(pa.array(m if keep_new else ~m))
+
+    new = docs.map_batches(lambda t: _split(t, True), batch_format="pyarrow")
+    seen = docs.map_batches(lambda t: _split(t, False), batch_format="pyarrow")
+    out, _m = unseen_docs(new, seen)
+    return (
+        out.select_columns(["doc_id", "lang", "n_chars"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_matched_segments(sf_dir: str):
     """Matched-segment extraction over the exact containment pairs: the
     token-level longest common substring per pair — Panako's matched
@@ -2047,6 +2074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_pairs": _q_fuzzy_pairs,
         "containment_pairs": _q_containment_pairs,
         "substring_index_pairs": _q_substring_index_pairs,
+        "bloom_unseen": _q_bloom_unseen,
         "matched_segments": _q_matched_segments,
         "decontaminate": _q_decontaminate,
         "hash_sample": _q_hash_sample,
@@ -3759,6 +3787,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE octet_length(a.text::BLOB) >= 64
               AND position(a.text in b.text) > 0
             ORDER BY inner_id, outer_id
+        """,
+        # cross-corpus anti-join: the bloom is a pure optimization, so
+        # the oracle is the plain NOT EXISTS over text byte equality
+        "bloom_unseen": """
+            SELECT a.doc_id, a.lang, a.n_chars
+            FROM documents a
+            WHERE a.doc_id % 3 = 0
+              AND NOT EXISTS (
+                SELECT 1 FROM documents b
+                WHERE b.doc_id % 3 <> 0 AND b.text = a.text
+              )
+            ORDER BY a.doc_id
         """,
         # token-level longest common substring per containment pair via
         # the diagonal-run (gaps-and-islands) formulation: token-match

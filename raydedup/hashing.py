@@ -141,6 +141,36 @@ def rolling_hash_u64(data: np.ndarray, k: int) -> np.ndarray:
     return mix64(h)
 
 
+def span_hash_u64(offsets: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """Polynomial hash of each variable-length span ``[offsets[i],
+    offsets[i+1])`` of ``data`` (a flat uint8 buffer), with the span
+    LENGTH folded in so prefix-sharing spans of different lengths and
+    the empty span all get distinct, defined values.
+
+    Same prefix trick as :func:`rolling_hash_u64` — one cumsum over the
+    buffer, then O(1) per span — so hashing a batch of documents costs
+    O(total bytes), independent of document count or length skew.
+    """
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = offsets.shape[0] - 1
+    if n <= 0:
+        return np.empty(0, dtype=U64)
+    data = np.asarray(data)
+    if data.dtype != np.uint8:
+        data = data.astype(U64)
+    N = data.shape[0]
+    pw, ipw = _powers(N + 1)
+    terms = data * ipw[:N]
+    q = np.empty(N + 1, dtype=U64)
+    q[0] = U64(0)
+    np.cumsum(terms, dtype=U64, out=q[1:])
+    a, b = offsets[:-1], offsets[1:]
+    # span poly = (q[b] - q[a]) * B^(b-1); empty spans (b == a) get raw 0
+    raw = (q[b] - q[a]) * pw[np.maximum(b - 1, 0)]
+    raw[b == a] = U64(0)
+    return hash_pair_u64(raw, (b - a).astype(U64))
+
+
 def hash_pair_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Order-sensitive combine of two uint64 arrays into one."""
     a = np.asarray(a, dtype=U64)
