@@ -607,6 +607,18 @@ def _q_bloom_unseen(sf_dir: str):
     )
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Greedy token-budget sequence packing (stages/packing.py): docs
+    hash to buckets by mix64(doc_id), pack greedily in doc_id order
+    within each bucket (never split; oversized docs get their own
+    pack). One exchange of (doc_id, bucket, n_tokens) rows — text never
+    moves. Mirrored by a recursive-CTE oracle."""
+    from raydedup.stages.packing import pack_sequences
+
+    tbl = pack_sequences(_docs(sf_dir), budget=2048, n_buckets=16)
+    return tbl.to_pandas()
+
+
 def _q_matched_segments(sf_dir: str):
     """Matched-segment extraction over the exact containment pairs: the
     token-level longest common substring per pair — Panako's matched
@@ -2075,6 +2087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment_pairs,
         "substring_index_pairs": _q_substring_index_pairs,
         "bloom_unseen": _q_bloom_unseen,
+        "pack_sequences": _q_pack_sequences,
         "matched_segments": _q_matched_segments,
         "decontaminate": _q_decontaminate,
         "hash_sample": _q_hash_sample,
@@ -3787,6 +3800,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE octet_length(a.text::BLOB) >= 64
               AND position(a.text in b.text) > 0
             ORDER BY inner_id, outer_id
+        """,
+        # greedy sequence packing: partition-local greedy is inherently
+        # sequential, so the oracle is a recursive CTE walking each
+        # bucket in doc_id order with the running token count
+        "pack_sequences": f"""
+        WITH RECURSIVE raw AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                 CAST(doc_id AS UBIGINT) AS r
+          FROM documents
+        ), mixed AS (
+          SELECT doc_id, n_tokens, {mix64_cols('r', 'bk')} FROM raw
+        ), toks AS (
+          SELECT doc_id, n_tokens, CAST(bk % 16 AS BIGINT) AS bucket,
+                 row_number() OVER (PARTITION BY bk % 16 ORDER BY doc_id) AS rn
+          FROM mixed
+        ), rec AS (
+          SELECT bucket, rn, doc_id, n_tokens,
+                 CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_pos,
+                 CAST(n_tokens AS BIGINT) AS acc
+          FROM toks WHERE rn = 1
+          UNION ALL
+          SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+                 CASE WHEN r.acc + t.n_tokens > 2048
+                      THEN r.pack_id + 1 ELSE r.pack_id END,
+                 CASE WHEN r.acc + t.n_tokens > 2048
+                      THEN 0 ELSE r.pack_pos + 1 END,
+                 CASE WHEN r.acc + t.n_tokens > 2048
+                      THEN CAST(t.n_tokens AS BIGINT) ELSE r.acc + t.n_tokens END
+          FROM rec r JOIN toks t ON t.bucket = r.bucket AND t.rn = r.rn + 1
+        )
+        SELECT doc_id, bucket, pack_id, pack_pos, CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM rec ORDER BY doc_id
         """,
         # cross-corpus anti-join: the bloom is a pure optimization, so
         # the oracle is the plain NOT EXISTS over text byte equality

@@ -175,6 +175,25 @@ def run_bench() -> dict:
     queries["increment_fold_bench"] = time.perf_counter() - t
     queries["increment_fold_docs"] = float(inc_info["new_docs"])
 
+    # exact substring pass at bench scale (full corpus sweep — the
+    # pipeline runs it over representatives only, so this upper-bounds
+    # the stage cost)
+    from raydedup.stages.substring import substring_pairs
+
+    t = time.perf_counter()
+    _stbl, _sm = substring_pairs(docs, min_len=64)
+    queries["substring_pairs_bench"] = time.perf_counter() - t
+    queries["substring_pairs_found"] = float(_sm["verified"])
+
+    # bloom-prefiltered cross-corpus anti-join: incremental shard (new)
+    # vs the bench corpus (seen)
+    from raydedup.stages.bloom import unseen_docs
+
+    t = time.perf_counter()
+    _bout, _bm = unseen_docs(pages_to_docs(read_pages(inc_paths["pages"])), docs)
+    _bout.count()
+    queries["bloom_unseen_bench"] = time.perf_counter() - t
+
     # signature-scheme comparison at bench scale (classic 128-perm vs
     # one-permutation hashing): same corpus, same banding layout
     for scheme in ("classic", "oph"):
