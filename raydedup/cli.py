@@ -450,6 +450,26 @@ def cmd_chunk(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_pack(args: argparse.Namespace) -> int:
+    """Assign docs to greedy token-budget training sequences and write
+    the (doc_id, bucket, pack_id, pack_pos, n_tokens) layout table."""
+    _init_ray()
+    import pyarrow.parquet as pq
+
+    from raydedup.sources.pages import pages_to_docs, read_pages
+    from raydedup.stages.packing import pack_sequences
+
+    files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
+    docs = pages_to_docs(read_pages(files))
+    tbl = pack_sequences(docs, budget=args.budget, n_buckets=args.buckets)
+    pq.write_table(tbl, args.out)
+    n_packs = len(
+        set(zip(tbl.column("bucket").to_pylist(), tbl.column("pack_id").to_pylist()))
+    )
+    print(json.dumps({"docs": tbl.num_rows, "packs": n_packs, "out": args.out}))
+    return 0
+
+
 def cmd_events(args: argparse.Namespace) -> int:
     """Event-table analytics: sessions | funnel | retention | wau over
     an events parquet file/dir."""
@@ -687,6 +707,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--tokens", type=int, default=128)
     s.add_argument("--overlap", type=int, default=0)
     s.set_defaults(fn=cmd_chunk)
+
+    s = sub.add_parser("pack", help="greedy token-budget sequence packing (parquet out)")
+    s.add_argument("pages")
+    s.add_argument("out")
+    s.add_argument("--budget", type=int, default=2048)
+    s.add_argument("--buckets", type=int, default=64)
+    s.set_defaults(fn=cmd_pack)
 
     s = sub.add_parser("events", help="event analytics: sessions|funnel|retention|wau")
     s.add_argument("op", choices=["sessions", "funnel", "retention", "wau"])

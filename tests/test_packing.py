@@ -90,3 +90,27 @@ def test_empty_input(ray_session):
     out = pack_sequences(docs, budget=128, n_buckets=4)
     assert out.num_rows == 0
     assert out.schema.names == ["doc_id", "bucket", "pack_id", "pack_pos", "n_tokens"]
+
+
+def test_pack_cli_verb(ray_session, small_corpus, tmp_path, capsys, monkeypatch):
+    import json
+
+    import pyarrow.parquet as pq
+
+    import raydedup.cli as cli
+    from raydedup.cli import main
+
+    monkeypatch.setattr(cli, "_shutdown_ray", lambda: None)
+    _spec, paths = small_corpus
+    out = str(tmp_path / "packs.parquet")
+    rc = main(["pack", paths["pages"], out, "--budget", "512", "--buckets", "4"])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    tbl = pq.read_table(out)
+    assert info["docs"] == tbl.num_rows > 0
+    assert tbl.schema.names == ["doc_id", "bucket", "pack_id", "pack_pos", "n_tokens"]
+    df = tbl.to_pandas()
+    assert info["packs"] == len(df.groupby(["bucket", "pack_id"]))
+    # multi-doc packs respect the budget
+    for _, grp in df.groupby(["bucket", "pack_id"]):
+        assert len(grp) == 1 or grp.n_tokens.sum() <= 512
