@@ -91,10 +91,29 @@ def _flat_utf8(t: pa.Table, text_col: str) -> tuple[np.ndarray, np.ndarray]:
     return offs.astype(I64, copy=False), data
 
 
+def window_params(min_len: int) -> tuple[int, int]:
+    """(window size k, winnow width w) for a given ``min_len``.
+
+    Winnowing (Schleimer/Wilkerson/Aiken 2003, the MOSS fingerprint
+    selector): every window of ``w`` consecutive positions selects its
+    (rightmost) minimum hash, so any stretch of ``w`` valid positions
+    contains a selection, and a selection triggered by a window that
+    lies fully inside the inner text is made IDENTICALLY inside any
+    containing outer doc. A probe restricted to positions
+    ``[w-1, L-k-w+1]`` (full ``w``-window margin on both sides) is
+    therefore guaranteed to exist and to be selected in the outer doc
+    for every inner of length L >= k + 3(w-1) = min_len — the join
+    stays LOSSLESS while emitting ~2/(w+1) of the windows."""
+    w = max(1, min(8, (int(min_len) + 2) // 3))
+    return int(min_len) - 3 * (w - 1), w
+
+
 def emit_window_postings(t: pa.Table, *, min_len: int, id_col: str, text_col: str) -> pa.Table:
     """(doc_id, text) batch -> union posting table (h, id, side, ilen):
-    side=0 one row per DISTINCT in-bounds window hash per doc, side=1
-    the first-window probe for docs >= min_len bytes."""
+    side=0 one row per DISTINCT winnow-selected in-bounds window hash
+    per doc, side=1 one probe per doc >= min_len bytes — its first
+    FULL-context winnow-selected window (guaranteed to exist and to be
+    selected identically inside any containing doc; see window_params)."""
     out_schema = pa.schema(
         [("h", pa.int64()), ("id", pa.int64()), ("side", pa.int64()), ("ilen", pa.int64())]
     )
@@ -102,16 +121,34 @@ def emit_window_postings(t: pa.Table, *, min_len: int, id_col: str, text_col: st
         return out_schema.empty_table()
     ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(I64, copy=False)
     offs, data = _flat_utf8(t, text_col)
-    k = int(min_len)
+    k, w = window_params(min_len)
     H = rolling_hash_u64(data, k)  # hash at byte position p, p in [0, N-k]
     if H.shape[0] == 0:
         return out_schema.empty_table()
-    pos = np.arange(H.shape[0], dtype=I64)
+    N = H.shape[0]
+    pos = np.arange(N, dtype=I64)
     # doc index of each position; valid iff the window ends inside the doc
     didx = np.searchsorted(offs, pos, side="right") - 1
     valid = pos + k <= offs[didx + 1]
-    wdoc = didx[valid]
-    wh = H[np.flatnonzero(valid)]
+    # true winnowing: each trailing w-window (ending at a VALID position,
+    # truncated at its doc's start) selects its rightmost-min position.
+    # Vectorized argmin: iterate the w offsets keeping the best value per
+    # window end; strictly-less updates keep the rightmost on ties.
+    Hm = np.where(valid, H, np.uint64(0xFFFFFFFFFFFFFFFF))
+    startq = offs[didx]  # first byte position of each position's doc
+    best_v = Hm.copy()
+    best_p = pos.copy()
+    for j in range(1, w):
+        left = pos[: N - j]  # candidate position q-j for window end q
+        upd = (left >= startq[j:]) & (Hm[: N - j] < best_v[j:])
+        best_v[j:] = np.where(upd, Hm[: N - j], best_v[j:])
+        best_p[j:] = np.where(upd, left, best_p[j:])
+    selected = np.zeros(N, dtype=bool)
+    real = valid & (best_v != np.uint64(0xFFFFFFFFFFFFFFFF))
+    selected[best_p[real]] = True
+    sel_idx = np.flatnonzero(selected)
+    wdoc = didx[sel_idx]
+    wh = H[sel_idx]
     # dedup (doc, hash) — windows repeat heavily inside boilerplate
     order = np.lexsort((wh, wdoc))
     wdoc, wh = wdoc[order], wh[order]
@@ -121,8 +158,23 @@ def emit_window_postings(t: pa.Table, *, min_len: int, id_col: str, text_col: st
         keep[1:] = (wdoc[1:] != wdoc[:-1]) | (wh[1:] != wh[:-1])
         wdoc, wh = wdoc[keep], wh[keep]
     lens = offs[1:] - offs[:-1]
-    probe_doc = np.flatnonzero(lens >= k)
-    ph = H[offs[probe_doc]]
+    # probe: first selected position with a full w-window margin on BOTH
+    # sides (p_rel in [w-1, L-k-w+1]) per doc of length >= min_len —
+    # every window that can have selected it then lies inside the doc,
+    # so a containing outer doc makes the same selection; winnowing
+    # guarantees one exists in the margin range when L >= min_len
+    sdoc = didx[sel_idx]
+    p_rel = sel_idx - offs[sdoc]
+    L_sel = lens[sdoc]
+    elig = (
+        (p_rel >= w - 1)
+        & (p_rel <= L_sel - k - w + 1)
+        & (L_sel >= int(min_len))
+    )
+    edoc, epos = sdoc[elig], sel_idx[elig]
+    # sel_idx ascending => first eligible per doc = first occurrence
+    probe_doc, first = np.unique(edoc, return_index=True)
+    ph = H[epos[first]]
     h = np.concatenate([wh, ph]).view(I64)
     out_id = np.concatenate([ids[wdoc], ids[probe_doc]])
     side = np.concatenate(

@@ -86,7 +86,9 @@ def test_emitter_masks_cross_doc_windows():
     # two docs back-to-back: no window may span the boundary, so every
     # emitted window hash must equal a hash computed on the doc ALONE
     from raydedup.hashing import rolling_hash_u64
+    from raydedup.stages.substring import window_params
 
+    k, _w = window_params(8)
     t = pa.table(
         {"doc_id": np.array([5, 9], dtype=np.int64),
          "text": ["a" * 10 + "b" * 10, "c" * 25]}
@@ -96,14 +98,49 @@ def test_emitter_masks_cross_doc_windows():
     win = out.filter(pa.compute.equal(out.column("side"), 0))
     solo = {}
     for did, txt in [(5, "a" * 10 + "b" * 10), (9, "c" * 25)]:
-        h = rolling_hash_u64(np.frombuffer(txt.encode(), dtype=np.uint8), 8)
+        h = rolling_hash_u64(np.frombuffer(txt.encode(), dtype=np.uint8), k)
         solo[did] = set(np.unique(h).view(np.int64).tolist())
     for did, h in zip(win.column("id").to_pylist(), win.column("h").to_pylist()):
         assert h in solo[did]
-    # probes: one per doc (both >= 8 bytes), hash of the FIRST window
+    # probes: one per doc (both >= 8 bytes), each a window of its OWN doc
     probes = out.filter(pa.compute.equal(out.column("side"), 1))
     assert probes.num_rows == 2
     assert (side == 1).sum() == 2
+    for did, h in zip(probes.column("id").to_pylist(), probes.column("h").to_pylist()):
+        assert h in solo[did]
+
+
+def test_winnowed_probe_always_hits_containing_doc():
+    # THE lossless core: for inner >= min_len contained in outer, the
+    # inner's probe hash must appear among the outer's winnow-selected
+    # window emissions — across many random placements and paddings
+    rng = np.random.default_rng(31)
+    alphabet = np.frombuffer(b"abcdefgh", dtype=np.uint8)
+    for trial in range(40):
+        L = int(rng.integers(64, 200))
+        inner = bytes(rng.choice(alphabet, L)).decode()
+        pre = bytes(rng.choice(alphabet, int(rng.integers(0, 150)))).decode()
+        post = bytes(rng.choice(alphabet, int(rng.integers(0, 150)))).decode()
+        outer = pre + inner + post
+        t = pa.table(
+            {"doc_id": np.array([1, 2], dtype=np.int64), "text": [inner, outer]}
+        )
+        out = emit_window_postings(t, min_len=64, id_col="doc_id", text_col="text")
+        probes = out.filter(
+            pa.compute.and_(
+                pa.compute.equal(out.column("side"), 1),
+                pa.compute.equal(out.column("id"), 1),
+            )
+        )
+        assert probes.num_rows == 1, f"trial {trial}: inner probe missing"
+        ph = probes.column("h")[0].as_py()
+        outer_wins = out.filter(
+            pa.compute.and_(
+                pa.compute.equal(out.column("side"), 0),
+                pa.compute.equal(out.column("id"), 2),
+            )
+        ).column("h").to_pylist()
+        assert ph in outer_wins, f"trial {trial}: probe not in outer's windows"
 
 
 def _docs_with_sha(texts: list[str]) -> "rd.Dataset":
