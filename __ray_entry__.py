@@ -619,6 +619,38 @@ def _q_pack_sequences(sf_dir: str):
     return tbl.to_pandas()
 
 
+def _q_knn_classify(sf_dir: str):
+    """Majority-vote k-NN label prediction (stages/ann.py knn_classify):
+    queries = vec_id < 20, corpus = the rest; top-5 cosine neighbors,
+    most frequent label, ties to the smallest label."""
+    import pyarrow.compute as _pc
+
+    from raydedup.stages.ann import knn_classify
+
+    emb = _read(sf_dir, "embeddings")
+    qdf = emb.map_batches(
+        lambda t: t.filter(_pc.less(t.column("vec_id"), 20)), batch_format="pyarrow"
+    ).to_pandas().sort_values("vec_id")
+    corpus = emb.map_batches(
+        lambda t: t.filter(_pc.greater_equal(t.column("vec_id"), 20)),
+        batch_format="pyarrow",
+    )
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    return knn_classify(corpus, q, qdf["vec_id"].to_numpy(), k=5).rename(
+        columns={"query_id": "vec_id"}
+    )
+
+
+def _q_label_centroids(sf_dir: str):
+    """Exact per-label mean embedding in long form (stages/embsketch.py
+    label_centroids): elements quantized floor(v*2^20) once, integer
+    partial sums per batch, ONE final IEEE division mirrored textually
+    in SQL — order- and partition-invariant."""
+    from raydedup.stages.embsketch import label_centroids
+
+    return label_centroids(_read(sf_dir, "embeddings")).to_pandas()
+
+
 def _q_matched_segments(sf_dir: str):
     """Matched-segment extraction over the exact containment pairs: the
     token-level longest common substring per pair — Panako's matched
@@ -2088,6 +2120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_index_pairs": _q_substring_index_pairs,
         "bloom_unseen": _q_bloom_unseen,
         "pack_sequences": _q_pack_sequences,
+        "knn_classify": _q_knn_classify,
+        "label_centroids": _q_label_centroids,
         "matched_segments": _q_matched_segments,
         "decontaminate": _q_decontaminate,
         "hash_sample": _q_hash_sample,
@@ -3834,6 +3868,44 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, bucket, pack_id, pack_pos, CAST(n_tokens AS BIGINT) AS n_tokens
         FROM rec ORDER BY doc_id
+        """,
+        # k-NN classify: rank ties broken by vec_id asc (the engine's
+        # mergesort rule); vote ties by smallest label
+        "knn_classify": """
+        WITH q AS (
+          SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20
+        ), c AS (
+          SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 20
+        ), scored AS (
+          SELECT q.qid, c.vec_id, c.label,
+                 list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])) AS cos
+          FROM q CROSS JOIN c
+        ), ranked AS (
+          SELECT qid, label,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+          FROM scored
+        ), votes AS (
+          SELECT qid, label, count(*) AS n FROM ranked WHERE rn <= 5
+          GROUP BY qid, label
+        )
+        SELECT qid AS vec_id, CAST(label AS BIGINT) AS pred_label FROM votes
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY n DESC, label ASC) = 1
+        ORDER BY vec_id
+        """,
+        # per-label centroid: integer sums of floor(v*2^20), one final
+        # division written in the same textual order as the kernel
+        "label_centroids": """
+        WITH comp AS (
+          SELECT label, pos - 1 AS j, CAST(v AS DOUBLE) AS v FROM (
+            SELECT label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+        )
+        SELECT CAST(label AS BIGINT) AS label, CAST(j AS BIGINT) AS j,
+               SUM(CAST(floor(v * 1048576.0) AS BIGINT)) / (COUNT(*) * 1048576.0)
+                 AS centroid
+        FROM comp GROUP BY label, j ORDER BY label, j
         """,
         # cross-corpus anti-join: the bloom is a pure optimization, so
         # the oracle is the plain NOT EXISTS over text byte equality

@@ -636,3 +636,54 @@ def embedding_decontaminate(
     return train.select_columns([id_col, vec_col]).map_batches(
         score_batch, batch_format="pyarrow"
     )
+
+
+def knn_classify(
+    corpus: Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> pd.DataFrame:
+    """Majority-vote k-NN label prediction: exact top-k cosine neighbors
+    per query (knn_cosine_batch's broadcast-matmul plan), then the most
+    frequent neighbor label, ties to the SMALLEST label. Labels are
+    fetched for the Q*k surviving neighbor ids only — the corpus label
+    column never leaves its blocks. Returns (query_id, pred_label)."""
+    nn = knn_cosine_batch(
+        corpus, queries, query_ids, k=k, id_col=id_col, vec_col=vec_col
+    )
+    want = np.unique(nn[id_col].to_numpy())
+    w_ref = ray.put(want)
+
+    def lab(t: pa.Table) -> pa.Table:
+        empty = pa.schema([(id_col, pa.int64()), (label_col, pa.int64())]).empty_table()
+        if t.num_rows == 0 or t.num_columns == 0:
+            return empty
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, ray.get(w_ref))
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                label_col: t.column(label_col).cast(pa.int64()),
+            }
+        )
+
+    lm = corpus.select_columns([id_col, label_col]).map_batches(
+        lab, batch_format="pyarrow"
+    ).to_pandas()
+    nn = nn.merge(lm, on=id_col)
+    votes = nn.groupby(["query_id", label_col]).size().reset_index(name="n")
+    votes = votes.sort_values(
+        ["query_id", "n", label_col], ascending=[True, False, True], kind="mergesort"
+    )
+    out = votes.groupby("query_id").head(1)[["query_id", label_col]]
+    return (
+        out.rename(columns={label_col: "pred_label"})
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )

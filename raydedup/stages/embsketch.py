@@ -254,3 +254,75 @@ def embedding_neardup_simhash(
                            "b": pd.Series(dtype="int64"),
                            "hamming": pd.Series(dtype="int64")})
     return df.sort_values(["a", "b"], kind="stable").reset_index(drop=True)
+
+
+def label_centroids(
+    embeddings, *, label_col: str = "label", vec_col: str = "embedding"
+) -> "pa.Table":
+    """Exact per-label mean embedding in long form (label, j, centroid).
+
+    Float means are order-dependent, so elements are quantized ONCE
+    (floor(v * 2^20), the sketch kernel's exact quantization) and summed
+    as integers — per-batch partial sums (a combiner: labels x dim rows
+    per batch, never the vectors) merge on the driver and a single IEEE
+    division ``sum / (count * 2^20)`` is mirrored textually by the SQL
+    oracle, making the result partition- and order-invariant."""
+    import ray
+
+    from raydedup.stages.ann import _batch_matrix
+
+    def partial(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("label", pa.int64()), ("j", pa.int64()),
+             ("s", pa.int64()), ("n", pa.int64())]
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        labs = t.column(label_col).to_numpy(zero_copy_only=False).astype(I64)
+        w = np.floor(_batch_matrix(t, vec_col) * QUANT_SCALE).astype(I64)
+        order = np.argsort(labs, kind="stable")
+        labs, w = labs[order], w[order]
+        starts = np.flatnonzero(np.r_[True, labs[1:] != labs[:-1]])
+        sums = np.add.reduceat(w, starts, axis=0)
+        counts = np.diff(np.r_[starts, labs.shape[0]])
+        dim = w.shape[1]
+        return pa.table(
+            {
+                "label": np.repeat(labs[starts], dim),
+                "j": np.tile(np.arange(dim, dtype=I64), starts.shape[0]),
+                "s": sums.ravel(),
+                "n": np.repeat(counts.astype(I64), dim),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            embeddings.select_columns([label_col, vec_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows and t.num_columns
+    ]
+    if not parts:
+        return pa.schema(
+            [("label", pa.int64()), ("j", pa.int64()), ("centroid", pa.float64())]
+        ).empty_table()
+    allp = pa.concat_tables(parts)
+    lab = allp.column("label").to_numpy(zero_copy_only=False)
+    j = allp.column("j").to_numpy(zero_copy_only=False)
+    s = allp.column("s").to_numpy(zero_copy_only=False)
+    n = allp.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((j, lab))
+    lab, j, s, n = lab[order], j[order], s[order], n[order]
+    starts = np.flatnonzero(np.r_[True, (lab[1:] != lab[:-1]) | (j[1:] != j[:-1])])
+    S = np.add.reduceat(s, starts)
+    N = np.add.reduceat(n, starts)
+    centroid = S / (N * QUANT_SCALE)
+    return pa.table(
+        {
+            "label": pa.array(lab[starts], pa.int64()),
+            "j": pa.array(j[starts], pa.int64()),
+            "centroid": pa.array(centroid, pa.float64()),
+        }
+    )

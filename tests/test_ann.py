@@ -252,3 +252,69 @@ def test_embedding_decontaminate_matches_naive(ray_session):
     row0 = out.set_index("vec_id").loc[100]
     assert row0["matched_eval_id"] == 3 and row0["flagged"] == 1  # tie -> smaller id
     assert out.set_index("vec_id").loc[101, "matched_eval_id"] == 5
+
+
+def test_knn_classify_matches_naive(ray_session):
+    import ray.data as rd
+
+    from raydedup.stages.ann import knn_classify
+
+    rng = np.random.default_rng(19)
+    n, dim = 300, 16
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    labels = rng.integers(0, 4, size=n).astype(np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            "label": labels,
+        }
+    )
+    corpus = rd.from_arrow(tbl).repartition(5)
+    q_ids = np.array([1000, 1001, 1002], dtype=np.int64)
+    queries = rng.normal(size=(3, dim)).astype(np.float64)
+    out = knn_classify(corpus, queries, q_ids, k=7)
+    # naive reference
+    cn = vecs.astype(np.float64)
+    cn = cn / np.linalg.norm(cn, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = qn @ cn.T
+    exp = []
+    for i in range(3):
+        order = np.lexsort((np.arange(n), -sims[i]))[:7]
+        labs, counts = np.unique(labels[order], return_counts=True)
+        best = labs[np.lexsort((labs, -counts))][0]
+        exp.append(int(best))
+    assert out.query_id.tolist() == q_ids.tolist()
+    assert out.pred_label.tolist() == exp
+
+
+def test_label_centroids_exact(ray_session):
+    import ray.data as rd
+
+    from raydedup.stages.embsketch import QUANT_SCALE, label_centroids
+
+    rng = np.random.default_rng(23)
+    n, dim = 200, 8
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    labels = rng.integers(0, 3, size=n).astype(np.int32)
+    tbl = pa.table(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            "label": labels,
+        }
+    )
+    a = label_centroids(rd.from_arrow(tbl).repartition(1))
+    b = label_centroids(rd.from_arrow(tbl).repartition(9))
+    assert a.equals(b)  # partition invariance, bit-exact
+    df = a.to_pandas()
+    for lb in range(3):
+        mask = labels == lb
+        w = np.floor(vecs[mask].astype(np.float64) * QUANT_SCALE).astype(np.int64)
+        exp = w.sum(axis=0) / (mask.sum() * QUANT_SCALE)
+        got = df[df.label == lb].sort_values("j").centroid.to_numpy()
+        assert np.array_equal(got, exp)
+        # quantization error bound: within 2^-20 of the true mean
+        true = vecs[mask].astype(np.float64).mean(axis=0)
+        assert np.max(np.abs(got - true)) < 1.0 / (1 << 20) + 1e-12
