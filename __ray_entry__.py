@@ -756,6 +756,44 @@ def _q_curate_pipeline(sf_dir: str):
     )
 
 
+def _q_curate_pack(sf_dir: str):
+    """The full training-data story end-to-end: curation funnel
+    (quality -> decontaminate -> exact dedup -> sample) and THEN the
+    greedy sequence-packing layout over the kept docs only — the
+    composed oracle chains the funnel's status CTEs into the packing
+    recursion."""
+    import ray as _ray
+
+    from raydedup.pipelines.curate import CurateParams, curate
+    from raydedup.stages.packing import pack_sequences
+
+    docs = _docs(sf_dir).materialize()
+
+    def split(t: pa.Table, want_eval: bool) -> pa.Table:
+        sel = pc.equal(pc.bit_wise_and(t.column("doc_id"), 15), 0)
+        return t.filter(sel if want_eval else pc.invert(sel))
+
+    ev = docs.map_batches(lambda t: split(t, True), batch_format="pyarrow")
+    tr = docs.map_batches(lambda t: split(t, False), batch_format="pyarrow")
+    res = curate(tr, eval_docs=ev, params=CurateParams(sample_rate=0.5))
+    st = res.statuses.to_pandas()
+    kept = np.sort(st[st.status == "kept"].doc_id.to_numpy())
+    k_ref = _ray.put(kept)
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return t
+        kk = _ray.get(k_ref)
+        if kk.shape[0] == 0:
+            return t.slice(0, 0)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(kk, ids), kk.shape[0] - 1)
+        return t.filter(pa.array(kk[pos] == ids))
+
+    kept_docs = tr.map_batches(keep, batch_format="pyarrow")
+    return pack_sequences(kept_docs, budget=2048, n_buckets=16).to_pandas()
+
+
 def _q_media_frames(sf_dir: str):
     """Multimodal plumbing (ST5 analog): a media table synthesised
     deterministically from documents (media_id = doc_id, n_frames =
@@ -2120,6 +2158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_index_pairs": _q_substring_index_pairs,
         "bloom_unseen": _q_bloom_unseen,
         "pack_sequences": _q_pack_sequences,
+        "curate_pack": _q_curate_pack,
         "knn_classify": _q_knn_classify,
         "label_centroids": _q_label_centroids,
         "matched_segments": _q_matched_segments,
@@ -3138,6 +3177,80 @@ WITH toks AS (
 """
 
 
+def _curate_status_ctes():
+    """Shared CTE chain computing the curation-funnel status per train
+    doc — used verbatim by q:curate_pipeline and composed further by
+    q:curate_pack."""
+    return f"""tr AS (SELECT doc_id, text FROM documents WHERE (doc_id & 15) != 0),
+        evd AS (SELECT doc_id, text FROM documents WHERE (doc_id & 15) = 0),
+        qual AS (
+          SELECT doc_id, text,
+                 (CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END
+                    BETWEEN 20 AND 1000000
+                  AND length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+                      / greatest(length(text), 1) <= 0.10
+                  AND length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                      / greatest(length(text), 1) <= 0.20) AS q_ok
+          FROM tr
+        ),
+        tsh AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+                     || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win
+                     AS shingle
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+                         generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+                  FROM qual WHERE q_ok)
+            WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(w,4) OVER win IS NOT NULL
+          )
+        ),
+        esh AS (
+          SELECT DISTINCT shingle FROM (
+            SELECT w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+                     || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win
+                     AS shingle
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+                         generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+                  FROM evd)
+            WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(w,4) OVER win IS NOT NULL
+          )
+        ),
+        con AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN esh e USING (shingle)),
+        survivors AS (
+          SELECT q.doc_id, q.text
+          FROM qual q LEFT JOIN con c ON c.doc_id = q.doc_id
+          WHERE q.q_ok AND c.doc_id IS NULL
+        ),
+        dedup AS (
+          SELECT doc_id,
+                 doc_id != min(doc_id) OVER (PARTITION BY text) AS is_dup
+          FROM survivors
+        ),
+        ranked AS (
+          SELECT doc_id,
+                 {mix64_cols(f"xor(CAST(doc_id AS UBIGINT), {DEFAULT_SAMPLE_SEED}::UBIGINT)", 'rk')}
+          FROM tr
+        ),
+        statuses AS (
+          SELECT q.doc_id,
+               CASE WHEN NOT q.q_ok THEN 'quality'
+                    WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                    WHEN d.is_dup THEN 'exact_dup'
+                    WHEN r.rk >= {int(0.5 * 2.0**64)}::UBIGINT THEN 'sampled_out'
+                    ELSE 'kept' END AS status
+        FROM qual q
+        LEFT JOIN con c ON c.doc_id = q.doc_id
+        LEFT JOIN dedup d ON d.doc_id = q.doc_id
+        JOIN ranked r ON r.doc_id = q.doc_id
+        )"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = {
         "exact_dup_pairs": """
@@ -4001,73 +4114,47 @@ def oracle_sql() -> dict[str, str]:
         # quality+contamination survivors, the sample only over dedup
         # survivors.
         "curate_pipeline": f"""
-        WITH tr AS (SELECT doc_id, text FROM documents WHERE (doc_id & 15) != 0),
-        evd AS (SELECT doc_id, text FROM documents WHERE (doc_id & 15) = 0),
-        qual AS (
-          SELECT doc_id, text,
-                 (CASE WHEN length(trim(text)) = 0 THEN 0
-                       ELSE len(string_split_regex(trim(text), '\\s+')) END
-                    BETWEEN 20 AND 1000000
-                  AND length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
-                      / greatest(length(text), 1) <= 0.10
-                  AND length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
-                      / greatest(length(text), 1) <= 0.20) AS q_ok
-          FROM tr
+        WITH {_curate_status_ctes()}
+        SELECT doc_id, status FROM statuses ORDER BY doc_id
+        """,
+        # funnel -> packing composition: the status CTE chain feeds the
+        # packing recursion over kept docs only
+        "curate_pack": f"""
+        WITH RECURSIVE {_curate_status_ctes()},
+        kept AS (
+          SELECT d.doc_id, d.text
+          FROM statuses s JOIN documents d ON d.doc_id = s.doc_id
+          WHERE s.status = 'kept'
         ),
-        tsh AS (
-          SELECT DISTINCT doc_id, shingle FROM (
-            SELECT doc_id,
-                   w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
-                     || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win
-                     AS shingle
-            FROM (SELECT doc_id,
-                         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
-                         generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
-                  FROM qual WHERE q_ok)
-            WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
-            QUALIFY lead(w,4) OVER win IS NOT NULL
-          )
-        ),
-        esh AS (
-          SELECT DISTINCT shingle FROM (
-            SELECT w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
-                     || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win
-                     AS shingle
-            FROM (SELECT doc_id,
-                         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
-                         generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
-                  FROM evd)
-            WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
-            QUALIFY lead(w,4) OVER win IS NOT NULL
-          )
-        ),
-        con AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN esh e USING (shingle)),
-        survivors AS (
-          SELECT q.doc_id, q.text
-          FROM qual q LEFT JOIN con c ON c.doc_id = q.doc_id
-          WHERE q.q_ok AND c.doc_id IS NULL
-        ),
-        dedup AS (
+        rawp AS (
           SELECT doc_id,
-                 doc_id != min(doc_id) OVER (PARTITION BY text) AS is_dup
-          FROM survivors
-        ),
-        ranked AS (
-          SELECT doc_id,
-                 {mix64_cols(f"xor(CAST(doc_id AS UBIGINT), {DEFAULT_SAMPLE_SEED}::UBIGINT)", 'rk')}
-          FROM tr
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                 CAST(doc_id AS UBIGINT) AS r
+          FROM kept
+        ), mixedp AS (
+          SELECT doc_id, n_tokens, {mix64_cols('r', 'bk')} FROM rawp
+        ), toksp AS (
+          SELECT doc_id, n_tokens, CAST(bk % 16 AS BIGINT) AS bucket,
+                 row_number() OVER (PARTITION BY bk % 16 ORDER BY doc_id) AS rn
+          FROM mixedp
+        ), recp AS (
+          SELECT bucket, rn, doc_id, n_tokens,
+                 CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_pos,
+                 CAST(n_tokens AS BIGINT) AS acc
+          FROM toksp WHERE rn = 1
+          UNION ALL
+          SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+                 CASE WHEN r.acc + t.n_tokens > 2048
+                      THEN r.pack_id + 1 ELSE r.pack_id END,
+                 CASE WHEN r.acc + t.n_tokens > 2048
+                      THEN 0 ELSE r.pack_pos + 1 END,
+                 CASE WHEN r.acc + t.n_tokens > 2048
+                      THEN CAST(t.n_tokens AS BIGINT) ELSE r.acc + t.n_tokens END
+          FROM recp r JOIN toksp t ON t.bucket = r.bucket AND t.rn = r.rn + 1
         )
-        SELECT q.doc_id,
-               CASE WHEN NOT q.q_ok THEN 'quality'
-                    WHEN c.doc_id IS NOT NULL THEN 'contaminated'
-                    WHEN d.is_dup THEN 'exact_dup'
-                    WHEN r.rk >= {int(0.5 * 2.0**64)}::UBIGINT THEN 'sampled_out'
-                    ELSE 'kept' END AS status
-        FROM qual q
-        LEFT JOIN con c ON c.doc_id = q.doc_id
-        LEFT JOIN dedup d ON d.doc_id = q.doc_id
-        JOIN ranked r ON r.doc_id = q.doc_id
-        ORDER BY q.doc_id
+        SELECT doc_id, bucket, pack_id, pack_pos, CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM recp ORDER BY doc_id
         """,
         "doc_frequency": """
         WITH tok AS (
