@@ -897,6 +897,130 @@ def _q_url_canonical(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _to_domain_urls(t: pa.Table) -> pa.Table:
+    """Deterministic messy urls with HOST variety (subdomain, case,
+    userinfo, port, query, fragment — all gated on doc_id residues) for
+    the per-domain operators. The SQL mirror (_DOMAIN_URLS_SQL) builds
+    the LITERAL same strings."""
+    import pyarrow.compute as pc
+
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    src = pc.cast(t.column("source"), pa.string())
+    sub = pc.if_else(
+        pa.array(ids % 3 == 0),
+        "www.",
+        pc.if_else(pa.array(ids % 3 == 1), "m.", ""),
+    )
+    hostbase = pc.binary_join_element_wise(sub, src, "-site.com", "")
+    host = pc.if_else(pa.array(ids % 7 == 0), pc.utf8_upper(hostbase), hostbase)
+    user = pc.if_else(pa.array(ids % 9 == 0), "u@", "")
+    port = pc.if_else(pa.array(ids % 11 == 0), ":8080", "")
+    path = pc.cast(pa.array(ids % 50, type=pa.int64()), pa.string())
+    q = pc.if_else(pa.array(ids % 6 == 0), "?x=1", "")
+    frag = pc.if_else(pa.array(ids % 7 == 0), "#f", "")
+    url = pc.binary_join_element_wise(
+        "https://", user, host, port, "/a/", path, q, frag, ""
+    )
+    cols = {"doc_id": pa.array(ids, type=pa.int64()), "url": url}
+    if "n_chars" in t.column_names:
+        cols["n_chars"] = t.column("n_chars")
+    return pa.table(cols)
+
+
+_DOMAIN_URLS_SQL = """
+  SELECT doc_id, n_chars,
+         'https://'
+         || CASE WHEN doc_id % 9 = 0 THEN 'u@' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN upper(CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'm.'
+                            ELSE '' END || source || '-site.com')
+                 ELSE CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'm.'
+                      ELSE '' END || source || '-site.com' END
+         || CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END
+         || '/a/' || CAST(doc_id % 50 AS VARCHAR)
+         || CASE WHEN doc_id % 6 = 0 THEN '?x=1' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN '#f' ELSE '' END AS url
+  FROM documents
+"""
+
+
+def _domain_urls(sf_dir: str):
+    return (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "source", "n_chars"])
+        .map_batches(_to_domain_urls, batch_format="pyarrow")
+    )
+
+
+def _q_domain_stats(sf_dir: str):
+    """Per-host corpus statistics (stages/domains.py): vectorized RE2
+    host extraction + combiner-first hash exchange — the A6 stats
+    surface on the axis that dominates a crawl (host skew)."""
+    from raydedup.stages.domains import domain_stats
+
+    df = domain_stats(_domain_urls(sf_dir)).to_pandas()
+    return df.sort_values("host").reset_index(drop=True)
+
+
+def _q_domain_cap(sf_dir: str):
+    """Per-registered-domain document cap (stages/domains.py
+    cap_per_domain): deterministic splitmix64 rank + the group_topk
+    exchange — at most k=3 docs survive per last-two-label domain."""
+    from raydedup.stages.domains import cap_per_domain
+
+    df = cap_per_domain(_domain_urls(sf_dir), k=3).to_pandas()
+    return (
+        df[["domain", "doc_id", "rank"]]
+        .sort_values(["domain", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_crawl_diff(sf_dir: str):
+    """Two-crawl snapshot diff (stages/crawldiff.py): urls keyed
+    source||'/p/'||doc_id%80; the old side drops u%7==0 urls, the new
+    side drops u%5==0 and perturbs digests on u%4==0 — so all four
+    statuses appear. Per-side duplicate urls resolve keep-min-digest on
+    BOTH engines."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from raydedup.stages.crawldiff import crawl_diff
+
+    def to_side(t: pa.Table, old: bool) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        u = ids % 80
+        keep = (u % 7 != 0) if old else (u % 5 != 0)
+        ids, u = ids[keep], u[keep]
+        src = pc.cast(t.column("source"), pa.string()).filter(pa.array(keep))
+        url = pc.binary_join_element_wise(
+            src, "/p/", pc.cast(pa.array(u, type=pa.int64()), pa.string()), ""
+        )
+        dig = ids * 131 % 9973
+        if not old:
+            dig = dig + (u % 4 == 0).astype(np.int64)
+        return pa.table(
+            {"url": url, "digest": pa.array(dig, type=pa.int64())}
+        )
+
+    base = _read(sf_dir, "documents").select_columns(["doc_id", "source"])
+    old = base.map_batches(lambda t: to_side(t, True), batch_format="pyarrow")
+    new = base.map_batches(lambda t: to_side(t, False), batch_format="pyarrow")
+    df = crawl_diff(old, new).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def _q_dup_ngram_fraction(sf_dir: str):
+    """Inter-document duplicated-5-gram fraction per doc
+    (stages/dupngrams.py): the fused two-exchange posting chain; docs
+    with <5 tokens emit no row, mirroring the SQL window recipe."""
+    from raydedup.stages.dupngrams import dup_ngram_fraction
+
+    df = dup_ngram_fraction(_docs(sf_dir)).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 _SNAP_TS_BASE_US = 1_735_689_600_000_000  # TIMESTAMP '2025-01-01 00:00:00' in us
 
 
@@ -2159,6 +2283,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_unseen": _q_bloom_unseen,
         "pack_sequences": _q_pack_sequences,
         "curate_pack": _q_curate_pack,
+        "domain_stats": _q_domain_stats,
+        "domain_cap": _q_domain_cap,
+        "crawl_diff": _q_crawl_diff,
+        "dup_ngram_fraction": _q_dup_ngram_fraction,
         "knn_classify": _q_knn_classify,
         "label_centroids": _q_label_centroids,
         "matched_segments": _q_matched_segments,
@@ -2960,6 +3088,95 @@ WITH pages AS (
 )
 SELECT url, doc_id, warc_ts FROM r WHERE rn = 1 ORDER BY url
 """
+
+
+def _host_sql_expr(url_expr: str = "url") -> str:
+    """SQL mirror of stages/domains.py host_column: the identical RE2
+    pass chain, then lower()."""
+    from raydedup.stages.domains import HOST_PASSES
+
+    expr = url_expr
+    for pat, rep in HOST_PASSES:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return f"lower({expr})"
+
+
+def q_domain_stats_sql():
+    """Mirror of domain_stats over the derived messy urls: identical
+    host extraction, grouped count/sum, ONE final division."""
+    return f"""
+WITH urls AS ({_DOMAIN_URLS_SQL}),
+h AS (SELECT {_host_sql_expr()} AS host, n_chars FROM urls)
+SELECT host, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) * 1.0 / count(*) AS avg_chars
+FROM h GROUP BY host ORDER BY host
+"""
+
+
+def q_domain_cap_sql():
+    """row_number() mirror of cap_per_domain: registered domain = last
+    two host labels, rank = mix64(doc_id XOR seed) >> 1 DESC, doc_id
+    ASC ties, keep rank <= 3."""
+    from raydedup.stages.domains import REGISTERED_PASS
+
+    rpat, rrep = REGISTERED_PASS
+    dom = f"regexp_replace({_host_sql_expr()}, '{rpat}', '{rrep}')"
+    return f"""
+WITH urls AS ({_DOMAIN_URLS_SQL}),
+d AS (SELECT doc_id, {dom} AS domain FROM urls),
+r AS (SELECT doc_id, domain,
+      {mix64_cols(f"xor(CAST(doc_id AS UBIGINT), {DEFAULT_SAMPLE_SEED}::UBIGINT)", 'rk')}
+      FROM d),
+rr AS (SELECT domain, doc_id,
+       row_number() OVER (PARTITION BY domain
+                          ORDER BY rk >> 1 DESC, doc_id ASC) AS rank
+       FROM r)
+SELECT domain, doc_id, rank FROM rr WHERE rank <= 3 ORDER BY domain, rank
+"""
+
+
+_CRAWL_DIFF_SQL = """
+WITH base AS (
+  SELECT doc_id, doc_id % 80 AS u,
+         source || '/p/' || CAST(doc_id % 80 AS VARCHAR) AS url
+  FROM documents
+),
+olds AS (
+  SELECT url, min(doc_id * 131 % 9973) AS old_digest
+  FROM base WHERE u % 7 != 0 GROUP BY url
+),
+news AS (
+  SELECT url, min(doc_id * 131 % 9973
+                  + CASE WHEN u % 4 = 0 THEN 1 ELSE 0 END) AS new_digest
+  FROM base WHERE u % 5 != 0 GROUP BY url
+)
+SELECT COALESCE(o.url, n.url) AS url,
+       CASE WHEN o.url IS NULL THEN 'added'
+            WHEN n.url IS NULL THEN 'removed'
+            WHEN o.old_digest = n.new_digest THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.old_digest AS old_digest,
+       n.new_digest AS new_digest
+FROM olds o FULL OUTER JOIN news n ON o.url = n.url
+ORDER BY url
+"""
+
+def q_dup_ngram_sql():
+    # _SHINGLES_CTE is defined later in the module; resolve at call time
+    return (
+        _SHINGLES_CTE
+        + """, cnt AS (SELECT shingle, count(*) AS nd FROM sh GROUP BY shingle),
+per AS (
+  SELECT s.doc_id, count(*) AS n_shingles,
+         CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM sh s JOIN cnt c USING (shingle) GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles, n_dup,
+       n_dup * 1.0 / n_shingles AS dup_frac
+FROM per ORDER BY doc_id
+"""
+    )
 
 
 _WTRIM = "regexp_replace(regexp_replace({x}, '^\\s+', ''), '\\s+$', '')"
@@ -4220,6 +4437,10 @@ def oracle_sql() -> dict[str, str]:
         "graph_components": q_graph_components_sql(),
         "distinct_users_kmv": q_distinct_users_kmv_sql(),
         "url_canonical": q_url_canonical_sql(),
+        "domain_stats": q_domain_stats_sql(),
+        "domain_cap": q_domain_cap_sql(),
+        "crawl_diff": _CRAWL_DIFF_SQL,
+        "dup_ngram_fraction": q_dup_ngram_sql(),
         "gopher_filter": q_gopher_filter_sql(),
         "c4_line_clean": q_c4_line_clean_sql(),
         "webtext_funnel": q_webtext_funnel_sql(),
