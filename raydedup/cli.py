@@ -533,6 +533,117 @@ def cmd_stats(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_domains(args: argparse.Namespace) -> int:
+    """Per-domain view of a pages dir: without --cap, print host stats
+    (n_docs TAB total_chars TAB avg_chars TAB host, biggest hosts
+    first); with --cap K, keep at most K docs per registered domain and
+    write (domain, doc_id, rank) parquet to --out (or print the kept
+    count)."""
+    _init_ray()
+    import pyarrow.compute as pa_c
+
+    from raydedup.sources.pages import pages_to_docs, read_pages
+    from raydedup.stages.domains import cap_per_domain, domain_stats
+
+    files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
+    docs = pages_to_docs(read_pages(files))
+
+    def with_len(t):
+        if t.num_rows == 0 or t.num_columns == 0:
+            return t
+        return t.append_column(
+            "n_chars", pa_c.cast(pa_c.utf8_length(t.column("text")), "int64")
+        )
+
+    docs = docs.map_batches(with_len, batch_format="pyarrow")
+    if args.cap is not None:
+        kept = cap_per_domain(docs, k=args.cap, registered=not args.full_host)
+        if args.out:
+            kept.write_parquet(args.out)
+            print(json.dumps({"out": args.out}))
+        else:
+            df = kept.to_pandas()
+            n_domains = df["domain"].nunique() if len(df) else 0
+            print(json.dumps({"kept_docs": len(df), "domains": n_domains}))
+        return 0
+    df = domain_stats(docs, registered=not args.full_host).to_pandas()
+    if df.empty:
+        return 0
+    df = df.sort_values(["n_docs", "host"], ascending=[False, True])
+    if args.top is not None:
+        df = df.head(args.top)
+    for r in df.itertuples(index=False):
+        print(f"{r.n_docs}\t{r.total_chars}\t{r.avg_chars:.1f}\t{r.host}")
+    return 0
+
+
+def cmd_diff(args: argparse.Namespace) -> int:
+    """Crawl-snapshot diff: classify every url across two pages dirs as
+    added/removed/changed/unchanged (digest = stable text hash). Prints
+    per-status counts; --out writes the full (url, status, digests)
+    parquet."""
+    _init_ray()
+    import numpy as np
+    import pyarrow as pa
+
+    from raydedup.hashing import hash_strings_u64
+    from raydedup.sources.pages import pages_to_docs, read_pages
+    from raydedup.stages.crawldiff import crawl_diff
+
+    def side(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet"))) or [path]
+        docs = pages_to_docs(read_pages(files))
+
+        def prep(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return pa.table(
+                    {
+                        "url": pa.array([], pa.string()),
+                        "digest": pa.array([], pa.int64()),
+                    }
+                )
+            dig = hash_strings_u64(t.column("text").to_pylist(), mixed=True)
+            return pa.table(
+                {
+                    "url": t.column("url"),
+                    "digest": pa.array(dig.view(np.int64), pa.int64()),
+                }
+            )
+
+        return docs.map_batches(prep, batch_format="pyarrow")
+
+    diff = crawl_diff(side(args.old), side(args.new))
+    if args.out:
+        diff.write_parquet(args.out)
+    df = diff.to_pandas()
+    counts = (
+        df["status"].value_counts().to_dict() if len(df) else {}
+    )
+    print(json.dumps({"urls": len(df), "status": counts, "out": args.out}))
+    return 0
+
+
+def cmd_dupngrams(args: argparse.Namespace) -> int:
+    """Inter-document repetition: print the docs whose distinct
+    k-grams are most shared with other docs (dup_frac TAB n_dup TAB
+    n_shingles TAB doc_id, most-duplicated first)."""
+    _init_ray()
+    from raydedup.sources.pages import pages_to_docs, read_pages
+    from raydedup.stages.dupngrams import dup_ngram_fraction
+
+    files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
+    docs = pages_to_docs(read_pages(files))
+    df = dup_ngram_fraction(docs, k=args.k, min_docs=args.min_docs).to_pandas()
+    if df.empty:
+        return 0
+    df = df.sort_values(["dup_frac", "doc_id"], ascending=[False, True])
+    if args.top is not None:
+        df = df.head(args.top)
+    for r in df.itertuples(index=False):
+        print(f"{r.dup_frac:.4f}\t{r.n_dup}\t{r.n_shingles}\t{r.doc_id}")
+    return 0
+
+
 def cmd_resolve(args: argparse.Namespace) -> int:
     from raydedup.stages.extract import doc_ids_from_urls
 
@@ -700,6 +811,29 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--mode", choices=["and", "or"], default="and")
     s.add_argument("--top", type=int, default=None)
     s.set_defaults(fn=cmd_search)
+
+    s = sub.add_parser("domains", help="per-domain stats, or --cap K docs per domain")
+    s.add_argument("pages")
+    s.add_argument("--cap", type=int, default=None)
+    s.add_argument("--out", default=None)
+    s.add_argument("--top", type=int, default=None)
+    s.add_argument(
+        "--full-host", action="store_true", help="group by full host, not eTLD+1"
+    )
+    s.set_defaults(fn=cmd_domains)
+
+    s = sub.add_parser("diff", help="crawl-snapshot diff between two pages dirs")
+    s.add_argument("old")
+    s.add_argument("new")
+    s.add_argument("--out", default=None)
+    s.set_defaults(fn=cmd_diff)
+
+    s = sub.add_parser("dupngrams", help="per-doc duplicated-k-gram fraction")
+    s.add_argument("pages")
+    s.add_argument("--k", type=int, default=5)
+    s.add_argument("--min-docs", type=int, default=2)
+    s.add_argument("--top", type=int, default=None)
+    s.set_defaults(fn=cmd_dupngrams)
 
     s = sub.add_parser("chunk", help="split pages into fixed-token chunks (parquet out)")
     s.add_argument("pages")

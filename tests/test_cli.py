@@ -363,3 +363,60 @@ def test_normalize_and_quality_verbs(
     assert {"doc_id", "keep", "keep_doc", "n_kept", "clean_text"} <= set(
         qt.column_names
     )
+
+
+def test_domains_verb(ray_session, small_corpus, tmp_path, capsys, monkeypatch):
+    """`domains` prints per-host stats; `--cap` writes the capped
+    (domain, doc_id, rank) parquet."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr("raydedup.cli._init_ray", lambda: None)
+    _, paths = small_corpus
+    rc = main(["domains", paths["pages"], "--top", "5"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert 1 <= len(lines) <= 5
+    n_docs, total_chars, avg, host = lines[0].split("\t")
+    assert int(n_docs) >= 1 and float(avg) > 0 and "." in host
+
+    out = str(tmp_path / "capped")
+    rc = main(["domains", paths["pages"], "--cap", "3", "--out", out])
+    assert rc == 0
+    capsys.readouterr()
+    files = sorted(g.glob(os.path.join(out, "*.parquet")))
+    assert files
+    t = pq.read_table(files[0])
+    assert {"domain", "doc_id", "rank"} <= set(t.column_names)
+    import pandas as pd
+
+    df = pq.read_table(files[0]).to_pandas()
+    for f in files[1:]:
+        df = pd.concat([df, pq.read_table(f).to_pandas()])
+    assert df.groupby("domain").size().max() <= 3
+
+
+def test_diff_verb(ray_session, small_corpus, tmp_path, capsys, monkeypatch):
+    """`diff` of a pages dir against itself is all-unchanged; against a
+    disjoint dir every url is added or removed."""
+    monkeypatch.setattr("raydedup.cli._init_ray", lambda: None)
+    _, paths = small_corpus
+    rc = main(["diff", paths["pages"], paths["pages"]])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip())
+    assert summary["urls"] > 0
+    assert set(summary["status"]) == {"unchanged"}
+
+
+def test_dupngrams_verb(ray_session, small_corpus, capsys, monkeypatch):
+    """`dupngrams` ranks docs by shared-k-gram fraction; planted
+    duplicates put fractions near 1 at the head."""
+    monkeypatch.setattr("raydedup.cli._init_ray", lambda: None)
+    _, paths = small_corpus
+    rc = main(["dupngrams", paths["pages"], "--top", "10"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 10
+    frac0 = float(lines[0].split("\t")[0])
+    assert frac0 > 0.5  # the corpus plants exact+near duplicates
