@@ -225,6 +225,11 @@ def run_bench() -> dict:
     timed("graph_components_sf", lambda: q["graph_components"](SF_DIR))
     timed("webtext_funnel_sf", lambda: q["webtext_funnel"](SF_DIR))
     timed("text_normalize_sf", lambda: q["text_normalize"](SF_DIR))
+    timed("domain_stats_sf", lambda: q["domain_stats"](SF_DIR))
+    timed("domain_cap_sf", lambda: q["domain_cap"](SF_DIR))
+    timed("crawl_diff_sf", lambda: q["crawl_diff"](SF_DIR))
+    timed("dup_ngram_fraction_sf", lambda: q["dup_ngram_fraction"](SF_DIR))
+    timed("curate_pack_sf", lambda: q["curate_pack"](SF_DIR))
 
     out = {
         "metric": "dedup pipeline wall time (synthetic pages corpus, containment on)",

@@ -56,6 +56,8 @@ def _posting_batches(t: pa.Table, k: int) -> pa.Table:
 
     if t.num_rows == 0 or t.num_columns == 0:
         return _EMPTY_POSTINGS
+    from raydedup.hashing import mix64
+
     texts = pc.fill_null(t.column("text").combine_chunks(), "")
     ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(I64)
     ascii_mask = pc.string_is_ascii(texts).to_numpy(zero_copy_only=False)
@@ -77,7 +79,13 @@ def _posting_batches(t: pa.Table, k: int) -> pa.Table:
             - np.repeat(excl, reps)
             + np.repeat(ws.astype(I64), reps)
         )
-        h_full = h[idx] if did_full.shape[0] else np.empty(0, dtype=np.uint64)
+        # the raw Horner rolling hash has badly-mixed LOW bits (the
+        # exchange buckets on key % num_buckets -> ~5x hot buckets);
+        # the bijective splitmix64 finalizer uniformizes the buckets
+        # while preserving per-doc distinctness
+        h_full = (
+            mix64(h[idx]) if did_full.shape[0] else np.empty(0, dtype=np.uint64)
+        )
         if did_full.shape[0]:
             order = np.lexsort((h_full, did_full))
             ds_, hs_ = did_full[order], h_full[order]
@@ -97,7 +105,7 @@ def _posting_batches(t: pa.Table, k: int) -> pa.Table:
             words = txts[d].strip().split()
             if len(words) < k:
                 continue
-            u = np.unique(shingle_hashes(txts[d], cfg))
+            u = np.unique(mix64(shingle_hashes(txts[d], cfg)))
             sh_parts.append(u)
             id_parts.append(np.full(u.shape[0], ids[d], dtype=I64))
     if not sh_parts:
