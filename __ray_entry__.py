@@ -1011,6 +1011,66 @@ def _q_crawl_diff(sf_dir: str):
     return df.sort_values("url").reset_index(drop=True)
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic importance sampling (stages/sampling.py
+    weighted_hash_sample): keep probability w/8 with w =
+    min(n_chars // 100, 8) — longer docs kept more often. Exact
+    integer thresholds, zero shuffle; the SQL mirror compares the
+    identical u64 rank against w * 2^61."""
+    from raydedup.stages.sampling import weighted_hash_sample
+
+    def add_w(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return t
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "w", pa.array(np.minimum(nc // 100, 8), pa.int64())
+        )
+
+    ds = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id", "n_chars"])
+        .map_batches(add_w, batch_format="pyarrow")
+    )
+    df = weighted_hash_sample(ds, "w", denom=8).to_pandas()
+    return (
+        df[["doc_id", "w"]].sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def _q_shard_layout(sf_dir: str):
+    """Resumable sharded export (stages/export.py): write the docs as
+    16 hash-sharded, rank-shuffled parquet dirs into a fresh tmp dir,
+    then READ THE FILES BACK — the oracle checks the on-disk layout
+    (shard assignment, within-shard order) end to end."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from raydedup.stages.export import export_shards
+
+    out = tempfile.mkdtemp(prefix="raydedup_export_", dir="/tmp")
+    try:
+        export_shards(
+            _read(sf_dir, "documents").select_columns(["doc_id"]),
+            out,
+            n_shards=16,
+        )
+        frames = []
+        for f in sorted(_glob.glob(os.path.join(out, "shard=*", "part.parquet"))):
+            shard = int(os.path.basename(os.path.dirname(f)).split("=")[1])
+            t = _pq.read_table(f, columns=["doc_id"]).to_pandas()
+            t.insert(0, "shard", np.int64(shard))
+            t.insert(1, "pos", np.arange(len(t), dtype=np.int64))
+            frames.append(t)
+        df = pd.concat(frames, ignore_index=True)
+        return df.sort_values(["shard", "pos"]).reset_index(drop=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _q_dup_ngram_fraction(sf_dir: str):
     """Inter-document duplicated-5-gram fraction per doc
     (stages/dupngrams.py): the fused two-exchange posting chain; docs
@@ -2287,6 +2347,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_cap": _q_domain_cap,
         "crawl_diff": _q_crawl_diff,
         "dup_ngram_fraction": _q_dup_ngram_fraction,
+        "shard_layout": _q_shard_layout,
+        "weighted_sample": _q_weighted_sample,
         "knn_classify": _q_knn_classify,
         "label_centroids": _q_label_centroids,
         "matched_segments": _q_matched_segments,
@@ -4441,6 +4503,36 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": q_domain_cap_sql(),
         "crawl_diff": _CRAWL_DIFF_SQL,
         "dup_ngram_fraction": q_dup_ngram_sql(),
+        "weighted_sample": f"""
+WITH w8 AS (
+  SELECT doc_id, least(n_chars // 100, 8) AS w FROM documents
+),
+r AS (
+  SELECT doc_id, w,
+         {mix64_cols(f"xor(CAST(doc_id AS UBIGINT), {DEFAULT_SAMPLE_SEED}::UBIGINT)", 'rk')}
+  FROM w8
+)
+SELECT doc_id, w FROM r
+WHERE CASE WHEN w >= 8 THEN TRUE
+           ELSE rk < CAST(w AS UBIGINT) * {2**61}::UBIGINT END
+ORDER BY doc_id
+""",
+        "shard_layout": f"""
+WITH r AS (
+  SELECT doc_id,
+         {mix64_cols(f"xor(CAST(doc_id AS UBIGINT), {DEFAULT_SAMPLE_SEED}::UBIGINT)", 'mk')}
+  FROM documents
+),
+s AS (
+  SELECT doc_id, CAST(mk % 16 AS BIGINT) AS shard,
+         CAST(mk >> 1 AS BIGINT) AS rk
+  FROM r
+)
+SELECT shard,
+       row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) - 1 AS pos,
+       doc_id
+FROM s ORDER BY shard, pos
+""",
         "gopher_filter": q_gopher_filter_sql(),
         "c4_line_clean": q_c4_line_clean_sql(),
         "webtext_funnel": q_webtext_funnel_sql(),

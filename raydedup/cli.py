@@ -644,6 +644,20 @@ def cmd_dupngrams(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_export(args: argparse.Namespace) -> int:
+    """Resumable sharded export: write the extracted docs as hash-
+    sharded, rank-shuffled parquet dirs + manifest; a re-run skips
+    every shard already marked done."""
+    _init_ray()
+    from raydedup.sources.pages import pages_to_docs, read_pages
+    from raydedup.stages.export import export_shards
+
+    files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
+    docs = pages_to_docs(read_pages(files))
+    print(json.dumps(export_shards(docs, args.out, n_shards=args.shards)))
+    return 0
+
+
 def cmd_resolve(args: argparse.Namespace) -> int:
     from raydedup.stages.extract import doc_ids_from_urls
 
@@ -811,6 +825,14 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--mode", choices=["and", "or"], default="and")
     s.add_argument("--top", type=int, default=None)
     s.set_defaults(fn=cmd_search)
+
+    s = sub.add_parser(
+        "export", help="resumable sharded corpus export (parquet dirs + manifest)"
+    )
+    s.add_argument("pages")
+    s.add_argument("out")
+    s.add_argument("--shards", type=int, default=16)
+    s.set_defaults(fn=cmd_export)
 
     s = sub.add_parser("domains", help="per-domain stats, or --cap K docs per domain")
     s.add_argument("pages")

@@ -66,6 +66,44 @@ def hash_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def weighted_hash_sample(
+    ds: Dataset,
+    weight_col: str,
+    denom: int,
+    key_col: str = "doc_id",
+    seed: int = DEFAULT_SAMPLE_SEED,
+) -> Dataset:
+    """Deterministic importance sample: row kept with probability
+    ``weight/denom`` where ``weight`` is an integer column in
+    [0, denom] (0 never kept, denom always kept).
+
+    The per-row threshold is EXACT integer arithmetic —
+    ``weight * (2^64 // denom)`` — so both engines compare the same
+    u64 values with no float rounding anywhere (the SQL mirror is
+    ``rk < w * (2^64 // denom)``; the remainder 2^64 mod denom is
+    dropped identically on both sides, an under-sampling of at most
+    denom/2^64). Zero shuffle, partition-invariant, same rank stream
+    as hash_sample so composed samples stay consistent."""
+    if denom <= 0:
+        raise ValueError(f"denom must be positive, got {denom}")
+    unit = U64((2**64) // denom)
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return t
+        ids = t.column(key_col).to_numpy(zero_copy_only=False)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if (w < 0).any() or (w > denom).any():
+            raise ValueError(f"{weight_col} must lie in [0, {denom}]")
+        r = _rank(ids, seed)
+        # w == denom saturates to always-keep (w*unit could fall short
+        # of 2^64-1 by the dropped remainder)
+        mask = (r < w.view(U64) * unit) | (w == denom)
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def hash_split(
     ds: Dataset,
     fracs: dict[str, float],

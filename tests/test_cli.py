@@ -420,3 +420,22 @@ def test_dupngrams_verb(ray_session, small_corpus, capsys, monkeypatch):
     assert len(lines) == 10
     frac0 = float(lines[0].split("\t")[0])
     assert frac0 > 0.5  # the corpus plants exact+near duplicates
+
+
+def test_export_verb(ray_session, small_corpus, tmp_path, capsys, monkeypatch):
+    """`export` writes hash-sharded parquet + manifest; a second run
+    skips every shard."""
+    import glob as g
+
+    monkeypatch.setattr("raydedup.cli._init_ray", lambda: None)
+    _, paths = small_corpus
+    out = str(tmp_path / "export")
+    rc = main(["export", paths["pages"], out, "--shards", "8"])
+    assert rc == 0
+    s1 = json.loads(capsys.readouterr().out.strip())
+    assert s1["written"] == 8 and s1["rows"] == 600
+    assert len(g.glob(os.path.join(out, "shard=*", "part.parquet"))) == 8
+    rc = main(["export", paths["pages"], out, "--shards", "8"])
+    assert rc == 0
+    s2 = json.loads(capsys.readouterr().out.strip())
+    assert s2["written"] == 0 and s2["skipped"] == 8 and s2["rows"] == 600

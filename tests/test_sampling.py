@@ -128,3 +128,61 @@ def test_stratified_sample_duplicate_and_shared_keys(ray_session):
     assert sorted(map(tuple, out[["doc_id", "lang"]].to_numpy())) == sorted(
         map(tuple, out2[["doc_id", "lang"]].to_numpy())
     )
+
+
+def test_weighted_hash_sample(ray_session):
+    from raydedup.stages.sampling import weighted_hash_sample
+    import pandas as pd
+
+    n = 8000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "w": pa.array((np.arange(n) % 9).astype(np.int64)),  # 0..8
+        }
+    )
+    got = weighted_hash_sample(rd.from_arrow(t), "w", denom=8).to_pandas()
+    # w=0 never kept, w=8 always kept
+    assert (got.w > 0).all()
+    full = t.to_pandas()
+    assert set(full[full.w == 8].doc_id) <= set(got.doc_id)
+    # per-weight keep rate within 5 sigma of w/8
+    for w in range(1, 8):
+        nk = (got.w == w).sum()
+        nw = (full.w == w).sum()
+        p = w / 8
+        assert abs(nk - p * nw) < 5 * np.sqrt(p * (1 - p) * nw), (w, nk, nw)
+    # partition invariance
+    b = (
+        weighted_hash_sample(rd.from_arrow(t).repartition(13), "w", denom=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True), b
+    )
+    # w = denom/2 is EXACTLY hash_sample(0.5): identical threshold
+    half = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "w": pa.array(np.full(n, 4, dtype=np.int64)),
+        }
+    )
+    a = weighted_hash_sample(rd.from_arrow(half), "w", denom=8).to_pandas()
+    c = hash_sample(rd.from_arrow(half), 0.5).to_pandas()
+    assert sorted(a.doc_id) == sorted(c.doc_id)
+
+
+def test_weighted_hash_sample_validates(ray_session):
+    from raydedup.stages.sampling import weighted_hash_sample
+    import pytest as _pytest
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "w": pa.array([9, 1], pa.int64()),
+        }
+    )
+    with _pytest.raises(Exception):
+        weighted_hash_sample(rd.from_arrow(t), "w", denom=8).to_pandas()
