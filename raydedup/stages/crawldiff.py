@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 
@@ -46,16 +47,20 @@ def _with_ukey(ds: Dataset, url_col: str, digest_col: str) -> Dataset:
 
 
 def _side_min_digest(t: pa.Table, url_col: str, digest_col: str):
-    """(urls, digests) with one row per url, keeping the MIN digest —
-    the deterministic tie rule when a snapshot carries a url twice."""
-    urls = np.asarray(t.column(url_col).to_pylist(), dtype=object)
+    """(sorted url-hash keys, min digest per key, row position of one
+    representative) — the deterministic keep-MIN-digest rule when a
+    snapshot carries a url twice. All merging below runs on the int64
+    keys (the per-row Python strings never materialize); a 64-bit
+    collision between two distinct urls in one bucket would merge them
+    — the same accepted odds as every hash-keyed exchange here."""
+    keys = t.column("_ukey").to_numpy(zero_copy_only=False)
     dig = t.column(digest_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((dig, urls))
-    us, ds_ = urls[order], dig[order]
-    first = np.empty(us.shape[0], dtype=bool)
+    order = np.lexsort((dig, keys))
+    ks, ds_ = keys[order], dig[order]
+    first = np.empty(ks.shape[0], dtype=bool)
     first[0] = True
-    first[1:] = us[1:] != us[:-1]
-    return us[first], ds_[first]
+    first[1:] = ks[1:] != ks[:-1]
+    return ks[first], ds_[first], order[first]
 
 
 def crawl_diff(
@@ -80,28 +85,29 @@ def crawl_diff(
         r_empty = rt.num_rows == 0 or rt.num_columns == 0
         if l_empty and r_empty:
             return out_schema.empty_table()
+        empty_i64 = np.empty(0, dtype=np.int64)
         if l_empty:
-            ou, od = np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
+            ok, od, orow = empty_i64, empty_i64, empty_i64
         else:
-            ou, od = _side_min_digest(lt, url_col, digest_col)
+            ok, od, orow = _side_min_digest(lt, url_col, digest_col)
         if r_empty:
-            nu, nd = np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
+            nk, nd, nrow = empty_i64, empty_i64, empty_i64
         else:
-            nu, nd = _side_min_digest(rt, url_col, digest_col)
-        # merged url universe; membership by searchsorted into each
-        # sorted side
-        allu = np.unique(np.concatenate([ou, nu]))
+            nk, nd, nrow = _side_min_digest(rt, url_col, digest_col)
+        # merged key universe; membership by searchsorted into each
+        # sorted side (pure int64 compares)
+        allk = np.unique(np.concatenate([ok, nk]))
 
-        def member(sorted_u, probes):
-            if sorted_u.shape[0] == 0:
+        def member(sorted_k, probes):
+            if sorted_k.shape[0] == 0:
                 z = np.zeros(probes.shape[0], dtype=bool)
                 return z, np.zeros(probes.shape[0], dtype=np.int64)
-            pos = np.searchsorted(sorted_u, probes)
-            pos_c = np.minimum(pos, sorted_u.shape[0] - 1)
-            return (pos < sorted_u.shape[0]) & (sorted_u[pos_c] == probes), pos_c
+            pos = np.searchsorted(sorted_k, probes)
+            pos_c = np.minimum(pos, sorted_k.shape[0] - 1)
+            return (pos < sorted_k.shape[0]) & (sorted_k[pos_c] == probes), pos_c
 
-        in_old, opos = member(ou, allu)
-        in_new, npos = member(nu, allu)
+        in_old, opos = member(ok, allk)
+        in_new, npos = member(nk, allk)
         o_dig = np.where(in_old, od[opos] if od.shape[0] else 0, 0).astype(np.int64)
         n_dig = np.where(in_new, nd[npos] if nd.shape[0] else 0, 0).astype(np.int64)
         status = np.where(
@@ -109,9 +115,27 @@ def crawl_diff(
             np.where(o_dig == n_dig, "unchanged", "changed"),
             np.where(in_new, "added", "removed"),
         )
+        # recover the url STRING per merged key from whichever side has
+        # it — one Arrow take per side, no per-row Python
+        urls = pa.nulls(allk.shape[0], pa.string())
+        if not r_empty and in_new.any():
+            new_urls = rt.column(url_col).take(pa.array(nrow[npos[in_new]]))
+            urls = pc.replace_with_mask(
+                urls, pa.array(in_new), new_urls.combine_chunks()
+                if isinstance(new_urls, pa.ChunkedArray)
+                else new_urls,
+            )
+        old_only = in_old & ~in_new
+        if not l_empty and old_only.any():
+            old_urls = lt.column(url_col).take(pa.array(orow[opos[old_only]]))
+            urls = pc.replace_with_mask(
+                urls, pa.array(old_only), old_urls.combine_chunks()
+                if isinstance(old_urls, pa.ChunkedArray)
+                else old_urls,
+            )
         return pa.table(
             {
-                "url": pa.array(allu.tolist(), type=pa.string()),
+                "url": pc.cast(urls, pa.string()),
                 "status": pa.array(status.tolist(), type=pa.string()),
                 "old_digest": pa.array(o_dig, type=pa.int64(), mask=~in_old),
                 "new_digest": pa.array(n_dig, type=pa.int64(), mask=~in_new),

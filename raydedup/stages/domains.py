@@ -87,16 +87,22 @@ def add_host(
 
 
 def _combine_host_partials(t: pa.Table, host_col: str, val_col: str) -> pa.Table:
-    """(host, n_docs, total) partials of one table — np.unique groups,
-    bincount sums; no per-host Python."""
-    hosts = np.asarray(t.column(host_col).to_pylist(), dtype=object)
+    """(host, n_docs, total) partials of one table. Grouping is Arrow
+    dictionary_encode (native hashing) + integer bincount — the full
+    column is never materialized as Python strings; only the UNIQUE
+    hosts surface."""
+    col = t.column(host_col)
+    enc = pc.dictionary_encode(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    )
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_uniq = len(enc.dictionary)
     vals = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    uniq, inv = np.unique(hosts, return_inverse=True)
-    n = np.bincount(inv, minlength=uniq.shape[0]).astype(np.int64)
-    tot = np.bincount(inv, weights=vals, minlength=uniq.shape[0]).astype(np.int64)
+    n = np.bincount(codes, minlength=n_uniq).astype(np.int64)
+    tot = np.bincount(codes, weights=vals, minlength=n_uniq).astype(np.int64)
     return pa.table(
         {
-            host_col: pa.array(uniq.tolist(), type=pa.string()),
+            host_col: pc.cast(enc.dictionary, pa.string()),
             "n_docs": pa.array(n, type=pa.int64()),
             "total_chars": pa.array(tot, type=pa.int64()),
         }
@@ -145,15 +151,19 @@ def domain_stats(
     def bucket(t: pa.Table) -> pa.Table:
         if t is None or t.num_rows == 0 or t.num_columns == 0:
             return out_schema.empty_table()
-        hosts = np.asarray(t.column(host_col).to_pylist(), dtype=object)
+        col = t.column(host_col)
+        enc = pc.dictionary_encode(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_uniq = len(enc.dictionary)
         n = t.column("n_docs").to_numpy(zero_copy_only=False)
         tot = t.column("total_chars").to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(hosts, return_inverse=True)
-        n_m = np.bincount(inv, weights=n, minlength=uniq.shape[0]).astype(np.int64)
-        t_m = np.bincount(inv, weights=tot, minlength=uniq.shape[0]).astype(np.int64)
+        n_m = np.bincount(codes, weights=n, minlength=n_uniq).astype(np.int64)
+        t_m = np.bincount(codes, weights=tot, minlength=n_uniq).astype(np.int64)
         return pa.table(
             {
-                host_col: pa.array(uniq.tolist(), type=pa.string()),
+                host_col: pc.cast(enc.dictionary, pa.string()),
                 "n_docs": pa.array(n_m, type=pa.int64()),
                 "total_chars": pa.array(t_m, type=pa.int64()),
                 "avg_chars": pa.array(t_m.astype(np.float64) / n_m, pa.float64()),
