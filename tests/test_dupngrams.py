@@ -80,3 +80,27 @@ def test_partition_invariance_and_empty(ray_session):
     out = dup_ngram_fraction(rd.from_arrow(empty))
     assert out.schema().names == ["doc_id", "n_shingles", "n_dup", "dup_frac"]
     assert len(out.to_pandas()) == 0
+
+
+def test_non_ascii_fallback_matches_naive(ray_session):
+    """Non-ASCII docs route through the per-doc fallback; shared
+    5-grams still count across the ASCII/non-ASCII boundary when the
+    tokens themselves are identical."""
+    texts = [
+        "das ist ein längerer deutscher satz mit umlauten öäü dabei",
+        "das ist ein längerer deutscher satz mit anderen worten hier",
+        "plain ascii document with its own words entirely separate one",
+        "café au lait",  # < 5 tokens after split -> dropped
+    ]
+    ids = np.arange(4, dtype=np.int64)
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+    )
+    got = (
+        dup_ngram_fraction(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _naive(texts, ids)
+    pd.testing.assert_frame_equal(got, want)
