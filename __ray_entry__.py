@@ -59,6 +59,28 @@ def _q_dedup_pipeline(sf_dir: str):
     return res.clusters.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_passage_dedup(sf_dir: str):
+    """Passage-level near-dedup (stages/passagededup.py): the flagship
+    pipeline over 32-token windows; pid = doc_id*2^20 + chunk_id."""
+    from raydedup.config import DedupConfig
+    from raydedup.stages.passagededup import run_passage_dedup
+
+    ds = run_passage_dedup(_docs(sf_dir), DedupConfig(batch_size=1024), chunk_tokens=32)
+    return (
+        ds.to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    )
+
+
+def _q_passage_scrub(sf_dir: str):
+    """Passage scrub: drop non-representative passages, reassemble docs
+    from the surviving chunks (docs losing every chunk are dropped)."""
+    from raydedup.config import DedupConfig
+    from raydedup.stages.passagededup import scrub_passages
+
+    ds = scrub_passages(_docs(sf_dir), DedupConfig(batch_size=1024), chunk_tokens=32)
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_dedup_increment(sf_dir: str):
     """Incremental dedup (pipelines/increment.py): docs with doc_id <
     4n/5 form the frozen base (standard dedup, containment off); the
@@ -2302,6 +2324,8 @@ def _q_sliding_windows(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dedup_pipeline": _q_dedup_pipeline,
+        "passage_dedup": _q_passage_dedup,
+        "passage_scrub": _q_passage_scrub,
         "dedup_increment": _q_dedup_increment,
         "exact_dup_pairs": _q_exact_dup_pairs,
         "doc_stats_by_lang": _q_doc_stats_by_lang,
@@ -3024,6 +3048,79 @@ ORDER BY d.doc_id
 """
 
 
+
+
+def passages_cte(chunk: int = 32, cap: int = 1 << 20) -> str:
+    """CTE deriving the passage table (pid = doc_id*cap + chunk_id, text
+    = chunk tokens re-joined with single spaces) — the SQL twin of
+    stages/chunking.py + stages/passagededup.py:_pid_batch."""
+    return f"""passages AS MATERIALIZED (
+  SELECT CAST(doc_id * {cap} + chunk_id AS BIGINT) AS doc_id,
+         text_chunk AS text
+  FROM (
+    SELECT doc_id, (rn - 1) // {chunk} AS chunk_id,
+           string_agg(w, ' ' ORDER BY rn) AS text_chunk
+    FROM (SELECT doc_id, w,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY pos) rn
+          FROM (SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS w,
+                       generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+                FROM documents
+                WHERE length(trim(text)) > 0))
+    GROUP BY doc_id, (rn - 1) // {chunk}
+  )
+)"""
+
+
+def _passage_asn_body(chunk: int = 32, cap: int = 1 << 20) -> str:
+    """The flagship dedup mirror with `documents` rebound to passages:
+    every doc-table reference in q_dedup_pipeline_sql becomes the
+    passage CTE, so the ENTIRE hash-green flagship oracle (LSH ->
+    verify -> exact -> containment -> components) reruns unchanged at
+    passage granularity."""
+    import re as _re
+
+    base = _re.sub(r"\bdocuments\b", "passages", q_dedup_pipeline_sql())
+    return base.replace(
+        "\nWITH toks AS (", f"\nWITH {passages_cte(chunk, cap)}, toks AS (", 1
+    )
+
+
+def q_passage_dedup_sql(chunk: int = 32, cap: int = 1 << 20) -> str:
+    return f"""WITH asn AS ({_passage_asn_body(chunk, cap)})
+SELECT CAST(doc_id // {cap} AS BIGINT) AS doc_id,
+       CAST(doc_id % {cap} AS BIGINT) AS chunk_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       is_representative
+FROM asn
+ORDER BY doc_id, chunk_id"""
+
+
+def q_passage_scrub_sql(chunk: int = 32, cap: int = 1 << 20) -> str:
+    return f"""WITH asn AS ({_passage_asn_body(chunk, cap)}),
+kept AS (
+  SELECT CAST(doc_id // {cap} AS BIGINT) AS doc_id,
+         CAST(doc_id % {cap} AS BIGINT) AS chunk_id
+  FROM asn WHERE is_representative
+),
+chunks AS (
+  SELECT doc_id, (rn - 1) // {chunk} AS chunk_id,
+         string_agg(w, ' ' ORDER BY rn) AS text_chunk
+  FROM (SELECT doc_id, w,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos) rn
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS w,
+                     generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+              FROM documents
+              WHERE length(trim(text)) > 0))
+  GROUP BY doc_id, (rn - 1) // {chunk}
+)
+SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
+       string_agg(c.text_chunk, ' ' ORDER BY c.chunk_id) AS text,
+       CAST(count(*) AS BIGINT) AS n_chunks_kept
+FROM kept k JOIN chunks c ON c.doc_id = k.doc_id AND c.chunk_id = k.chunk_id
+GROUP BY k.doc_id
+ORDER BY k.doc_id"""
 
 
 def q_store_query_sql():
@@ -4696,6 +4793,11 @@ FROM s ORDER BY shard, pos
         # LSH/fingerprint outputs against an independent scalar
         # implementation of the same math
         "dedup_pipeline": q_dedup_pipeline_sql(),
+        # flagship mirror rebound to 32-token passages (documents ->
+        # passages CTE), back-mapped to (doc, chunk); see passages_cte
+        "passage_dedup": q_passage_dedup_sql(),
+        # representative-only chunk keep + in-order reassembly
+        "passage_scrub": q_passage_scrub_sql(),
         # incremental dedup: true-Jaccard edges stand in for the engine's
         # (band-candidate AND jaccard>=tau) edge set — equivalence on this
         # corpus is exactly what the hash-green dedup_pipeline oracle

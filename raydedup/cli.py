@@ -450,6 +450,30 @@ def cmd_chunk(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_scrub(args: argparse.Namespace) -> int:
+    """Passage-level near-dedup scrub: drop duplicated passages, keep
+    each cluster's representative, reassemble docs, write parquet."""
+    _init_ray()
+    import pyarrow.parquet as pq
+
+    from raydedup.config import DedupConfig
+    from raydedup.sources.pages import pages_to_docs, read_pages
+    from raydedup.stages.passagededup import scrub_passages
+
+    files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
+    docs = pages_to_docs(read_pages(files))
+    out = scrub_passages(
+        docs, DedupConfig(), chunk_tokens=args.tokens, containment=not args.no_containment
+    )
+    out.write_parquet(args.out)
+    n = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(args.out, "*.parquet"))
+    )
+    print(json.dumps({"docs_kept": n, "out": args.out}))
+    return 0
+
+
 def cmd_pack(args: argparse.Namespace) -> int:
     """Assign docs to greedy token-budget training sequences and write
     the (doc_id, bucket, pack_id, pack_pos, n_tokens) layout table."""
@@ -863,6 +887,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--tokens", type=int, default=128)
     s.add_argument("--overlap", type=int, default=0)
     s.set_defaults(fn=cmd_chunk)
+
+    s = sub.add_parser("scrub", help="passage-level near-dedup scrub (parquet out)")
+    s.add_argument("pages")
+    s.add_argument("out")
+    s.add_argument("--tokens", type=int, default=32)
+    s.add_argument("--no-containment", action="store_true")
+    s.set_defaults(fn=cmd_scrub)
 
     s = sub.add_parser("pack", help="greedy token-budget sequence packing (parquet out)")
     s.add_argument("pages")

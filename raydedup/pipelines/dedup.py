@@ -62,6 +62,16 @@ class DedupResult:
 def sha_key_table(t: pa.Table) -> pa.Table:
     """(doc_id, text_sha256) -> + sha_key (big-endian int64 prefix of the
     digest) for hash-bucketing the exact-dup exchange."""
+    if t.num_rows == 0 or "text_sha256" not in t.column_names:
+        # Ray 2.49: 0-row blocks skip upstream map UDFs and can carry a
+        # pre-identity schema — emit the typed empty keyed table.
+        return pa.schema(
+            [
+                ("sha_key", pa.int64()),
+                ("doc_id", pa.int64()),
+                ("text_sha256", pa.binary()),
+            ]
+        ).empty_table()
     digests = t.column("text_sha256").to_pylist()
     key = (
         np.frombuffer(b"".join(digests), dtype=">i8").reshape(-1, 4)[:, 0]

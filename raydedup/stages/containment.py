@@ -80,6 +80,11 @@ def fingerprint_postings_table(batch: pa.Table, w: int, s: int) -> pa.Table:
     batch-concatenated variant (11.4k vs 7.9k docs/s single-thread —
     per-doc arrays stay cache-resident and skip the global gather/
     lexsort dedup machinery a cross-doc kernel needs)."""
+    if batch.num_rows == 0 or "text" not in batch.column_names:
+        # Ray 2.49 empty-block schema hazard: typed empty postings
+        return pa.schema(
+            [("fp_key", pa.int64()), ("doc_id", pa.int64()), ("n_fp", pa.int32())]
+        ).empty_table()
     texts = batch.column("text").to_pylist()
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(I64)
     sets = [winnowed_fingerprints(t or "", w, s) for t in texts]

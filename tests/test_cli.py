@@ -439,3 +439,29 @@ def test_export_verb(ray_session, small_corpus, tmp_path, capsys, monkeypatch):
     assert rc == 0
     s2 = json.loads(capsys.readouterr().out.strip())
     assert s2["written"] == 0 and s2["skipped"] == 8 and s2["rows"] == 600
+
+
+def test_scrub_verb(ray_session, small_corpus, tmp_path, capsys, monkeypatch):
+    """`scrub` writes passage-scrubbed docs: total kept docs <= corpus
+    size, every kept doc non-empty, and the planted exact-dup groups
+    lose their duplicate passages (kept token mass < input token mass)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr("raydedup.cli._init_ray", lambda: None)
+    _, paths = small_corpus
+    out = str(tmp_path / "scrubbed")
+    rc = main(["scrub", paths["pages"], out, "--tokens", "32"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < stats["docs_kept"] <= 600
+    t = pa.concat_tables(
+        [pq.read_table(f) for f in glob.glob(os.path.join(out, "*.parquet"))]
+    )
+    assert t.num_rows == stats["docs_kept"]
+    import pyarrow.compute as pc
+
+    assert pc.min(pc.utf8_length(t.column("text"))).as_py() > 0
+    assert pc.min(t.column("n_chunks_kept")).as_py() >= 1
