@@ -20,6 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from raydedup.stages.sampling import DEFAULT_SAMPLE_SEED
+from raydedup.stages.shuffleorder import DEFAULT_SHUFFLE_SEED
 
 
 def _docs(sf_dir: str):
@@ -731,6 +732,19 @@ def _q_decontaminate(sf_dir: str):
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def _q_shuffle_order(sf_dir: str):
+    """Deterministic global shuffle layout (stages/shuffleorder.py):
+    pos = exact rank of mix64(doc_id ^ seed) via a 2^16-bucket radix
+    rank (no global sort, O(2^16) driver state), shard = contiguous
+    16-way split of that order."""
+    from raydedup.stages.shuffleorder import shuffle_positions
+
+    ds = shuffle_positions(
+        _read(sf_dir, "documents").select_columns(["doc_id"]), n_shards=16
+    )
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_hash_sample(sf_dir: str):
@@ -2378,6 +2392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matched_segments": _q_matched_segments,
         "decontaminate": _q_decontaminate,
         "hash_sample": _q_hash_sample,
+        "shuffle_order": _q_shuffle_order,
         "stratified_sample": _q_stratified_sample,
         "doc_frequency": _q_doc_frequency,
         "top_terms": _q_top_terms,
@@ -4574,6 +4589,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         # deterministic Bernoulli(0.1) sample: mix64(doc_id ^ seed)
         # below the exact integer threshold the engine uses
+        # exact shuffle rank: signed-int64 view of mix64(doc_id ^ seed),
+        # row_number over that order (keys unique: mix64 is a bijection)
+        "shuffle_order": f"""
+        WITH raw AS (
+          SELECT doc_id,
+                 xor(CAST(doc_id AS UBIGINT), {DEFAULT_SHUFFLE_SEED}::UBIGINT) AS r
+          FROM documents
+        ), mixed AS (
+          SELECT doc_id, {mix64_cols('r', 'sk')} FROM raw
+        ), signedk AS (
+          SELECT doc_id, {as_i64('sk')} AS k FROM mixed
+        ), ranked AS (
+          SELECT doc_id, row_number() OVER (ORDER BY k) AS rn,
+                 count(*) OVER () AS n
+          FROM signedk
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(rn - 1 AS BIGINT) AS pos,
+               CAST((16 * (rn - 1)) // n AS BIGINT) AS shard
+        FROM ranked ORDER BY doc_id
+        """,
         "hash_sample": f"""
         WITH raw AS (
           SELECT doc_id, lang,

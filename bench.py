@@ -230,6 +230,7 @@ def run_bench() -> dict:
     timed("crawl_diff_sf", lambda: q["crawl_diff"](SF_DIR))
     timed("dup_ngram_fraction_sf", lambda: q["dup_ngram_fraction"](SF_DIR))
     timed("curate_pack_sf", lambda: q["curate_pack"](SF_DIR))
+    timed("passage_scrub_sf", lambda: q["passage_scrub"](SF_DIR))
 
     out = {
         "metric": "dedup pipeline wall time (synthetic pages corpus, containment on)",

@@ -1,0 +1,83 @@
+"""Shuffle-order tests: exact permutation vs naive reference, signed
+key order, block-layout invariance, shard balance, empty input."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from raydedup.hashing import mix64
+from raydedup.stages.shuffleorder import (
+    DEFAULT_SHUFFLE_SEED,
+    shuffle_positions,
+)
+
+I64 = np.int64
+U64 = np.uint64
+
+
+def _naive(ids: np.ndarray, seed: int, n_shards: int):
+    k = mix64(ids.astype(I64).view(U64) ^ U64(seed)).view(I64)
+    order = np.argsort(k, kind="stable")
+    pos = np.empty(ids.shape[0], dtype=I64)
+    pos[order] = np.arange(ids.shape[0], dtype=I64)
+    return pos, (n_shards * pos) // ids.shape[0]
+
+
+def _run(ids, seed=DEFAULT_SHUFFLE_SEED, n_shards=16, n_blocks=1):
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    if n_blocks > 1:
+        ds = ds.repartition(n_blocks)
+    return (
+        shuffle_positions(ds, seed=seed, n_shards=n_shards)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("n,blocks", [(1, 1), (97, 3), (4096, 8)])
+def test_matches_naive(n, blocks):
+    ids = np.arange(n, dtype=I64) * 7 + 3  # non-contiguous ids
+    out = _run(ids, n_blocks=blocks)
+    pos, shard = _naive(ids, DEFAULT_SHUFFLE_SEED, 16)
+    assert np.array_equal(out["pos"].to_numpy(), pos)
+    assert np.array_equal(out["shard"].to_numpy(), shard)
+
+
+def test_permutation_and_shard_balance():
+    ids = np.arange(10_000, dtype=I64)
+    out = _run(ids, n_shards=10)
+    p = np.sort(out["pos"].to_numpy())
+    assert np.array_equal(p, np.arange(10_000))
+    # contiguous equal shards: each has exactly n/k docs
+    counts = out.groupby("shard").size()
+    assert sorted(counts) == [1000] * 10
+    # shard is monotone in pos
+    by_pos = out.sort_values("pos")
+    assert (np.diff(by_pos["shard"].to_numpy()) >= 0).all()
+
+
+def test_seed_changes_order_layout_does_not():
+    ids = np.arange(2000, dtype=I64)
+    a = _run(ids, seed=1, n_blocks=1)
+    b = _run(ids, seed=1, n_blocks=9)
+    c = _run(ids, seed=2, n_blocks=1)
+    assert a.equals(b)
+    assert not a["pos"].equals(c["pos"])
+
+
+def test_empty_input():
+    out = shuffle_positions(
+        rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+    )
+    assert out.count() == 0
+    assert out.schema().names == ["doc_id", "pos", "shard"]
+
+
+def test_bad_shards_raises():
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError):
+        shuffle_positions(ds, n_shards=0)
