@@ -734,6 +734,16 @@ def _q_decontaminate(sf_dir: str):
     )
 
 
+def _q_script_profile(sf_dir: str):
+    """Per-doc Unicode script/charset profile (stages/textstats.py
+    script_profile): exact char counts per disjoint RE2 class +
+    remainder + other_ratio — the charset-sanity signal."""
+    from raydedup.stages.textstats import script_profile
+
+    ds = script_profile(_read(sf_dir, "documents").select_columns(["doc_id", "text"]))
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_shuffle_order(sf_dir: str):
     """Deterministic global shuffle layout (stages/shuffleorder.py):
     pos = exact rank of mix64(doc_id ^ seed) via a 2^16-bucket radix
@@ -2393,6 +2403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "hash_sample": _q_hash_sample,
         "shuffle_order": _q_shuffle_order,
+        "script_profile": _q_script_profile,
         "stratified_sample": _q_stratified_sample,
         "doc_frequency": _q_doc_frequency,
         "top_terms": _q_top_terms,
@@ -4589,6 +4600,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         # deterministic Bernoulli(0.1) sample: mix64(doc_id ^ seed)
         # below the exact integer threshold the engine uses
+        # per-char-class counts: RE2 classes on both engines, one char
+        # per match, so count == chars-in-class; ratio is ONE division
+        "script_profile": r"""
+        WITH c AS (
+          SELECT doc_id, length(text) AS n_chars,
+            length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_ascii_alpha,
+            length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+            length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_space,
+            length(text) - length(regexp_replace(text, '\p{Han}', '', 'g')) AS n_han,
+            length(text) - length(regexp_replace(text, '\p{Cyrillic}', '', 'g')) AS n_cyrillic,
+            length(text) - length(regexp_replace(text, '\p{Arabic}', '', 'g')) AS n_arabic
+          FROM documents
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(n_ascii_alpha AS BIGINT) AS n_ascii_alpha,
+               CAST(n_digit AS BIGINT) AS n_digit,
+               CAST(n_space AS BIGINT) AS n_space,
+               CAST(n_han AS BIGINT) AS n_han,
+               CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+               CAST(n_arabic AS BIGINT) AS n_arabic,
+               CAST(n_chars - n_ascii_alpha - n_digit - n_space - n_han
+                    - n_cyrillic - n_arabic AS BIGINT) AS n_other,
+               CAST(n_chars - n_ascii_alpha - n_digit - n_space - n_han
+                    - n_cyrillic - n_arabic AS DOUBLE)
+                   / greatest(n_chars, 1) AS other_ratio
+        FROM c ORDER BY doc_id
+        """,
         # exact shuffle rank: signed-int64 view of mix64(doc_id ^ seed),
         # row_number over that order (keys unique: mix64 is a bijection)
         "shuffle_order": f"""

@@ -318,3 +318,56 @@ def doc_stats(docs: Dataset, by: str = "lang") -> Dataset:
         Min("text_len", alias_name="min_len"),
         Max("text_len", alias_name="max_len"),
     )
+
+
+# Disjoint character classes for the script/charset profile. RE2 syntax
+# on BOTH engines (Arrow's count_substring_regex and DuckDB's regexp_*
+# are RE2), so counts agree exactly; every class matches single chars,
+# so "count of matches" == "count of chars in class".
+SCRIPT_CLASSES: list[tuple[str, str]] = [
+    ("ascii_alpha", r"[A-Za-z]"),
+    ("digit", r"[0-9]"),
+    ("space", r"\s"),
+    ("han", r"\p{Han}"),
+    ("cyrillic", r"\p{Cyrillic}"),
+    ("arabic", r"\p{Arabic}"),
+]
+
+
+def script_profile_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc Unicode script/charset profile: exact char counts per
+    disjoint class + the remainder, and the non-ASCII-alpha ratio the
+    charset-sanity filter reads (mojibake and wrong-decode pages jump
+    out as high `other`). Row-local, one RE2 column kernel per class."""
+    if batch.num_rows == 0 or text_col not in batch.column_names:
+        fields = [("doc_id", pa.int64()), ("n_chars", pa.int64())]
+        fields += [(f"n_{n}", pa.int64()) for n, _ in SCRIPT_CLASSES]
+        fields += [("n_other", pa.int64()), ("other_ratio", pa.float64())]
+        return pa.schema(fields).empty_table()
+    texts = pc.fill_null(batch.column(text_col), "")
+    n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+    cols: dict[str, pa.Array] = {
+        "doc_id": batch.column("doc_id").cast(pa.int64()),
+        "n_chars": pa.array(n_chars, pa.int64()),
+    }
+    rest = n_chars.copy()
+    for name, pattern in SCRIPT_CLASSES:
+        c = (
+            pc.count_substring_regex(texts, pattern)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        cols[f"n_{name}"] = pa.array(c, pa.int64())
+        rest -= c
+    cols["n_other"] = pa.array(rest, pa.int64())
+    cols["other_ratio"] = pa.array(
+        rest / np.maximum(n_chars, 1), pa.float64()
+    )
+    return pa.table(cols)
+
+
+def script_profile(docs: Dataset, text_col: str = "text") -> Dataset:
+    """docs -> per-doc script/charset counts (streams, zero shuffle)."""
+    return docs.map_batches(
+        lambda t: script_profile_batch(t, text_col), batch_format="pyarrow"
+    )

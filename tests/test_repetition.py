@@ -134,3 +134,37 @@ def test_oracle_sql_matches_kernel_on_edge_whitespace(ray_session):
     )
     for c in want.columns:
         assert (got[c].values == want[c].values).all(), c
+
+
+def test_script_profile_counts(ray_session):
+    """script_profile: exact disjoint class counts on mixed-script docs,
+    other bucket catches what no class claims, ratio is count/chars."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.textstats import script_profile
+
+    texts = [
+        "Hello 123 мир",     # 5 ascii, 3 digit, 2 space, 3 cyrillic
+        "漢字 test",          # 2 han, 4 ascii, 1 space
+        "",                   # all zero
+        "¡señor café!",       # non-ASCII latin chars land in other
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": texts})
+    )
+    df = script_profile(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(df.n_ascii_alpha) == [5, 4, 0, 7]
+    assert list(df.n_digit) == [3, 0, 0, 0]
+    assert list(df.n_cyrillic) == [3, 0, 0, 0]
+    assert list(df.n_han) == [0, 2, 0, 0]
+    assert list(df.n_other) == [0, 0, 0, 4]  # ¡ ñ é !
+    total = (
+        df.n_ascii_alpha + df.n_digit + df.n_space
+        + df.n_han + df.n_cyrillic + df.n_arabic + df.n_other
+    )
+    assert (total == df.n_chars).all()
+    np.testing.assert_allclose(
+        df.other_ratio, df.n_other / np.maximum(df.n_chars, 1)
+    )
