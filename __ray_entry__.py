@@ -82,6 +82,20 @@ def _q_passage_scrub(sf_dir: str):
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_dup_rate_by_source(sf_dir: str):
+    """Per-source duplication rate over the flagship assignment
+    (stages/cluster.py dup_rate_by_group): which sources are copy
+    farms — n_docs, non-representative count, one-division rate."""
+    from raydedup.config import DedupConfig
+    from raydedup.pipelines.dedup import run_dedup
+    from raydedup.stages.cluster import dup_rate_by_group
+
+    docs = _docs(sf_dir).materialize()
+    res = run_dedup(docs, DedupConfig(batch_size=1024), containment=True)
+    t = dup_rate_by_group(docs, res.clusters, "source")
+    return t.to_pandas()
+
+
 def _q_dedup_increment(sf_dir: str):
     """Incremental dedup (pipelines/increment.py): docs with doc_id <
     4n/5 form the frozen base (standard dedup, containment off); the
@@ -2350,6 +2364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_pipeline": _q_dedup_pipeline,
         "passage_dedup": _q_passage_dedup,
         "passage_scrub": _q_passage_scrub,
+        "dup_rate_by_source": _q_dup_rate_by_source,
         "dedup_increment": _q_dedup_increment,
         "exact_dup_pairs": _q_exact_dup_pairs,
         "doc_stats_by_lang": _q_doc_stats_by_lang,
@@ -4873,6 +4888,17 @@ FROM s ORDER BY shard, pos
         "passage_dedup": q_passage_dedup_sql(),
         # representative-only chunk keep + in-order reassembly
         "passage_scrub": q_passage_scrub_sql(),
+        # per-source dup rate over the flagship assignment; ONE division
+        "dup_rate_by_source": f"""
+        WITH asn AS ({q_dedup_pipeline_sql()})
+        SELECT d.source AS source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN a.is_representative THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+               CAST(sum(CASE WHEN a.is_representative THEN 0 ELSE 1 END) AS DOUBLE)
+                   / count(*) AS dup_rate
+        FROM documents d JOIN asn a ON a.doc_id = d.doc_id
+        GROUP BY d.source ORDER BY source
+        """,
         # incremental dedup: true-Jaccard edges stand in for the engine's
         # (band-candidate AND jaccard>=tau) edge set — equivalence on this
         # corpus is exactly what the hash-green dedup_pipeline oracle

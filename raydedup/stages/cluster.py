@@ -319,3 +319,98 @@ def cluster_size_histogram(clusters: Dataset) -> pa.Table:
     merged = parts.group_by("cluster_size").aggregate([("n_clusters", "sum")])
     merged = merged.rename_columns(["cluster_size", "n_clusters"]).cast(schema)
     return merged.sort_by("cluster_size")
+
+
+def dup_rate_by_group(
+    docs: Dataset, clusters: Dataset, group_col: str = "source"
+) -> pa.Table:
+    """Per-group duplication rate over a cluster assignment: for each
+    value of ``group_col`` (source / domain / shard), how many docs and
+    what fraction are NON-representative members of some cluster — the
+    "which sources are copy farms" curation view over the flagship
+    output (the group axis of `PanakoStorageKV.java:381-467` stats).
+
+    Scale shape: ONE two-sided doc_id-keyed exchange joins the
+    assignment to the group labels; each bucket emits per-group partial
+    (n_docs, n_dup) counts via dictionary codes + bincount, and the
+    driver merges O(groups x buckets) tiny partials — assignments are
+    never collected. dup_rate is ONE IEEE division per group.
+    """
+    import pyarrow.compute as pc
+
+    from raydedup.stages.exchange import hash_exchange_join
+
+    schema = pa.schema(
+        [
+            (group_col, pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_dup", pa.int64()),
+            ("dup_rate", pa.float64()),
+        ]
+    )
+    partial_schema = pa.schema(
+        [(group_col, pa.string()), ("n_docs", pa.int64()), ("n_dup", pa.int64())]
+    )
+
+    def kern(dt: pa.Table, ct: pa.Table) -> pa.Table:
+        if (
+            dt.num_rows == 0
+            or dt.num_columns == 0
+            or ct.num_rows == 0
+            or ct.num_columns == 0
+        ):
+            return partial_schema.empty_table()
+        did = dt.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cid = ct.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = ct.column("is_representative").to_numpy(zero_copy_only=False)
+        order = np.argsort(cid, kind="stable")
+        cid, rep = cid[order], rep[order].astype(bool)
+        pos = np.searchsorted(cid, did)
+        pos[pos == cid.shape[0]] = 0
+        hit = cid[pos] == did
+        is_dup = np.zeros(did.shape[0], dtype=np.int64)
+        is_dup[hit] = (~rep[pos[hit]]).astype(np.int64)
+        grp = dt.column(group_col)
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        enc = pc.dictionary_encode(grp)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        n_docs = np.bincount(codes, minlength=k).astype(np.int64)
+        n_dup = np.bincount(codes, weights=is_dup, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                group_col: enc.dictionary.cast(pa.string()),
+                "n_docs": pa.array(n_docs, pa.int64()),
+                "n_dup": pa.array(n_dup, pa.int64()),
+            }
+        )
+
+    refs = hash_exchange_join(
+        docs.select_columns(["doc_id", group_col]),
+        clusters.select_columns(["doc_id", "is_representative"]),
+        "doc_id",
+        "doc_id",
+        kern,
+    )
+    import ray as _ray
+
+    parts = [t for t in _ray.get(refs) if t.num_rows and t.num_columns]
+    if not parts:
+        return schema.empty_table()
+    merged = pa.concat_tables(parts)
+    agg = merged.group_by(group_col).aggregate(
+        [("n_docs", "sum"), ("n_dup", "sum")]
+    )
+    g = agg.column(group_col)
+    nd = agg.column("n_docs_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    du = agg.column("n_dup_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    out = pa.table(
+        {
+            group_col: g,
+            "n_docs": pa.array(nd, pa.int64()),
+            "n_dup": pa.array(du, pa.int64()),
+            "dup_rate": pa.array(du / nd, pa.float64()),
+        }
+    ).cast(schema)
+    return out.sort_by(group_col)

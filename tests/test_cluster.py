@@ -126,3 +126,36 @@ def test_cluster_size_histogram(ray_session):
         t = cluster_size_histogram(ds.repartition(nb))
         assert t.column("cluster_size").to_pylist() == [1, 2, 3]
         assert t.column("n_clusters").to_pylist() == [2, 1, 1]
+
+
+def test_dup_rate_by_group(ray_session):
+    """dup_rate_by_group vs a hand-built assignment: counts and single
+    IEEE-division rates per group, groups with zero dups included."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.cluster import dup_rate_by_group
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(8), pa.int64()),
+                "source": ["a", "a", "a", "b", "b", "c", "c", "c"],
+            }
+        )
+    ).repartition(3)
+    clusters = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(8), pa.int64()),
+                # a: one dup of three; b: none; c: two dups of three
+                "is_representative": [True, False, True, True, True, True, False, False],
+            }
+        )
+    ).repartition(2)
+    t = dup_rate_by_group(docs, clusters, "source").to_pandas()
+    assert list(t.source) == ["a", "b", "c"]
+    assert list(t.n_docs) == [3, 2, 3]
+    assert list(t.n_dup) == [1, 0, 2]
+    np.testing.assert_allclose(t.dup_rate, [1 / 3, 0.0, 2 / 3])
