@@ -96,6 +96,20 @@ def _q_dup_rate_by_source(sf_dir: str):
     return t.to_pandas()
 
 
+def _q_dedup_agreement(sf_dir: str):
+    """Exact Rand-index components between the flagship assignment and
+    the exact-duplicate-only assignment (stages/agreement.py): how much
+    pair mass NEAR dedup adds over byte-identity."""
+    from raydedup.config import DedupConfig
+    from raydedup.pipelines.dedup import run_dedup
+    from raydedup.stages.agreement import assignment_agreement, exact_clusters
+
+    docs = _docs(sf_dir).materialize()
+    res = run_dedup(docs, DedupConfig(batch_size=1024), containment=True)
+    t = assignment_agreement(res.clusters, exact_clusters(docs))
+    return t.to_pandas()
+
+
 def _q_dedup_increment(sf_dir: str):
     """Incremental dedup (pipelines/increment.py): docs with doc_id <
     4n/5 form the frozen base (standard dedup, containment off); the
@@ -2365,6 +2379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passage_dedup": _q_passage_dedup,
         "passage_scrub": _q_passage_scrub,
         "dup_rate_by_source": _q_dup_rate_by_source,
+        "dedup_agreement": _q_dedup_agreement,
         "dedup_increment": _q_dedup_increment,
         "exact_dup_pairs": _q_exact_dup_pairs,
         "doc_stats_by_lang": _q_doc_stats_by_lang,
@@ -4888,6 +4903,37 @@ FROM s ORDER BY shard, pos
         "passage_dedup": q_passage_dedup_sql(),
         # representative-only chunk keep + in-order reassembly
         "passage_scrub": q_passage_scrub_sql(),
+        # exact pair-agreement (Rand components) flagship vs exact-only;
+        # per-group C(n,2) sums, inclusion-exclusion, ONE division
+        "dedup_agreement": f"""
+        WITH a AS ({q_dedup_pipeline_sql()}),
+        b AS (
+          SELECT doc_id,
+                 CAST(min(doc_id) OVER (PARTITION BY text) AS BIGINT) AS cb
+          FROM documents
+        ),
+        j AS (
+          SELECT a.doc_id, a.cluster_id AS ca, b.cb
+          FROM a JOIN b USING (doc_id)
+        ),
+        s AS (
+          SELECT (SELECT count(*) FROM j) AS n_docs,
+                 (SELECT COALESCE(sum(n*(n-1)//2), 0)
+                    FROM (SELECT count(*) AS n FROM j GROUP BY ca)) AS sa,
+                 (SELECT COALESCE(sum(n*(n-1)//2), 0)
+                    FROM (SELECT count(*) AS n FROM j GROUP BY cb)) AS sb,
+                 (SELECT COALESCE(sum(n*(n-1)//2), 0)
+                    FROM (SELECT count(*) AS n FROM j GROUP BY ca, cb)) AS sab
+        )
+        SELECT CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_docs*(n_docs-1)//2 AS BIGINT) AS pairs_total,
+               CAST(sa AS BIGINT) AS pairs_same_a,
+               CAST(sb AS BIGINT) AS pairs_same_b,
+               CAST(sab AS BIGINT) AS pairs_same_both,
+               CAST(sab + (n_docs*(n_docs-1)//2 - sa - sb + sab) AS DOUBLE)
+                   / (n_docs*(n_docs-1)//2) AS rand_index
+        FROM s
+        """,
         # per-source dup rate over the flagship assignment; ONE division
         "dup_rate_by_source": f"""
         WITH asn AS ({q_dedup_pipeline_sql()})

@@ -159,3 +159,50 @@ def test_dup_rate_by_group(ray_session):
     assert list(t.n_docs) == [3, 2, 3]
     assert list(t.n_dup) == [1, 0, 2]
     np.testing.assert_allclose(t.dup_rate, [1 / 3, 0.0, 2 / 3])
+
+
+def test_assignment_agreement_naive(ray_session):
+    """assignment_agreement vs itertools pair counting on random
+    assignments; exact_clusters groups byte-identical texts only."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.agreement import assignment_agreement, exact_clusters
+
+    rng = np.random.default_rng(11)
+    n = 200
+    ca = rng.integers(0, 12, n)
+    cb = rng.integers(0, 9, n)
+    a = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "cluster_id": pa.array(ca, pa.int64())})
+    ).repartition(4)
+    b = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "cluster_id": pa.array(cb, pa.int64())})
+    ).repartition(3)
+    t = assignment_agreement(a, b).to_pandas().iloc[0]
+    sa = sb = sab = tot = 0
+    for i, j in itertools.combinations(range(n), 2):
+        tot += 1
+        x, y = ca[i] == ca[j], cb[i] == cb[j]
+        sa += x
+        sb += y
+        sab += x and y
+    assert t.n_docs == n and t.pairs_total == tot
+    assert (t.pairs_same_a, t.pairs_same_b, t.pairs_same_both) == (sa, sb, sab)
+    assert t.rand_index == (sab + (tot - sa - sb + sab)) / tot
+
+    from raydedup.stages.extract import docs_identity_batch
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": ["x", "y", "x", "z", "y"]})
+    ).map_batches(docs_identity_batch, batch_format="pyarrow")
+    ec = (
+        exact_clusters(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(ec.cluster_id) == [0, 1, 0, 3, 1]
