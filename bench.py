@@ -128,6 +128,10 @@ def run_bench() -> dict:
             "verified_pairs": int(res.metrics.get("verified_pairs", 0)),
             "n_clusters": int(res.metrics.get("n_clusters", 0)),
             "host_probe_s": host_probe_s(),
+            # same-moment physical capability: a collapsed bw reading
+            # (normal 9-13 GB/s on this host) explains slow wall times
+            # without any code change — see BASELINE.md bandwidth notes
+            "bw_gbs_8": parallel_probe(8, "bw"),
         }
         ray.shutdown()
         return out
@@ -245,6 +249,7 @@ def run_bench() -> dict:
         "verified_pairs": int(res.metrics.get("verified_pairs", 0)),
         "n_clusters": int(res.metrics.get("n_clusters", 0)),
         "host_probe_s": host_probe_s(),
+        "bw_gbs_8": parallel_probe(8, "bw"),
     }
     ray.shutdown()
     return out

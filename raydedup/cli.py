@@ -474,6 +474,28 @@ def cmd_scrub(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_shuffle(args: argparse.Namespace) -> int:
+    """Deterministic global shuffle layout: write (doc_id, pos, shard)
+    for a pages dir — the training-order manifest."""
+    _init_ray()
+    import pyarrow.parquet as pq
+
+    from raydedup.sources.pages import pages_to_docs, read_pages
+    from raydedup.stages.shuffleorder import DEFAULT_SHUFFLE_SEED, shuffle_positions
+
+    files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
+    docs = pages_to_docs(read_pages(files))
+    seed = args.seed if args.seed is not None else DEFAULT_SHUFFLE_SEED
+    out = shuffle_positions(docs, seed=seed, n_shards=args.shards)
+    out.write_parquet(args.out)
+    n = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(args.out, "*.parquet"))
+    )
+    print(json.dumps({"docs": n, "shards": args.shards, "out": args.out}))
+    return 0
+
+
 def cmd_pack(args: argparse.Namespace) -> int:
     """Assign docs to greedy token-budget training sequences and write
     the (doc_id, bucket, pack_id, pack_pos, n_tokens) layout table."""
@@ -894,6 +916,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--tokens", type=int, default=32)
     s.add_argument("--no-containment", action="store_true")
     s.set_defaults(fn=cmd_scrub)
+
+    s = sub.add_parser("shuffle", help="deterministic shuffle layout (doc_id,pos,shard)")
+    s.add_argument("pages")
+    s.add_argument("out")
+    s.add_argument("--shards", type=int, default=16)
+    s.add_argument("--seed", type=int, default=None)
+    s.set_defaults(fn=cmd_shuffle)
 
     s = sub.add_parser("pack", help="greedy token-budget sequence packing (parquet out)")
     s.add_argument("pages")

@@ -465,3 +465,27 @@ def test_scrub_verb(ray_session, small_corpus, tmp_path, capsys, monkeypatch):
 
     assert pc.min(pc.utf8_length(t.column("text"))).as_py() > 0
     assert pc.min(t.column("n_chunks_kept")).as_py() >= 1
+
+
+def test_shuffle_verb(ray_session, small_corpus, tmp_path, capsys, monkeypatch):
+    """`shuffle` writes the (doc_id, pos, shard) training-order layout:
+    pos is a permutation, shards are the contiguous k-way split."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr("raydedup.cli._init_ray", lambda: None)
+    _, paths = small_corpus
+    out = str(tmp_path / "shuffled")
+    rc = main(["shuffle", paths["pages"], out, "--shards", "6"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs"] == 600 and stats["shards"] == 6
+    t = pa.concat_tables(
+        [pq.read_table(f) for f in glob.glob(os.path.join(out, "*.parquet"))]
+    )
+    pos = np.sort(t.column("pos").to_numpy())
+    assert np.array_equal(pos, np.arange(600))
+    assert sorted(np.bincount(t.column("shard").to_numpy()).tolist()) == [100] * 6
