@@ -137,12 +137,13 @@ def run_passage_dedup(
     containment: bool = True,
 ) -> Dataset:
     """Flagship dedup over passages -> (doc_id, chunk_id, cluster_id,
-    is_representative); cluster_id is the component-min pid."""
-    from raydedup.pipelines.dedup import run_dedup
+    is_representative); cluster_id is the component-min pid. Routes
+    through run_dedup_auto so a 10^6+-passage corpus takes the
+    refs-only scale engine (cluster-equivalent, BASELINE.md)."""
+    from raydedup.pipelines.dedup_scale import run_dedup_auto
 
-    res = run_dedup(
-        passage_docs(docs, chunk_tokens), cfg or DedupConfig(), containment=containment
-    )
+    passages = passage_docs(docs, chunk_tokens).materialize()
+    res = run_dedup_auto(passages, cfg or DedupConfig(), containment=containment)
     if not res.metrics.get("n_docs"):
         # all-empty blocks skip map UDFs (Ray 2.49) -> force typed empty
         import ray.data as rd
@@ -246,7 +247,7 @@ def scrub_passages(
     they always survive), reassemble docs from the kept chunks.
     Documents whose every chunk was scrubbed are dropped. Returns
     (doc_id, text, n_chunks_kept), streaming via bucket refs."""
-    from raydedup.pipelines.dedup import run_dedup
+    from raydedup.pipelines.dedup_scale import run_dedup_auto
     from raydedup.stages.exchange import (
         hash_exchange_apply,
         hash_exchange_join,
@@ -254,8 +255,8 @@ def scrub_passages(
     )
 
     chunks = chunk_documents(docs, chunk_tokens=chunk_tokens).materialize()
-    res = run_dedup(
-        chunks.map_batches(_pid_batch, batch_format="pyarrow"),
+    res = run_dedup_auto(
+        chunks.map_batches(_pid_batch, batch_format="pyarrow").materialize(),
         cfg or DedupConfig(),
         containment=containment,
     )
