@@ -96,6 +96,20 @@ def _q_dup_rate_by_source(sf_dir: str):
     return t.to_pandas()
 
 
+def _q_best_representatives(sf_dir: str):
+    """Keep-the-longest-copy representative selection over the flagship
+    assignment (stages/cluster.py select_representatives): per cluster,
+    the max-n_chars doc (tie min doc_id) becomes the representative."""
+    from raydedup.config import DedupConfig
+    from raydedup.pipelines.dedup import run_dedup
+    from raydedup.stages.cluster import select_representatives
+
+    docs = _docs(sf_dir).materialize()
+    res = run_dedup(docs, DedupConfig(batch_size=1024), containment=True)
+    ds = select_representatives(docs, res.clusters)
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_dedup_agreement(sf_dir: str):
     """Exact Rand-index components between the flagship assignment and
     the exact-duplicate-only assignment (stages/agreement.py): how much
@@ -2380,6 +2394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passage_scrub": _q_passage_scrub,
         "dup_rate_by_source": _q_dup_rate_by_source,
         "dedup_agreement": _q_dedup_agreement,
+        "best_representatives": _q_best_representatives,
         "dedup_increment": _q_dedup_increment,
         "exact_dup_pairs": _q_exact_dup_pairs,
         "doc_stats_by_lang": _q_doc_stats_by_lang,
@@ -4903,6 +4918,19 @@ FROM s ORDER BY shard, pos
         "passage_dedup": q_passage_dedup_sql(),
         # representative-only chunk keep + in-order reassembly
         "passage_scrub": q_passage_scrub_sql(),
+        # keep-the-longest representative re-pick over the flagship
+        # assignment: max length(text), tie min doc_id, per cluster
+        "best_representatives": f"""
+        WITH asn AS ({q_dedup_pipeline_sql()})
+        SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+               CAST(a.cluster_id AS BIGINT) AS cluster_id,
+               row_number() OVER (
+                 PARTITION BY a.cluster_id
+                 ORDER BY length(d.text) DESC, a.doc_id
+               ) = 1 AS is_representative
+        FROM asn a JOIN documents d ON d.doc_id = a.doc_id
+        ORDER BY a.doc_id
+        """,
         # exact pair-agreement (Rand components) flagship vs exact-only;
         # per-group C(n,2) sums, inclusion-exclusion, ONE division
         "dedup_agreement": f"""

@@ -414,3 +414,98 @@ def dup_rate_by_group(
         }
     ).cast(schema)
     return out.sort_by(group_col)
+
+
+def select_representatives(
+    docs: Dataset, clusters: Dataset, *, score_col: str = "n_chars"
+) -> Dataset:
+    """Re-pick each cluster's representative by a per-doc score —
+    keep-the-LONGEST-copy (default: char count) instead of the
+    union-find's min-id root. The curation decision that matters when
+    near-dup copies differ in completeness (truncated mirrors, partial
+    scrapes): the fullest copy survives. Ties break on min doc_id, so
+    the choice is total and partition-invariant.
+
+    Scale shape: one doc_id-keyed exchange joins scores onto the
+    assignment, one cluster-keyed exchange picks per-cluster argmax
+    (in-bucket lexsort + run-first mask) — assignments never reach the
+    driver. Returns (doc_id, cluster_id, is_representative) with
+    exactly one representative per cluster.
+    """
+    import pyarrow.compute as pc
+
+    from raydedup.stages.exchange import (
+        hash_exchange_apply,
+        hash_exchange_join,
+        refs_to_dataset,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("cluster_id", pa.int64()),
+            ("is_representative", pa.bool_()),
+        ]
+    )
+    join_schema = pa.schema(
+        [("doc_id", pa.int64()), ("cluster_id", pa.int64()), ("s", pa.int64())]
+    )
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema([("doc_id", pa.int64()), ("s", pa.int64())]).empty_table()
+        if score_col == "n_chars" and "n_chars" not in t.column_names:
+            s = pc.cast(pc.utf8_length(pc.fill_null(t.column("text"), "")), pa.int64())
+        else:
+            s = pc.cast(t.column(score_col), pa.int64())
+        return pa.table({"doc_id": t.column("doc_id").cast(pa.int64()), "s": s})
+
+    def join_kernel(ct: pa.Table, st: pa.Table) -> pa.Table:
+        if ct.num_rows == 0 or ct.num_columns == 0 or st.num_rows == 0 or st.num_columns == 0:
+            return join_schema.empty_table()
+        ci = ct.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cc = ct.column("cluster_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        si = st.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sv = st.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(si, kind="stable")
+        si, sv = si[order], sv[order]
+        pos = np.searchsorted(si, ci)
+        pos[pos == si.shape[0]] = 0
+        hit = si[pos] == ci
+        return pa.table(
+            {
+                "doc_id": pa.array(ci[hit], pa.int64()),
+                "cluster_id": pa.array(cc[hit], pa.int64()),
+                "s": pa.array(sv[pos[hit]], pa.int64()),
+            }
+        )
+
+    def pick_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cid = t.column("cluster_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, -s, cid))
+        ids, cid = ids[order], cid[order]
+        first = np.empty(cid.shape[0], dtype=bool)
+        first[0] = True
+        first[1:] = cid[1:] != cid[:-1]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(cid, pa.int64()),
+                "is_representative": pa.array(first),
+            }
+        )
+
+    scored = docs.map_batches(score_batch, batch_format="pyarrow")
+    joined = hash_exchange_join(
+        clusters.select_columns(["doc_id", "cluster_id"]),
+        scored,
+        "doc_id",
+        "doc_id",
+        join_kernel,
+    )
+    refs = hash_exchange_apply(joined, "cluster_id", pick_kernel, collect=False)
+    return refs_to_dataset(refs, out_schema)

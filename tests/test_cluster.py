@@ -206,3 +206,39 @@ def test_assignment_agreement_naive(ray_session):
         exact_clusters(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert list(ec.cluster_id) == [0, 1, 0, 3, 1]
+
+
+def test_select_representatives_longest(ray_session):
+    """select_representatives: per cluster the longest text wins, ties
+    break on min doc_id, exactly one rep per cluster, singletons kept."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.cluster import select_representatives
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "text": ["aa", "aaaa", "aaaa", "b", "ccc", ""],
+            }
+        )
+    ).repartition(2)
+    clusters = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                # {0,1,2} one cluster, {3,4} one, {5} singleton
+                "cluster_id": pa.array([0, 0, 0, 3, 3, 5], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    t = (
+        select_representatives(docs, clusters)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # cluster 0: docs 1 and 2 tie at len 4 -> min id 1 wins
+    assert list(t.is_representative) == [False, True, False, False, True, True]
+    assert t.groupby("cluster_id").is_representative.sum().tolist() == [1, 1, 1]
