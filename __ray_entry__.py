@@ -110,6 +110,19 @@ def _q_best_representatives(sf_dir: str):
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_largest_clusters(sf_dir: str):
+    """Top-10 most-duplicated clusters with the representative's text
+    head (stages/cluster.py largest_clusters) — the worst-offenders
+    inspection view; per-bucket top-k, O(k x buckets) driver merge."""
+    from raydedup.config import DedupConfig
+    from raydedup.pipelines.dedup import run_dedup
+    from raydedup.stages.cluster import largest_clusters
+
+    docs = _docs(sf_dir).materialize()
+    res = run_dedup(docs, DedupConfig(batch_size=1024), containment=True)
+    return largest_clusters(docs, res.clusters, k=10).to_pandas()
+
+
 def _q_dedup_agreement(sf_dir: str):
     """Exact Rand-index components between the flagship assignment and
     the exact-duplicate-only assignment (stages/agreement.py): how much
@@ -2395,6 +2408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": _q_dup_rate_by_source,
         "dedup_agreement": _q_dedup_agreement,
         "best_representatives": _q_best_representatives,
+        "largest_clusters": _q_largest_clusters,
         "dedup_increment": _q_dedup_increment,
         "exact_dup_pairs": _q_exact_dup_pairs,
         "doc_stats_by_lang": _q_doc_stats_by_lang,
@@ -4918,6 +4932,22 @@ FROM s ORDER BY shard, pos
         "passage_dedup": q_passage_dedup_sql(),
         # representative-only chunk keep + in-order reassembly
         "passage_scrub": q_passage_scrub_sql(),
+        # worst-offenders: top-10 clusters by size (tie min cluster id),
+        # representative text head; rep = cluster root = a doc id
+        "largest_clusters": f"""
+        WITH asn AS ({q_dedup_pipeline_sql()}),
+        s AS (
+          SELECT cluster_id, count(*) AS size FROM asn GROUP BY cluster_id
+        ),
+        top AS (
+          SELECT cluster_id, size FROM s ORDER BY size DESC, cluster_id LIMIT 10
+        )
+        SELECT CAST(t.cluster_id AS BIGINT) AS cluster_id,
+               CAST(t.size AS BIGINT) AS size,
+               substr(d.text, 1, 80) AS rep_prefix
+        FROM top t JOIN documents d ON d.doc_id = t.cluster_id
+        ORDER BY t.size DESC, t.cluster_id
+        """,
         # keep-the-longest representative re-pick over the flagship
         # assignment: max length(text), tie min doc_id, per cluster
         "best_representatives": f"""

@@ -509,3 +509,98 @@ def select_representatives(
     )
     refs = hash_exchange_apply(joined, "cluster_id", pick_kernel, collect=False)
     return refs_to_dataset(refs, out_schema)
+
+
+def largest_clusters(
+    docs: Dataset, clusters: Dataset, k: int = 10, prefix_chars: int = 80
+) -> pa.Table:
+    """Top-k most-duplicated clusters with their representative's text
+    head — the "show me the worst offenders" inspection view (the
+    reference's most-matched statistics surface,
+    `PanakoStorageKV.java:381-467`, on the component axis).
+
+    Scale shape: ONE cluster-keyed exchange; each bucket emits only its
+    local top-k (size, cluster) rows, the driver merges O(k x buckets)
+    partials and fetches the k representatives' text with a broadcast
+    id probe — never the assignment, never the corpus. Order is total:
+    size DESC, cluster_id ASC.
+    """
+    import pyarrow.compute as pc
+
+    from raydedup.stages.exchange import hash_exchange_apply
+
+    schema = pa.schema(
+        [
+            ("cluster_id", pa.int64()),
+            ("size", pa.int64()),
+            ("rep_prefix", pa.string()),
+        ]
+    )
+
+    def bucket_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.table(
+                {"cluster_id": pa.array([], pa.int64()), "size": pa.array([], pa.int64())}
+            )
+        cid = t.column("cluster_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(cid, return_counts=True)
+        order = np.lexsort((u, -c))[:k]
+        return pa.table(
+            {
+                "cluster_id": pa.array(u[order], pa.int64()),
+                "size": pa.array(c[order].astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = hash_exchange_apply(
+        clusters.select_columns(["cluster_id"]), "cluster_id", bucket_topk
+    )
+    if parts.num_rows == 0:
+        return schema.empty_table()
+    cid = parts.column("cluster_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    sz = parts.column("size").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((cid, -sz))[:k]
+    cid, sz = cid[order], sz[order]
+
+    want = np.sort(cid)
+
+    def probe(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "rep_prefix": pa.array([], pa.string())}
+        )
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return empty
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(want, ids)
+        pos[pos == want.shape[0]] = 0
+        mask = want[pos] == ids
+        if not mask.any():
+            return empty
+        sub = t.filter(pa.array(mask))
+        return pa.table(
+            {
+                "doc_id": sub.column("doc_id").cast(pa.int64()),
+                "rep_prefix": pc.cast(
+                    pc.utf8_slice_codeunits(
+                        pc.fill_null(sub.column("text"), ""), 0, prefix_chars
+                    ),
+                    pa.string(),
+                ),
+            }
+        )
+
+    reps = docs.map_batches(probe, batch_format="pyarrow").to_arrow_refs()
+    import ray as _ray
+
+    rep_parts = [t for t in _ray.get(list(reps)) if t.num_rows and t.num_columns > 1]
+    lookup: dict[int, str] = {}
+    for t in rep_parts:
+        for i, p in zip(t.column("doc_id").to_pylist(), t.column("rep_prefix").to_pylist()):
+            lookup[i] = p
+    return pa.table(
+        {
+            "cluster_id": pa.array(cid, pa.int64()),
+            "size": pa.array(sz, pa.int64()),
+            "rep_prefix": pa.array([lookup.get(int(c), "") for c in cid], pa.string()),
+        }
+    ).cast(schema)

@@ -242,3 +242,34 @@ def test_select_representatives_longest(ray_session):
     # cluster 0: docs 1 and 2 tie at len 4 -> min id 1 wins
     assert list(t.is_representative) == [False, True, False, False, True, True]
     assert t.groupby("cluster_id").is_representative.sum().tolist() == [1, 1, 1]
+
+
+def test_largest_clusters(ray_session):
+    """largest_clusters: exact sizes, size-desc/id-asc order, k cap,
+    representative prefix fetched by broadcast probe."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.cluster import largest_clusters
+
+    # cluster 0: 3 members, cluster 3: 2, cluster 5: 1
+    clusters = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "cluster_id": pa.array([0, 0, 0, 3, 3, 5], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "text": [f"doc {i} " + "x" * 100 for i in range(6)],
+            }
+        )
+    ).repartition(2)
+    t = largest_clusters(docs, clusters, k=2, prefix_chars=5).to_pandas()
+    assert list(t.cluster_id) == [0, 3]
+    assert list(t["size"]) == [3, 2]
+    assert list(t.rep_prefix) == ["doc 0", "doc 3"]
