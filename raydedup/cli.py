@@ -496,6 +496,40 @@ def cmd_shuffle(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_report(args: argparse.Namespace) -> int:
+    """Duplication inspection report for a pages dir: run the flagship
+    dedup, then print the worst-offender clusters, the per-source
+    duplication rates, and the pair-level agreement vs exact-only
+    dedup (how much near-dup adds) as one JSON document."""
+    _init_ray()
+    from raydedup.pipelines.dedup_scale import run_dedup_auto
+    from raydedup.sources.pages import pages_to_docs, read_pages
+    from raydedup.stages.agreement import assignment_agreement, exact_clusters
+    from raydedup.stages.cluster import dup_rate_by_group, largest_clusters
+
+    files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
+    docs = pages_to_docs(read_pages(files)).materialize()
+    res = run_dedup_auto(docs, _cfg_from_args(args), containment=not args.no_containment)
+    clusters = res.clusters
+    top = largest_clusters(docs, clusters, k=args.top).to_pylist()
+    by_lang = dup_rate_by_group(docs, clusters, "lang").to_pylist()
+    agree = assignment_agreement(clusters, exact_clusters(docs)).to_pylist()[0]
+    print(
+        json.dumps(
+            {
+                "n_docs": res.metrics.get("n_docs"),
+                "n_clusters": res.metrics.get("n_clusters"),
+                "dedup_path": res.metrics.get("dedup_path"),
+                "largest_clusters": top,
+                "dup_rate_by_lang": by_lang,
+                "vs_exact_only": agree,
+            },
+            default=str,
+        )
+    )
+    return 0
+
+
 def cmd_pack(args: argparse.Namespace) -> int:
     """Assign docs to greedy token-budget training sequences and write
     the (doc_id, bucket, pack_id, pack_pos, n_tokens) layout table."""
@@ -916,6 +950,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--tokens", type=int, default=32)
     s.add_argument("--no-containment", action="store_true")
     s.set_defaults(fn=cmd_scrub)
+
+    s = sub.add_parser("report", help="duplication inspection report (worst offenders, rates)")
+    s.add_argument("pages")
+    s.add_argument("--top", type=int, default=10)
+    s.add_argument("--no-containment", action="store_true")
+    s.add_argument("--set", action="append")
+    s.set_defaults(fn=cmd_report)
 
     s = sub.add_parser("shuffle", help="deterministic shuffle layout (doc_id,pos,shard)")
     s.add_argument("pages")

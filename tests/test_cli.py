@@ -489,3 +489,21 @@ def test_shuffle_verb(ray_session, small_corpus, tmp_path, capsys, monkeypatch):
     pos = np.sort(t.column("pos").to_numpy())
     assert np.array_equal(pos, np.arange(600))
     assert sorted(np.bincount(t.column("shard").to_numpy()).tolist()) == [100] * 6
+
+
+def test_report_verb(ray_session, small_corpus, capsys, monkeypatch):
+    """`report` prints one JSON doc: worst offenders (planted dup groups
+    surface), per-lang dup rates summing to the corpus, agreement vs
+    exact-only with same_both == same_b (exact clusters are
+    sub-clusters of the flagship's)."""
+    monkeypatch.setattr("raydedup.cli._init_ray", lambda: None)
+    _, paths = small_corpus
+    rc = main(["report", paths["pages"], "--top", "5", "--set", "batch_size=256"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_docs"] == 600
+    assert 0 < len(rep["largest_clusters"]) <= 5
+    assert rep["largest_clusters"][0]["size"] >= 2
+    assert sum(r["n_docs"] for r in rep["dup_rate_by_lang"]) == 600
+    ag = rep["vs_exact_only"]
+    assert ag["pairs_same_both"] == ag["pairs_same_b"] <= ag["pairs_same_a"]
