@@ -147,3 +147,34 @@ def test_empty_input():
         "cluster_id",
         "is_representative",
     ]
+
+
+def test_degenerate_docs(ray_session):
+    """Null / empty / 1-char texts: identity attach, script profile and
+    scrub all handle them; chunkless docs are dropped from scrub."""
+    import ray.data as rd
+
+    from raydedup.stages.extract import docs_identity_batch
+    from raydedup.stages.textstats import script_profile
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["", "x", None, "a b c d e"], pa.large_string()),
+        }
+    )
+    docs = rd.from_arrow(t)
+    sp = (
+        script_profile(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(sp.n_chars) == [0, 1, 0, 9]
+    ident = docs.map_batches(docs_identity_batch, batch_format="pyarrow")
+    sc = (
+        scrub_passages(ident, CFG, chunk_tokens=32)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # empty and null docs produce no chunks -> dropped; others intact
+    assert list(sc.doc_id) == [1, 3]
+    assert list(sc.text) == ["x", "a b c d e"]
