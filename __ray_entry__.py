@@ -50,13 +50,30 @@ def entry() -> Any:
 # queries
 # ---------------------------------------------------------------------------
 
+# Seven registry queries wrap the SAME flagship run (assignment, size
+# histogram, dup rates, agreement, representative re-picks, passage
+# composition inputs). run_dedup is deterministic for a fixed (sf_dir,
+# config), so memoizing the result only removes redundant recompute
+# from a single driver sweep — outputs are bit-identical either way.
+_FLAGSHIP_MEMO: dict[str, Any] = {}
 
-def _q_dedup_pipeline(sf_dir: str):
-    """D2/J1/A1-A4: full LSH dedup pipeline -> cluster assignments."""
+
+def _flagship(sf_dir: str):
+    """Materialized docs + flagship DedupResult for sf_dir (memoized)."""
     from raydedup.config import DedupConfig
     from raydedup.pipelines.dedup import run_dedup
 
-    res = run_dedup(_docs(sf_dir), DedupConfig(batch_size=1024), containment=True)
+    hit = _FLAGSHIP_MEMO.get(sf_dir)
+    if hit is None:
+        docs = _docs(sf_dir).materialize()
+        res = run_dedup(docs, DedupConfig(batch_size=1024), containment=True)
+        hit = _FLAGSHIP_MEMO[sf_dir] = (docs, res)
+    return hit
+
+
+def _q_dedup_pipeline(sf_dir: str):
+    """D2/J1/A1-A4: full LSH dedup pipeline -> cluster assignments."""
+    _, res = _flagship(sf_dir)
     return res.clusters.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
@@ -86,12 +103,9 @@ def _q_dup_rate_by_source(sf_dir: str):
     """Per-source duplication rate over the flagship assignment
     (stages/cluster.py dup_rate_by_group): which sources are copy
     farms — n_docs, non-representative count, one-division rate."""
-    from raydedup.config import DedupConfig
-    from raydedup.pipelines.dedup import run_dedup
     from raydedup.stages.cluster import dup_rate_by_group
 
-    docs = _docs(sf_dir).materialize()
-    res = run_dedup(docs, DedupConfig(batch_size=1024), containment=True)
+    docs, res = _flagship(sf_dir)
     t = dup_rate_by_group(docs, res.clusters, "source")
     return t.to_pandas()
 
@@ -100,12 +114,9 @@ def _q_best_representatives(sf_dir: str):
     """Keep-the-longest-copy representative selection over the flagship
     assignment (stages/cluster.py select_representatives): per cluster,
     the max-n_chars doc (tie min doc_id) becomes the representative."""
-    from raydedup.config import DedupConfig
-    from raydedup.pipelines.dedup import run_dedup
     from raydedup.stages.cluster import select_representatives
 
-    docs = _docs(sf_dir).materialize()
-    res = run_dedup(docs, DedupConfig(batch_size=1024), containment=True)
+    docs, res = _flagship(sf_dir)
     ds = select_representatives(docs, res.clusters)
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
@@ -114,12 +125,9 @@ def _q_largest_clusters(sf_dir: str):
     """Top-10 most-duplicated clusters with the representative's text
     head (stages/cluster.py largest_clusters) — the worst-offenders
     inspection view; per-bucket top-k, O(k x buckets) driver merge."""
-    from raydedup.config import DedupConfig
-    from raydedup.pipelines.dedup import run_dedup
     from raydedup.stages.cluster import largest_clusters
 
-    docs = _docs(sf_dir).materialize()
-    res = run_dedup(docs, DedupConfig(batch_size=1024), containment=True)
+    docs, res = _flagship(sf_dir)
     return largest_clusters(docs, res.clusters, k=10).to_pandas()
 
 
@@ -127,12 +135,9 @@ def _q_dedup_agreement(sf_dir: str):
     """Exact Rand-index components between the flagship assignment and
     the exact-duplicate-only assignment (stages/agreement.py): how much
     pair mass NEAR dedup adds over byte-identity."""
-    from raydedup.config import DedupConfig
-    from raydedup.pipelines.dedup import run_dedup
     from raydedup.stages.agreement import assignment_agreement, exact_clusters
 
-    docs = _docs(sf_dir).materialize()
-    res = run_dedup(docs, DedupConfig(batch_size=1024), containment=True)
+    docs, res = _flagship(sf_dir)
     t = assignment_agreement(res.clusters, exact_clusters(docs))
     return t.to_pandas()
 
@@ -355,11 +360,9 @@ def _q_cluster_size_stats(sf_dir: str):
     pipeline's cluster assignment (stages/cluster.py
     cluster_size_histogram — cluster-keyed exchange, per-bucket exact
     sizes, O(buckets x sizes) driver merge)."""
-    from raydedup.config import DedupConfig
-    from raydedup.pipelines.dedup import run_dedup
     from raydedup.stages.cluster import cluster_size_histogram
 
-    res = run_dedup(_docs(sf_dir), DedupConfig(batch_size=1024), containment=True)
+    _, res = _flagship(sf_dir)
     return cluster_size_histogram(res.clusters).to_pandas()
 
 
