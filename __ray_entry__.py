@@ -59,10 +59,19 @@ _FLAGSHIP_MEMO: dict[str, Any] = {}
 
 
 def _flagship(sf_dir: str):
-    """Materialized docs + flagship DedupResult for sf_dir (memoized)."""
+    """Materialized docs + flagship DedupResult for sf_dir (memoized).
+    Keyed by the Ray job id too: after a ray.shutdown()/ray.init()
+    cycle the cached ObjectRefs dangle, so a new session clears the
+    memo and recomputes instead of crashing on dead objects."""
+    import ray
+
     from raydedup.config import DedupConfig
     from raydedup.pipelines.dedup import run_dedup
 
+    job = ray.get_runtime_context().get_job_id() if ray.is_initialized() else None
+    if _FLAGSHIP_MEMO.get("_job") != job:
+        _FLAGSHIP_MEMO.clear()
+        _FLAGSHIP_MEMO["_job"] = job
     hit = _FLAGSHIP_MEMO.get(sf_dir)
     if hit is None:
         docs = _docs(sf_dir).materialize()

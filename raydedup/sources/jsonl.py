@@ -35,8 +35,19 @@ _PAGES_SCHEMA = pa.schema(
 def _pages_adapter(t: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
-    if t.num_rows == 0 or "url" not in t.column_names:
+    if t.num_rows == 0:
         return _PAGES_SCHEMA.empty_table()
+    missing = [c for c in ("url", "html") if c not in t.column_names]
+    if missing:
+        # fail LOUDLY: a docs-shaped or malformed delivery must not
+        # silently vanish into empty batches
+        raise ValueError(
+            f"pages JSONL records lack required key(s) {missing}; "
+            f"got columns {t.column_names}"
+        )
+    if "lang" not in t.column_names:
+        # lang is optional in crawl deliveries; normalize to ""
+        t = t.append_column("lang", pa.array([""] * t.num_rows, pa.string()))
     html = t.column("html")
     if isinstance(html, pa.ChunkedArray):
         html = html.combine_chunks()
@@ -48,7 +59,7 @@ def _pages_adapter(t: pa.Table) -> pa.Table:
         {
             "url": pc.cast(t.column("url"), pa.string()),
             "html": html,
-            "lang": pc.cast(t.column("lang"), pa.string()),
+            "lang": pc.fill_null(pc.cast(t.column("lang"), pa.string()), ""),
         }
     )
 

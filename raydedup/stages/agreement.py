@@ -29,7 +29,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-import ray
 from ray.data import Dataset
 
 I64 = np.int64
@@ -79,7 +78,13 @@ def _join_kernel(at: pa.Table, bt: pa.Table) -> pa.Table:
 
 
 def _ca_counts(t: pa.Table) -> pa.Table:
-    empty = pa.table({"sa": pa.array([], pa.int64()), "sab": pa.array([], pa.int64())})
+    empty = pa.table(
+        {
+            "sa": pa.array([], pa.int64()),
+            "sab": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
     if t.num_rows == 0 or t.num_columns == 0:
         return empty
     ca = t.column("ca").to_numpy(zero_copy_only=False).astype(I64)
@@ -97,6 +102,7 @@ def _ca_counts(t: pa.Table) -> pa.Table:
         {
             "sa": pa.array([_pairs_in_groups(ca)], pa.int64()),
             "sab": pa.array([sab], pa.int64()),
+            "n": pa.array([ca.shape[0]], pa.int64()),
         }
     )
 
@@ -121,13 +127,13 @@ def assignment_agreement(a: Dataset, b: Dataset) -> pa.Table:
         "doc_id",
         _join_kernel,
     )
-    n_docs = sum(
-        ray.get([ray.remote(lambda t: t.num_rows).remote(r) for r in joined_refs])
-    )
+    # row counts ride the ca partials (one extra int64 per bucket) —
+    # no separate counting task wave
     sa_t = hash_exchange_apply(joined_refs, "ca", _ca_counts)
     sb_t = hash_exchange_apply(joined_refs, "cb", _cb_counts)
     sa = int(pa.compute.sum(sa_t.column("sa")).as_py() or 0) if sa_t.num_rows else 0
     sab = int(pa.compute.sum(sa_t.column("sab")).as_py() or 0) if sa_t.num_rows else 0
+    n_docs = int(pa.compute.sum(sa_t.column("n")).as_py() or 0) if sa_t.num_rows else 0
     sb = int(pa.compute.sum(sb_t.column("sb")).as_py() or 0) if sb_t.num_rows else 0
     total = n_docs * (n_docs - 1) // 2
     neither = total - sa - sb + sab

@@ -373,7 +373,9 @@ def dup_rate_by_group(
         grp = dt.column(group_col)
         if isinstance(grp, pa.ChunkedArray):
             grp = grp.combine_chunks()
-        enc = pc.dictionary_encode(grp)
+        # null group labels count under "" (dictionary_encode emits null
+        # indices -> NaN -> bincount crash otherwise)
+        enc = pc.dictionary_encode(pc.fill_null(grp, ""))
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         k = len(enc.dictionary)
         n_docs = np.bincount(codes, minlength=k).astype(np.int64)
@@ -454,7 +456,10 @@ def select_representatives(
     def score_batch(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or t.num_columns == 0:
             return pa.schema([("doc_id", pa.int64()), ("s", pa.int64())]).empty_table()
-        if score_col == "n_chars" and "n_chars" not in t.column_names:
+        if score_col == "n_chars":
+            # ALWAYS recompute from text — a stored n_chars column could
+            # disagree (byte length, pre-normalization count) and the SQL
+            # mirror scores by length(text) unconditionally
             s = pc.cast(pc.utf8_length(pc.fill_null(t.column("text"), "")), pa.int64())
         else:
             s = pc.cast(t.column(score_col), pa.int64())

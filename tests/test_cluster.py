@@ -273,3 +273,28 @@ def test_largest_clusters(ray_session):
     assert list(t.cluster_id) == [0, 3]
     assert list(t["size"]) == [3, 2]
     assert list(t.rep_prefix) == ["doc 0", "doc 3"]
+
+
+def test_dup_rate_null_group_label(ray_session):
+    """Null group labels count under '' instead of crashing the
+    bincount (dictionary_encode emits null indices otherwise)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.cluster import dup_rate_by_group
+
+    docs = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([0, 1, 2], pa.int64()),
+             "lang": pa.array(["en", None, "en"])}
+        )
+    )
+    cl = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([0, 1, 2], pa.int64()),
+             "is_representative": [True, False, True]}
+        )
+    )
+    t = dup_rate_by_group(docs, cl, "lang").to_pandas()
+    assert list(t.lang) == ["", "en"]
+    assert list(t.n_dup) == [1, 0]

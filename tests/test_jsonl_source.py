@@ -89,3 +89,19 @@ def test_docs_jsonl_identity(ray_session, tmp_path):
     )
     assert a["text"].equals(b["text"])
     assert a["text_sha256"].equals(b["text_sha256"])
+
+
+def test_pages_jsonl_missing_keys(ray_session, tmp_path):
+    """A docs-shaped JSONL fed to the pages reader fails loudly;
+    a missing optional lang key normalizes to ''."""
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text(json.dumps({"doc_id": 1, "text": "x"}) + "\n")
+    from raydedup.sources.jsonl import read_pages_jsonl
+
+    with pytest.raises(Exception, match="lack required"):
+        read_pages_jsonl(str(bad)).count()
+
+    nolang = tmp_path / "nolang.jsonl"
+    nolang.write_text(json.dumps({"url": "u1", "html": "<main>hi</main>"}) + "\n")
+    df = read_pages_jsonl(str(nolang)).to_pandas()
+    assert df["lang"].tolist() == [""]
