@@ -140,6 +140,17 @@ def _q_largest_clusters(sf_dir: str):
     return largest_clusters(docs, res.clusters, k=10).to_pandas()
 
 
+def _q_dedup_weights(sf_dir: str):
+    """Duplication-aware loss weights over the flagship assignment
+    (stages/cluster.py dedup_weights): weight = 1/cluster_size — a
+    cluster contributes one doc's loss mass however many copies."""
+    from raydedup.stages.cluster import dedup_weights
+
+    _, res = _flagship(sf_dir)
+    ds = dedup_weights(res.clusters)
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_dedup_agreement(sf_dir: str):
     """Exact Rand-index components between the flagship assignment and
     the exact-duplicate-only assignment (stages/agreement.py): how much
@@ -2421,6 +2432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_agreement": _q_dedup_agreement,
         "best_representatives": _q_best_representatives,
         "largest_clusters": _q_largest_clusters,
+        "dedup_weights": _q_dedup_weights,
         "dedup_increment": _q_dedup_increment,
         "exact_dup_pairs": _q_exact_dup_pairs,
         "doc_stats_by_lang": _q_doc_stats_by_lang,
@@ -4944,6 +4956,15 @@ FROM s ORDER BY shard, pos
         "passage_dedup": q_passage_dedup_sql(),
         # representative-only chunk keep + in-order reassembly
         "passage_scrub": q_passage_scrub_sql(),
+        # 1/cluster_size loss weights; ONE division per row
+        "dedup_weights": f"""
+        WITH asn AS ({q_dedup_pipeline_sql()})
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+               1.0 / count(*) OVER (PARTITION BY cluster_id) AS weight
+        FROM asn ORDER BY doc_id
+        """,
         # worst-offenders: top-10 clusters by size (tie min cluster id),
         # representative text head; rep = cluster root = a doc id
         "largest_clusters": f"""

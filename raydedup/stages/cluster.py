@@ -609,3 +609,51 @@ def largest_clusters(
             "rep_prefix": pa.array([lookup.get(int(c), "") for c in cid], pa.string()),
         }
     ).cast(schema)
+
+
+def dedup_weights(clusters: Dataset) -> Dataset:
+    """Duplication-aware example weights: every doc keeps weight
+    1/cluster_size, so a cluster contributes one doc's worth of loss
+    mass no matter how many copies were crawled — the soft alternative
+    to dropping non-representatives (used when near-dups carry signal,
+    e.g. quote-heavy news). ONE cluster-keyed exchange: each bucket
+    holds its clusters whole, so sizes and per-doc rows are emitted
+    in-bucket; weight is ONE IEEE division per row."""
+    from raydedup.stages.exchange import hash_exchange_apply, refs_to_dataset
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("cluster_id", pa.int64()),
+            ("cluster_size", pa.int64()),
+            ("weight", pa.float64()),
+        ]
+    )
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cid = t.column("cluster_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, cid))
+        ids, cid = ids[order], cid[order]
+        first = np.empty(cid.shape[0], dtype=bool)
+        first[0] = True
+        first[1:] = cid[1:] != cid[:-1]
+        starts = np.flatnonzero(first)
+        runs = np.diff(starts, append=np.int64(cid.shape[0]))
+        size = np.repeat(runs, runs).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(cid, pa.int64()),
+                "cluster_size": pa.array(size, pa.int64()),
+                "weight": pa.array(1.0 / size, pa.float64()),
+            }
+        )
+
+    refs = hash_exchange_apply(
+        clusters.select_columns(["doc_id", "cluster_id"]), "cluster_id", kern,
+        collect=False,
+    )
+    return refs_to_dataset(refs, schema)

@@ -298,3 +298,27 @@ def test_dup_rate_null_group_label(ray_session):
     t = dup_rate_by_group(docs, cl, "lang").to_pandas()
     assert list(t.lang) == ["", "en"]
     assert list(t.n_dup) == [1, 0]
+
+
+def test_dedup_weights(ray_session):
+    """dedup_weights: size and 1/size per doc, cluster loss mass sums
+    to 1.0 per cluster, partition-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.cluster import dedup_weights
+
+    cl = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(7), pa.int64()),
+                "cluster_id": pa.array([0, 0, 0, 3, 3, 5, 6], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    t = dedup_weights(cl).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(t.cluster_size) == [3, 3, 3, 2, 2, 1, 1]
+    np.testing.assert_allclose(t.weight, 1.0 / t.cluster_size)
+    mass = t.groupby("cluster_id").weight.sum()
+    np.testing.assert_allclose(mass, 1.0)
