@@ -151,6 +151,23 @@ def _q_dedup_weights(sf_dir: str):
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_media_thumbs(sf_dir: str):
+    """Actor-pool image resize (stages/multimodal.py resize_media):
+    fixed 8x8x3 uint8 thumbnails over the deterministic synthetic media
+    table. No SQL oracle: the stub decode is a numpy PRNG function of
+    the payload, not SQL-expressible — the driver records the weaker
+    rows-only check; determinism + block-mean math are pytest-gated
+    (tests/test_operators.py::test_media_resize)."""
+    import ray.data as rd
+
+    from raydedup.stages.multimodal import resize_media, synthetic_media_table
+
+    ds = rd.from_arrow(synthetic_media_table(64))
+    out = resize_media(ds, size=8, concurrency=2, batch_size=16).to_pandas()
+    out["thumb"] = out["thumb"].map(lambda v: bytes(v))
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def _q_dedup_agreement(sf_dir: str):
     """Exact Rand-index components between the flagship assignment and
     the exact-duplicate-only assignment (stages/agreement.py): how much
@@ -2433,6 +2450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "best_representatives": _q_best_representatives,
         "largest_clusters": _q_largest_clusters,
         "dedup_weights": _q_dedup_weights,
+        "media_thumbs": _q_media_thumbs,
         "dedup_increment": _q_dedup_increment,
         "exact_dup_pairs": _q_exact_dup_pairs,
         "doc_stats_by_lang": _q_doc_stats_by_lang,

@@ -282,3 +282,85 @@ def synthetic_media_table(n: int = 64, seed: int = 7) -> pa.Table:
         rows["n_frames"].append(int(rng.integers(1, 120)) if kind == "video" else 1)
         rows["sample_rate"].append(16000 if kind == "audio" else 0)
     return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+class MediaResizeKernel:
+    """Actor-pool image resize: decode (stub codec, loaded once per
+    actor in __init__) then block-mean (area) downsample to a fixed
+    ``size x size x 3`` uint8 thumbnail, emitted as a FixedSizeList
+    column — the typed, fixed-width layout a training pipeline feeds to
+    batched vision preprocessing. Deterministic: block boundaries are
+    integer offset arithmetic, means are float64 then rounded half-up
+    once. Real codec path gated exactly like MediaDecodeKernel."""
+
+    def __init__(self, decoder: str = "fake", size: int = 16):
+        if decoder == "fake":
+            self.decode = _fake_decode
+        elif decoder in ("pil", "ffmpeg"):
+            raise NotImplementedError(
+                f"decoder {decoder!r}: codec libraries are not available in "
+                "this environment; use decoder='fake' (deterministic stub)"
+            )
+        else:
+            raise ValueError(f"unknown decoder {decoder!r}")
+        if size < 1:
+            raise ValueError("size must be >= 1")
+        self.size = size
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        t = self.size
+        h, w, _ = img.shape
+        # block-mean area resample: pixel (i,j) of the thumb averages the
+        # [yi, yi+1) x [xj, xj+1) block (integer boundaries, no overlap)
+        yb = (np.arange(t + 1) * h) // t
+        xb = (np.arange(t + 1) * w) // t
+        yb = np.maximum(yb, np.arange(t + 1))  # every block >= 1 px when h >= t
+        xb = np.maximum(xb, np.arange(t + 1))
+        if h < t or w < t:  # tiny image: clamp to nearest-pixel gather
+            ys = np.minimum((np.arange(t) * h) // t, h - 1)
+            xs = np.minimum((np.arange(t) * w) // t, w - 1)
+            return img[ys][:, xs]
+        acc = np.add.reduceat(img.astype(np.float64), yb[:-1], axis=0)
+        acc = np.add.reduceat(acc, xb[:-1], axis=1)
+        area = (np.diff(yb)[:, None] * np.diff(xb)[None, :]).astype(np.float64)
+        out = np.floor(acc / area[:, :, None] + 0.5)
+        return out.astype(np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        widths = batch.column("width").to_numpy(zero_copy_only=False)
+        heights = batch.column("height").to_numpy(zero_copy_only=False)
+        n = len(payloads)
+        t = self.size
+        thumbs = np.empty((n, t, t, 3), dtype=np.uint8)
+        for i in range(n):
+            img = self.decode(payloads[i], int(widths[i]), int(heights[i]))
+            thumbs[i] = self._resize(img)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "thumb": pa.FixedSizeListArray.from_arrays(
+                    pa.array(thumbs.reshape(-1), type=pa.uint8()), t * t * 3
+                ),
+                "thumb_size": pa.array(np.full(n, t, dtype=np.int64), pa.int64()),
+            }
+        )
+
+
+def resize_media(
+    media: Dataset,
+    size: int = 16,
+    decoder: str = "fake",
+    concurrency: int = 4,
+    batch_size: int = 32,
+) -> Dataset:
+    """Binary media rows -> fixed-size uint8 thumbnails (actor pool;
+    small batches — binary rows are wide)."""
+    return media.map_batches(
+        MediaResizeKernel,
+        fn_constructor_kwargs={"decoder": decoder, "size": size},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

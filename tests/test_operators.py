@@ -427,3 +427,51 @@ def test_delete_from_index(rd, small_corpus, tmp_path):
     # idempotent
     out2 = delete_from_index(idx, urls)
     assert out2["removed_docs"] == 0
+
+
+def test_media_resize(rd):
+    """resize_media: fixed t*t*3 uint8 thumbs, deterministic across
+    runs/batching, block-mean matches a naive reference, tiny images
+    take the clamp path, real codecs stay gated."""
+    import numpy as np
+    import pytest
+
+    from raydedup.stages.multimodal import (
+        MediaResizeKernel,
+        _fake_decode,
+        resize_media,
+        synthetic_media_table,
+    )
+
+    ds = rd.from_arrow(synthetic_media_table(24))
+    a = resize_media(ds, size=8, concurrency=2, batch_size=8).to_pandas().sort_values("media_id").reset_index(drop=True)
+    b = resize_media(ds, size=8, concurrency=2, batch_size=5).to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert len(a) == 24
+    assert all(len(x) == 8 * 8 * 3 for x in a.thumb)
+    assert a.equals(b)
+
+    # naive reference on one row
+    t0 = synthetic_media_table(1)
+    img = _fake_decode(
+        t0.column("payload")[0].as_py(),
+        t0.column("width")[0].as_py(),
+        t0.column("height")[0].as_py(),
+    )
+    kern = MediaResizeKernel(size=4)
+    got = kern._resize(img)
+    h, w, _ = img.shape
+    ref = np.empty((4, 4, 3))
+    yb = (np.arange(5) * h) // 4
+    xb = (np.arange(5) * w) // 4
+    for i in range(4):
+        for j in range(4):
+            ref[i, j] = img[yb[i]:yb[i+1], xb[j]:xb[j+1]].astype(np.float64).reshape(-1, 3).mean(axis=0)
+    np.testing.assert_array_equal(got, np.floor(ref + 0.5).astype(np.uint8))
+
+    # tiny image clamp path
+    tiny = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    out = MediaResizeKernel(size=4)._resize(tiny)
+    assert out.shape == (4, 4, 3)
+
+    with pytest.raises(NotImplementedError):
+        MediaResizeKernel(decoder="pil")
