@@ -81,3 +81,15 @@ def test_bad_shards_raises():
     ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64())}))
     with pytest.raises(ValueError):
         shuffle_positions(ds, n_shards=0)
+
+
+def test_negative_ids_still_permutation():
+    """Negative doc_ids (u64 bit-view) still yield an exact permutation
+    and match the naive signed-key order."""
+    ids = np.sort(
+        np.array([-5, -1, 0, 3, 7, -9223372036854775808, 42], dtype=I64)
+    )  # _run sorts output by doc_id — align the naive reference
+    out = _run(ids)
+    pos, shard = _naive(ids, DEFAULT_SHUFFLE_SEED, 16)
+    assert np.array_equal(out["pos"].to_numpy(), pos)
+    assert np.array_equal(np.sort(out["pos"].to_numpy()), np.arange(len(ids)))
