@@ -1730,6 +1730,49 @@ def _q_graph_components(sf_dir: str):
     return df.sort_values("node").reset_index(drop=True)
 
 
+# host link-graph gates: 3 candidate links per doc, each kept with
+# probability ~0.55 of the hash space; same ints in engine and SQL
+_LINK_T = min(int(0.55 * 2.0**64), 2**64 - 1)
+_LINK_HOSTS = 251  # prime, so tiny corpora still cover every residue
+
+
+def _q_host_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank (4 iterations, scale 1e9, damping
+    85/100) over a deterministic synthetic host link graph: each doc
+    lives on host doc_id % 251 and emits up to 3 gated links to hashed
+    target hosts. Exact int64 arithmetic end-to-end, so the DuckDB
+    mirror (unrolled iteration CTEs) hash-matches bit-for-bit
+    (stages/linkgraph.py pagerank)."""
+    from raydedup.hashing import U64, hash_pair_u64
+    from raydedup.stages.linkgraph import _SCHEMA, pagerank
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src_all = ids % _LINK_HOSTS
+        srcs, dsts = [], []
+        for j in range(3):
+            keep = hash_pair_u64(ids.view(U64), np.uint64(10 + j)) < U64(_LINK_T)
+            dst = (
+                hash_pair_u64(ids.view(U64), np.uint64(20 + j)) % U64(_LINK_HOSTS)
+            ).astype(np.int64)
+            srcs.append(src_all[keep])
+            dsts.append(dst[keep])
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(srcs), type=pa.int64()),
+                "dst": pa.array(np.concatenate(dsts), type=pa.int64()),
+            }
+        )
+
+    edges = docs.map_batches(to_edges, batch_format="pyarrow")
+    df = pagerank(edges, iters=4).to_pandas()
+    if "node" not in df.columns:  # all-empty result loses its schema
+        df = _SCHEMA.empty_table().to_pandas()
+    return df.sort_values("node").reset_index(drop=True)
+
+
 def _q_corpus_splits(sf_dir: str):
     """Deterministic 80/10/10 train/valid/test split of documents by
     hash range — rows never move across splits under re-partitioning."""
@@ -2514,6 +2557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_keyframes": _q_media_keyframes,
         "url_snapshots": _q_url_snapshots,
         "graph_components": _q_graph_components,
+        "host_pagerank": _q_host_pagerank,
         "distinct_users_kmv": _q_distinct_users_kmv,
         "url_canonical": _q_url_canonical,
         "gopher_filter": _q_gopher_filter,
@@ -3632,6 +3676,56 @@ WITH gates AS (
   SELECT node, r FROM w
 )
 SELECT node, min(r) AS component FROM walk GROUP BY node ORDER BY node
+"""
+
+
+def q_host_pagerank_sql():
+    """Unrolled integer-PageRank mirror: the same gated synthetic link
+    set (splitmix64 constants shared with the engine), DISTINCT edges,
+    and 4 iteration CTE pairs of the exact int recurrence
+    r' = base + (85 * sum(r // outdeg)) // 100 — all positive integer
+    sums and floor divisions, so the hash match is bit-for-bit."""
+    scale = 10**9
+    base = 15 * scale // 100
+    parts = []
+    for j in range(3):
+        g = addmod(mulmod("CAST(doc_id AS UBIGINT)", POLY_B), f"{10 + j}::UBIGINT")
+        d = addmod(mulmod("CAST(doc_id AS UBIGINT)", POLY_B), f"{20 + j}::UBIGINT")
+        parts.append(
+            f"lg{j} AS (\n"
+            f"  SELECT doc_id, {mix64_cols(g, 'g')}, {mix64_cols(d, 'd')}\n"
+            f"  FROM documents\n"
+            f"), l{j} AS (\n"
+            f"  SELECT doc_id % {_LINK_HOSTS} AS src,"
+            f" CAST(d % {_LINK_HOSTS} AS BIGINT) AS dst\n"
+            f"  FROM lg{j} WHERE g < {_LINK_T}::UBIGINT\n"
+            f")"
+        )
+    links = " UNION ALL ".join(f"SELECT src, dst FROM l{j}" for j in range(3))
+    iters = []
+    for i in range(1, 5):
+        iters.append(
+            f"c{i} AS (\n"
+            f"  SELECT e.dst AS node, SUM(r{i - 1}.r // o.deg) AS s\n"
+            f"  FROM edges e JOIN outdeg o ON o.src = e.src\n"
+            f"  JOIN r{i - 1} ON r{i - 1}.node = e.src\n"
+            f"  GROUP BY e.dst\n"
+            f"), r{i} AS (\n"
+            f"  SELECT n.node,\n"
+            f"         CAST({base} + (85 * COALESCE(c{i}.s, 0)) // 100 AS BIGINT)"
+            f" AS r\n"
+            f"  FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node\n"
+            f")"
+        )
+    return f"""
+WITH {', '.join(parts)},
+links AS ({links}),
+edges AS (SELECT DISTINCT src, dst FROM links WHERE src <> dst),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes),
+{', '.join(iters)}
+SELECT node, r AS "rank" FROM r4 ORDER BY node
 """
 
 
@@ -4770,6 +4864,7 @@ def oracle_sql() -> dict[str, str]:
         "media_keyframes": q_media_keyframes_sql(),
         "url_snapshots": q_url_snapshots_sql(),
         "graph_components": q_graph_components_sql(),
+        "host_pagerank": q_host_pagerank_sql(),
         "distinct_users_kmv": q_distinct_users_kmv_sql(),
         "url_canonical": q_url_canonical_sql(),
         "domain_stats": q_domain_stats_sql(),
