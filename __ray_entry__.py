@@ -1995,6 +1995,18 @@ def _q_dedup_lines(sf_dir: str):
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_para_dedup(sf_dir: str):
+    """Intra-document repetition removal: within each doc, repeated
+    lines collapse to their first occurrence (original order kept);
+    returns per-doc deduped text + repeat counters. Row-local single
+    map_batches — zero shuffle (stages/intradoc.py)."""
+    from raydedup.stages.intradoc import para_dedup
+
+    ds = para_dedup(_read(sf_dir, "documents"))
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return df[["doc_id", "text", "n_lines", "n_dup_lines"]]
+
+
 def _q_hot_lines(sf_dir: str):
     """Boilerplate line discovery: non-empty byte-exact lines occurring
     in >= 2 distinct documents with their distinct-doc counts."""
@@ -2584,6 +2596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hot_passages": _q_hot_passages,
         "collocations": _q_collocations,
         "dedup_lines": _q_dedup_lines,
+        "para_dedup": _q_para_dedup,
         "hot_lines": _q_hot_lines,
         # rows-only
         "minhash_signatures": _q_minhash_signatures,
@@ -5332,6 +5345,27 @@ FROM s ORDER BY shard, pos
             FROM lines
             GROUP BY doc_id
             ORDER BY doc_id
+        """,
+        # within-doc first-occurrence line dedup: min(ordinal) per
+        # (doc, line string), survivors rejoin in original order
+        "para_dedup": """
+            WITH paras AS (
+              SELECT doc_id,
+                     unnest(string_split(coalesce(text, ''), chr(10))) AS p,
+                     generate_subscripts(
+                       string_split(coalesce(text, ''), chr(10)), 1) AS i
+              FROM documents
+            ),
+            tot AS (SELECT doc_id, count(*) AS n_lines FROM paras GROUP BY doc_id),
+            firsts AS (SELECT doc_id, p, min(i) AS fi FROM paras GROUP BY doc_id, p),
+            ded AS (
+              SELECT doc_id, string_agg(p, chr(10) ORDER BY fi) AS text,
+                     count(*) AS n_kept
+              FROM firsts GROUP BY doc_id
+            )
+            SELECT t.doc_id, d.text, CAST(t.n_lines AS BIGINT) AS n_lines,
+                   CAST(t.n_lines - d.n_kept AS BIGINT) AS n_dup_lines
+            FROM tot t JOIN ded d USING (doc_id) ORDER BY t.doc_id
         """,
         "hot_lines": """
             SELECT l AS line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
