@@ -1794,6 +1794,18 @@ def _q_doc_frequency(sf_dir: str):
     return df.sort_values("token").reset_index(drop=True)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Misra-Gries heavy hitters: every token with exact corpus count
+    > n/(capacity+1) at capacity=127 — two streaming passes (mergeable
+    MG summaries, then an exact recount of <= capacity broadcast
+    candidates), ZERO token exchange, O(capacity) driver memory
+    (stages/heavyhitters.py). The reported set + counts are exact, so
+    the SQL mirror is the plain threshold filter."""
+    from raydedup.stages.heavyhitters import heavy_hitters
+
+    return heavy_hitters(_read(sf_dir, "documents"), capacity=127).to_pandas()
+
+
 def _q_top_terms(sf_dir: str):
     """Top-3 most distinctive tokens per doc by score = tf/df (raw IEEE
     division for cross-engine parity), ties broken by token ASC."""
@@ -2562,6 +2574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_profile": _q_script_profile,
         "stratified_sample": _q_stratified_sample,
         "doc_frequency": _q_doc_frequency,
+        "heavy_hitters": _q_heavy_hitters,
         "top_terms": _q_top_terms,
         "curate_pipeline": _q_curate_pipeline,
         "corpus_splits": _q_corpus_splits,
@@ -4776,6 +4789,21 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT w AS token, CAST(count(*) AS BIGINT) AS df
         FROM tok GROUP BY w ORDER BY token
+        """,
+        # the MG+exact-recount result is EXACTLY the tokens with
+        # cnt*(capacity+1) > n (integer arithmetic on both engines)
+        "heavy_hitters": """
+        WITH tok AS (
+          SELECT w FROM (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+            FROM documents
+          ) WHERE w != ''
+        ),
+        tot AS (SELECT count(*) AS n FROM tok),
+        c AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w)
+        SELECT w AS token, CAST(cnt AS BIGINT) AS cnt
+        FROM c, tot WHERE cnt * 128 > n
+        ORDER BY cnt DESC, token
         """,
         # score = tf/df is raw IEEE division on both engines (the
         # ln-free tf-idf variant chosen for bit-exact parity)
