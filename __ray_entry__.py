@@ -1806,6 +1806,18 @@ def _q_heavy_hitters(sf_dir: str):
     return heavy_hitters(_read(sf_dir, "documents"), capacity=127).to_pandas()
 
 
+def _q_unigram_surprisal(sf_dir: str):
+    """Unigram LM surprisal per doc in EXACT whole-bit arithmetic:
+    bits_sum = Σ over token occurrences of floor(log2(N)) -
+    floor(log2(count)), mean_bits = ONE IEEE division. floor(log2) is
+    exact on both engines (numpy frexp exponent; DuckDB binary digit
+    count), so the full table hash-matches (stages/lm.py)."""
+    from raydedup.stages.lm import unigram_surprisal
+
+    df = unigram_surprisal(_read(sf_dir, "documents")).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_top_terms(sf_dir: str):
     """Top-3 most distinctive tokens per doc by score = tf/df (raw IEEE
     division for cross-engine parity), ties broken by token ASC."""
@@ -2575,6 +2587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "doc_frequency": _q_doc_frequency,
         "heavy_hitters": _q_heavy_hitters,
+        "unigram_surprisal": _q_unigram_surprisal,
         "top_terms": _q_top_terms,
         "curate_pipeline": _q_curate_pipeline,
         "corpus_splits": _q_corpus_splits,
@@ -4789,6 +4802,39 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT w AS token, CAST(count(*) AS BIGINT) AS df
         FROM tok GROUP BY w ORDER BY token
+        """,
+        # floor(log2(x)) mirrored EXACTLY as the binary digit count
+        # (format('{:b}')) - 1; numpy side uses the frexp exponent.
+        # bits_sum is pure integer; mean_bits is the single division.
+        "unigram_surprisal": """
+        WITH tok AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+            FROM documents
+          ) WHERE w != ''
+        ),
+        cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+        occ AS (
+          SELECT t.doc_id,
+                 (SELECT length(format('{:b}', n)) - 1 FROM tot)
+                 - (length(format('{:b}', c.c)) - 1) AS s
+          FROM tok t JOIN cnt c ON t.w = c.w
+        ),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(s) AS BIGINT) AS bits_sum
+          FROM occ GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_tokens, 0) AS n_tokens,
+               coalesce(a.bits_sum, 0) AS bits_sum,
+               CASE WHEN a.n_tokens IS NULL OR a.n_tokens = 0 THEN 0.0
+                    ELSE CAST(a.bits_sum AS DOUBLE) / a.n_tokens
+               END AS mean_bits
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id
         """,
         # the MG+exact-recount result is EXACTLY the tokens with
         # cnt*(capacity+1) > n (integer arithmetic on both engines)

@@ -1,0 +1,155 @@
+"""Unigram LM surprisal scoring — the CCNet-style "how surprising is
+this document under a corpus language model" quality signal, in EXACT
+whole-bit arithmetic.
+
+A real CCNet pass scores docs with a KenLM n-gram model's log-prob;
+the portable core of that signal is per-token surprisal under the
+corpus unigram distribution. ``ln``/``log2`` of arbitrary doubles is
+NOT guaranteed bit-identical across engines (the repo's oracle-parity
+rule bans it — see ``stages/bm25.py``'s log-free idf), so the score
+here is the **whole-bit surprisal**
+
+    s(w) = floor(log2(N)) - floor(log2(count(w)))   (integer bits)
+
+per token occurrence, ``bits_sum`` = Σ s(w) over the doc (exact
+int64), ``mean_bits`` = bits_sum / n_tokens with ONE final IEEE
+division. floor(log2(x)) is computed EXACTLY on both engines: numpy
+``frexp`` exponent - 1 (exact for every int ≤ 2^53) and DuckDB
+``length(format('{:b}', x)) - 1`` (binary digit count). s(w) is within
+1 bit of true -log2 p(w) + floor(log2 N) rounding — a monotone,
+deterministic surrogate: high mean_bits = rare-vocabulary docs
+(gibberish, codes), low = stopword soup. Reference analog: the
+per-resource match-score statistics surface (`cli/Stats.java`,
+`PanakoStorageKV.java:381-467`) on the probability axis.
+
+Scale shape (the ``df_commonness`` playbook, `stages/tfidf.py`):
+per-batch token-count combiner, ONE token-hash exchange to corpus
+counts (exact in-bucket string grouping), counts packed to sorted
+arrays + total in a task (never the driver) and broadcast; the scoring
+pass is a stateless ``map_batches`` with a searchsorted lookup — no
+second shuffle, streams at any scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+from raydedup.hashing import hash_strings_u64
+
+I64 = np.int64
+
+_OUT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("bits_sum", pa.int64()),
+        ("mean_bits", pa.float64()),
+    ]
+)
+
+
+def _bitlen_minus1(x: np.ndarray) -> np.ndarray:
+    """floor(log2(x)) for positive int64 x ≤ 2^53, EXACT: float64
+    represents x exactly, frexp returns the exact binary exponent."""
+    _, e = np.frexp(x.astype(np.float64))
+    return (e - 1).astype(I64)
+
+
+def term_counts(docs: Dataset) -> Dataset:
+    """docs(doc_id, text) -> (token, cnt): corpus occurrence count per
+    lowered whitespace token (tf-weighted, unlike ``doc_frequency``'s
+    distinct-doc count). Combiner partials + ONE token-hash exchange;
+    in-bucket grouping is by the real string, so hash collisions only
+    affect placement, never counts."""
+    from raydedup.stages.exchange import hash_exchange_apply
+    from raydedup.stages.tfidf import _batch_doc_token_counts, _with_token_key
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _batch_doc_token_counts(t)
+        p = c.group_by("token").aggregate([("tf", "sum")])
+        p = p.rename_columns(["token", "cnt_partial"]).cast(
+            pa.schema([("token", pa.large_string()), ("cnt_partial", pa.int64())])
+        )
+        return _with_token_key(p)
+
+    partials = docs.select_columns(["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"token": pa.array([], pa.large_string()), "cnt": pa.array([], pa.int64())}
+            )
+        g = t.group_by("token").aggregate([("cnt_partial", "sum")])
+        return g.rename_columns(["token", "cnt"]).cast(
+            pa.schema([("token", pa.large_string()), ("cnt", pa.int64())])
+        )
+
+    refs = hash_exchange_apply(partials, "key", reduce_bucket, collect=False)
+    return rd.from_arrow_refs(refs)
+
+
+@ray.remote(num_returns=3)
+def _pack_counts(*blocks: pa.Table):
+    """(total tokens, sorted token-hash keys, aligned counts) for
+    broadcast — packed in a task from the count table's block refs, so
+    the vocabulary never lands on the driver."""
+    parts = [b for b in blocks if b.num_rows]
+    if not parts:
+        return 0, np.empty(0, dtype=np.uint64), np.empty(0, dtype=I64)
+    tbl = pa.concat_tables(parts)
+    keys = hash_strings_u64(tbl.column("token").to_numpy(zero_copy_only=False))
+    cnt = tbl.column("cnt").to_numpy(zero_copy_only=False).astype(I64)
+    order = np.argsort(keys)
+    return int(cnt.sum()), keys[order], cnt[order]
+
+
+def unigram_surprisal(docs: Dataset) -> Dataset:
+    """docs(doc_id, text) -> (doc_id, n_tokens, bits_sum, mean_bits):
+    one row per input doc (empty docs get 0 / 0 / 0.0). bits_sum is the
+    exact integer Σ over token occurrences of
+    ``floor(log2(N)) - floor(log2(count))``; mean_bits = ONE IEEE
+    division bits_sum / n_tokens."""
+    from raydedup.stages.tfidf import _batch_doc_token_counts
+
+    docs = docs.select_columns(["doc_id", "text"]).materialize()
+    cnt_tbl = term_counts(docs).materialize()
+    tot_ref, keys_ref, cnt_ref = _pack_counts.remote(*list(cnt_tbl.to_arrow_refs()))
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(I64)
+        c = _batch_doc_token_counts(t)
+        n_tok = np.zeros(ids.shape[0], dtype=I64)
+        bits = np.zeros(ids.shape[0], dtype=I64)
+        if c.num_rows:
+            total = ray.get(tot_ref)
+            keys = ray.get(keys_ref)
+            cntv = ray.get(cnt_ref)
+            bn = np.int64(int(total).bit_length() - 1)
+            tok = c.column("token").to_numpy(zero_copy_only=False)
+            tf = c.column("tf").to_numpy(zero_copy_only=False).astype(I64)
+            th = hash_strings_u64(tok)
+            cw = cntv[np.searchsorted(keys, th)]  # every token is in the table
+            s = bn - _bitlen_minus1(cw)
+            order = np.argsort(ids)
+            cd = c.column("doc_id").to_numpy(zero_copy_only=False).astype(I64)
+            pos = order[np.searchsorted(ids[order], cd)]
+            np.add.at(n_tok, pos, tf)
+            np.add.at(bits, pos, tf * s)
+        mean = np.where(n_tok > 0, bits / np.maximum(n_tok, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+                "bits_sum": pa.array(bits, type=pa.int64()),
+                "mean_bits": pa.array(mean, type=pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score_batch, batch_format="pyarrow")
