@@ -273,6 +273,18 @@ def _q_token_counts(sf_dir: str):
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_bpe_token_counts(sf_dir: str):
+    """Text analysis: GPT-2-style BPE pre-tokenizer match counts per doc
+    (one Arrow RE2 kernel; oracle is DuckDB's RE2 via regexp_extract_all)."""
+    from raydedup.stages.textstats import bpe_token_count_batch
+
+    ds = _read(sf_dir, "documents").map_batches(
+        lambda t: bpe_token_count_batch(t).select(["doc_id", "n_bpe_tokens"]),
+        batch_format="pyarrow",
+    )
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_quality_scores(sf_dir: str):
     """Text analysis: punctuation/digit ratios + mean word length."""
     from raydedup.stages.textstats import quality_score_batch
@@ -2535,6 +2547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_by_lang": _q_doc_stats_by_lang,
         "doc_stats_by_source": _q_doc_stats_by_source,
         "token_counts": _q_token_counts,
+        "bpe_token_counts": _q_bpe_token_counts,
         "quality_scores": _q_quality_scores,
         "repetition_scores": _q_repetition_scores,
         "len_quantiles": _q_len_quantiles,
@@ -3917,6 +3930,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        # same RE2 engine on both sides (Arrow count_substring_regex /
+        # DuckDB regexp_extract_all), so the counts agree exactly
+        "bpe_token_counts": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
+                   )) AS BIGINT) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
         """,
         "quality_scores": """

@@ -53,6 +53,29 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ).append_column("n_subwords", pa.array(subwords, type=pa.int64()))
 
 
+# GPT-2-style BPE pre-tokenizer, restricted to RE2 syntax (no lookahead:
+# the trailing `\s+(?!\S)` alternative of the published pattern is folded
+# into plain `\s+`, which only changes how a run of spaces BEFORE a word
+# is split — the COUNT of matches it yields differs from the lookahead
+# form only on interior multi-space runs, and deterministically so).
+# Arrow's count_substring_regex and DuckDB's regexp_extract_all both run
+# RE2, so the oracle mirror is exact by construction.
+BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Count GPT-2-style pre-tokenizer matches per doc (``n_bpe_tokens``).
+
+    A true-regex refinement of ``token_count_batch``'s chars/4 subword
+    estimate: contractions, letter runs, digit runs, punctuation runs and
+    whitespace runs are segmented exactly as a BPE pre-tokenizer would
+    (minus merges, which need a learned vocab). One Arrow RE2 kernel over
+    the column — zero Python per row, row-local, streams at any scale.
+    """
+    n = pc.count_substring_regex(batch.column(text_col), BPE_PRETOKEN_RE)
+    return batch.append_column("n_bpe_tokens", pc.cast(n, pa.int64()))
+
+
 def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality heuristics: mean word length, punctuation ratio, digit
     ratio, uppercase ratio, and a composite [0,1] quality score."""

@@ -164,6 +164,33 @@ def test_token_counts_and_quality(rd):
     assert q.column("digit_ratio").to_pylist()[2] == pytest.approx(2 / 16)
 
 
+def test_bpe_token_counts():
+    import re
+
+    from raydedup.stages.textstats import BPE_PRETOKEN_RE, bpe_token_count_batch
+
+    texts = [
+        "Hello, World! 42",
+        "",
+        "it's   don're I'll",          # contractions + interior space run
+        "héllo wörld — 思考 123abc",    # non-ASCII letters, dash, CJK
+        "   ",                          # whitespace-only
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    out = bpe_token_count_batch(t)
+    # independent oracle: Python re with unicode classes standing in for \p{..}
+    py_pat = re.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+",
+        re.UNICODE,
+    )
+    # the RE2 classes \p{L}/\p{N} differ from Python's [^\W\d_]/\d only on
+    # exotic codepoints not present above, so counts must agree here
+    expect = [len(py_pat.findall(s)) for s in texts]
+    assert out.column("n_bpe_tokens").to_pylist() == expect
+    assert out.column("n_bpe_tokens").to_pylist()[1] == 0
+    assert BPE_PRETOKEN_RE.startswith("'s")
+
+
 def test_lang_id_kernel():
     from raydedup.stages.textstats import LangIdKernel
 
