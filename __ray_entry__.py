@@ -285,6 +285,17 @@ def _q_bpe_token_counts(sf_dir: str):
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_bpe_merge_pairs(sf_dir: str):
+    """Tokenizer training: corpus-wide adjacent-character pair counts
+    (the exact first-iteration input of BPE merge learning) — per-batch
+    combiner, ONE codepoint-pair-key exchange, strings only for the
+    top-k winners."""
+    from raydedup.stages.bpepairs import bpe_pair_counts
+
+    t = bpe_pair_counts(_read(sf_dir, "documents"), min_count=2, top_k=50)
+    return t.to_pandas()
+
+
 def _q_quality_scores(sf_dir: str):
     """Text analysis: punctuation/digit ratios + mean word length."""
     from raydedup.stages.textstats import quality_score_batch
@@ -2548,6 +2559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_by_source": _q_doc_stats_by_source,
         "token_counts": _q_token_counts,
         "bpe_token_counts": _q_bpe_token_counts,
+        "bpe_merge_pairs": _q_bpe_merge_pairs,
         "quality_scores": _q_quality_scores,
         "repetition_scores": _q_repetition_scores,
         "len_quantiles": _q_len_quantiles,
@@ -3940,6 +3952,24 @@ def oracle_sql() -> dict[str, str]:
                      '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
                    )) AS BIGINT) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
+        """,
+        # char semantics: DuckDB substring/length are codepoint-based,
+        # matching the kernel's utf-32 decode; UTF-8 binary string order
+        # equals codepoint order, so the tie-break sort agrees exactly
+        "bpe_merge_pairs": """
+            WITH pos AS (
+              SELECT text, unnest(generate_series(1, greatest(length(text)-1, 0))) AS i
+              FROM documents
+            )
+            SELECT substring(text, i, 1) AS "left",
+                   substring(text, i+1, 1) AS "right",
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM pos
+            WHERE substring(text, i, 1) NOT IN (' ', chr(9), chr(10), chr(13))
+              AND substring(text, i+1, 1) NOT IN (' ', chr(9), chr(10), chr(13))
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+            ORDER BY cnt DESC, "left", "right" LIMIT 50
         """,
         "quality_scores": """
             SELECT doc_id,
