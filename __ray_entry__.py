@@ -296,6 +296,15 @@ def _q_bpe_merge_pairs(sf_dir: str):
     return t.to_pandas()
 
 
+def _q_source_overlap(sf_dir: str):
+    """Corpus diagnostics: exact pairwise Jaccard between the distinct
+    word-5-gram shingle sets of each source — O(S^2) rows out of ONE
+    shingle-hash exchange with bitmask fold, nothing big on the driver."""
+    from raydedup.stages.sourceoverlap import source_overlap
+
+    return source_overlap(_read(sf_dir, "documents")).to_pandas()
+
+
 def _q_quality_scores(sf_dir: str):
     """Text analysis: punctuation/digit ratios + mean word length."""
     from raydedup.stages.textstats import quality_score_batch
@@ -2560,6 +2569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "bpe_token_counts": _q_bpe_token_counts,
         "bpe_merge_pairs": _q_bpe_merge_pairs,
+        "source_overlap": _q_source_overlap,
         "quality_scores": _q_quality_scores,
         "repetition_scores": _q_repetition_scores,
         "len_quantiles": _q_len_quantiles,
@@ -3952,6 +3962,35 @@ def oracle_sql() -> dict[str, str]:
                      '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
                    )) AS BIGINT) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
+        """,
+        # exact string-level mirror of the hash-level kernel (collision
+        # odds negligible — same accepted assumption as dup_ngram_fraction)
+        "source_overlap": _SHINGLES_CTE + """,
+            ss AS (
+              SELECT DISTINCT d.source AS src, s.shingle
+              FROM sh s JOIN documents d USING (doc_id)
+            ),
+            sz AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY src),
+            srcs AS (SELECT DISTINCT source AS src FROM documents),
+            com AS (
+              SELECT x.src AS src_a, y.src AS src_b, CAST(count(*) AS BIGINT) AS n_common
+              FROM ss x JOIN ss y ON x.shingle = y.shingle AND x.src < y.src
+              GROUP BY 1, 2
+            )
+            SELECT p.src_a, p.src_b,
+                   coalesce(za.n, 0) AS n_a, coalesce(zb.n, 0) AS n_b,
+                   coalesce(c.n_common, 0) AS n_common,
+                   CASE WHEN coalesce(za.n,0) + coalesce(zb.n,0) - coalesce(c.n_common,0) = 0
+                        THEN 0.0
+                        ELSE coalesce(c.n_common, 0) * 1.0
+                             / (coalesce(za.n,0) + coalesce(zb.n,0) - coalesce(c.n_common,0))
+                   END AS jaccard
+            FROM (SELECT x.src AS src_a, y.src AS src_b
+                  FROM srcs x JOIN srcs y ON x.src < y.src) p
+            LEFT JOIN com c ON c.src_a = p.src_a AND c.src_b = p.src_b
+            LEFT JOIN sz za ON za.src = p.src_a
+            LEFT JOIN sz zb ON zb.src = p.src_b
+            ORDER BY p.src_a, p.src_b
         """,
         # char semantics: DuckDB substring/length are codepoint-based,
         # matching the kernel's utf-32 decode; UTF-8 binary string order

@@ -1,0 +1,178 @@
+"""Cross-source shingle-overlap matrix: exact pairwise Jaccard between
+the distinct word-5-gram shingle sets of each corpus source.
+
+The corpus-level contamination / provenance diagnostic: which slices of
+a training mix share substantial text (a mirror crawled twice, a feed
+syndicated across sites, an eval suite leaking into a source) — the
+corpus-pair analog of the per-document near-dup pass, read before
+deciding which sources to keep or down-weight.
+
+Scale shape:
+
+1. the distinct source list is collected first (tiny by assumption —
+   sources are feeds/crawls, not documents; ≤ 64 enforced) and the
+   source→index map ships in the task closure.
+2. per-batch combiner reuses the flagship shingle emission
+   (``dupngrams._posting_batches``) with the SOURCE INDEX standing in
+   for the doc id, so postings dedup to distinct (shingle, source)
+   pairs before the exchange — a batch of near-identical same-source
+   pages costs one posting per shingle.
+3. ONE exchange on the shingle hash; each bucket dedups its (shingle,
+   source) pairs, folds each shingle's sources into a u64 bitmask
+   (``bitwise_or.reduceat`` over sh-runs), and emits ONLY per-source
+   distinct counts plus per-pair co-occurrence counts — O(S^2) rows
+   per bucket regardless of shingle volume.
+4. the driver sums the tiny per-bucket partials and computes the ONE
+   IEEE division per source pair.
+
+Oracle mirror: the shared word-5-gram CTE (`_SHINGLES_CTE`) joined to
+sources with DISTINCT, self-joined per pair — exact string-level
+Jaccard; the kernel counts mixed 64-bit shingle hashes (collisions
+negligible, same accepted assumption as dup_ngram_fraction).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+I64 = np.int64
+U64 = np.uint64
+
+OUT_SCHEMA = pa.schema(
+    [
+        ("src_a", pa.large_string()),
+        ("src_b", pa.large_string()),
+        ("n_a", pa.int64()),
+        ("n_b", pa.int64()),
+        ("n_common", pa.int64()),
+        ("jaccard", pa.float64()),
+    ]
+)
+
+_PART_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("n", pa.int64())])
+
+
+def distinct_sources(docs: Dataset, col: str = "source") -> list[str]:
+    """Sorted distinct values of ``col`` via per-block unique partials
+    (one tiny row set per block reaches the driver)."""
+
+    def part(t: pa.Table) -> pa.Table:
+        u = pc.unique(pc.fill_null(t.column(col), ""))
+        return pa.table({col: pc.cast(u, pa.large_string())})
+
+    parts = docs.select_columns([col]).map_batches(part, batch_format="pyarrow")
+    vals = set()
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        vals.update(b.column(col).to_pylist())
+    return sorted(vals)
+
+
+def _bucket_pair_partial(t: pa.Table, n_src: int) -> pa.Table:
+    """bucket (sh, doc_id=src_idx) -> (a, b, n) rows: a==b gives the
+    source's distinct-shingle count in this bucket, a<b the pair's
+    co-occurrence count. O(n_src^2) output rows."""
+    if t.num_rows == 0 or t.num_columns == 0:
+        return _PART_SCHEMA.empty_table()
+    sh = t.column("sh").to_numpy(zero_copy_only=False).view(U64)
+    src = t.column("doc_id").to_numpy(zero_copy_only=False).astype(I64)
+    # dedup (sh, src): batches dedup internally but not across batches
+    order = np.lexsort((src, sh))
+    sh, src = sh[order], src[order]
+    keep = np.empty(sh.shape[0], dtype=bool)
+    keep[0] = True
+    keep[1:] = (sh[1:] != sh[:-1]) | (src[1:] != src[:-1])
+    sh, src = sh[keep], src[keep]
+    a_out, b_out, n_out = [], [], []
+    # per-source distinct counts
+    per = np.bincount(src, minlength=n_src)
+    for i in np.flatnonzero(per):
+        a_out.append(i)
+        b_out.append(i)
+        n_out.append(int(per[i]))
+    # per-shingle source bitmask over sh-runs
+    new = np.empty(sh.shape[0], dtype=bool)
+    new[0] = True
+    new[1:] = sh[1:] != sh[:-1]
+    starts = np.flatnonzero(new)
+    masks = np.bitwise_or.reduceat(U64(1) << src.astype(U64), starts)
+    multi = masks[(masks & (masks - U64(1))) != 0]  # ≥2 sources only
+    if multi.shape[0]:
+        for i in range(n_src):
+            with_i = multi[(multi >> U64(i)) & U64(1) == 1]
+            if not with_i.shape[0]:
+                continue
+            for j in range(i + 1, n_src):
+                c = int(((with_i >> U64(j)) & U64(1)).sum())
+                if c:
+                    a_out.append(i)
+                    b_out.append(j)
+                    n_out.append(c)
+    return pa.table(
+        {
+            "a": pa.array(a_out, pa.int64()),
+            "b": pa.array(b_out, pa.int64()),
+            "n": pa.array(n_out, pa.int64()),
+        }
+    )
+
+
+def source_overlap(
+    docs: Dataset,
+    *,
+    k: int = 5,
+    source_col: str = "source",
+) -> pa.Table:
+    """docs(doc_id, text, source) -> all source pairs (src_a < src_b)
+    with distinct-shingle set sizes, intersection size and exact
+    Jaccard, ordered by (src_a, src_b)."""
+    from raydedup.stages.dupngrams import _posting_batches
+    from raydedup.stages.exchange import hash_exchange_apply
+
+    sources = distinct_sources(docs, source_col)
+    n_src = len(sources)
+    if n_src > 64:
+        raise ValueError(
+            f"source_overlap: {n_src} sources exceed the u64 bitmask; "
+            "pre-bucket sources or raise the mask width"
+        )
+    src_lut = pa.array(sources, pa.large_string())
+
+    def postings(t: pa.Table) -> pa.Table:
+        srcs = pc.cast(pc.fill_null(t.column(source_col), ""), pa.large_string())
+        code = pc.index_in(srcs, value_set=src_lut)  # vectorized source->idx
+        tbl = pa.table(
+            {
+                "doc_id": pc.cast(code, pa.int64()),
+                "text": t.column("text"),
+            }
+        )
+        return _posting_batches(tbl, k)
+
+    parts = docs.select_columns(["text", source_col]).map_batches(
+        postings, batch_format="pyarrow"
+    )
+    agg = hash_exchange_apply(parts, "sh", lambda b: _bucket_pair_partial(b, n_src))
+    n_d = np.zeros(n_src, dtype=np.int64)
+    n_c = np.zeros((n_src, n_src), dtype=np.int64)
+    if agg.num_rows:
+        a = agg.column("a").to_numpy(zero_copy_only=False)
+        b = agg.column("b").to_numpy(zero_copy_only=False)
+        n = agg.column("n").to_numpy(zero_copy_only=False)
+        diag = a == b
+        np.add.at(n_d, a[diag], n[diag])
+        np.add.at(n_c, (a[~diag], b[~diag]), n[~diag])
+    rows = {c: [] for c in OUT_SCHEMA.names}
+    for i in range(n_src):
+        for j in range(i + 1, n_src):
+            union = int(n_d[i] + n_d[j] - n_c[i, j])
+            rows["src_a"].append(sources[i])
+            rows["src_b"].append(sources[j])
+            rows["n_a"].append(int(n_d[i]))
+            rows["n_b"].append(int(n_d[j]))
+            rows["n_common"].append(int(n_c[i, j]))
+            rows["jaccard"].append(n_c[i, j] / union if union else 0.0)
+    return pa.table(rows, schema=OUT_SCHEMA)
