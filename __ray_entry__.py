@@ -305,6 +305,49 @@ def _q_source_overlap(sf_dir: str):
     return source_overlap(_read(sf_dir, "documents")).to_pandas()
 
 
+_LINED_RE = r"((\S+ ){5}\S+) "  # RE2 on both sides: newline every 6 words
+
+
+def _lined_docs(sf_dir: str):
+    """documents with a deterministic multi-line view of text (the
+    synthetic corpus is single-line; boilerplate lines are a per-site
+    TEMPLATE signal, so the oracle pair derives the same lined view in
+    both engines via the same RE2 rewrite)."""
+    import pyarrow.compute as pc
+
+    def line(t):
+        return t.set_column(
+            t.schema.get_field_index("text"),
+            "text",
+            pc.replace_substring_regex(t.column("text"), _LINED_RE, "\\1\n"),
+        )
+
+    return _read(sf_dir, "documents").map_batches(line, batch_format="pyarrow")
+
+
+def _q_host_hot_lines(sf_dir: str):
+    """Per-source boilerplate line report: lines in >= 2/25 of a
+    source's docs (exact integer cross-multiplication threshold)."""
+    from raydedup.stages.hostlines import host_hot_lines
+
+    t = host_hot_lines(
+        _lined_docs(sf_dir), group_col="source", num=2, den=25, min_docs=2
+    )
+    return t.to_pandas()
+
+
+def _q_host_line_trim(sf_dir: str):
+    """Per-source boilerplate removal: the trim pass re-joins kept
+    lines; full text value-hash check against the SQL mirror."""
+    from raydedup.stages.hostlines import trim_host_lines
+
+    ds = trim_host_lines(
+        _lined_docs(sf_dir), group_col="source", num=2, den=25, min_docs=2
+    )
+    df = ds.select_columns(["doc_id", "text"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_quality_scores(sf_dir: str):
     """Text analysis: punctuation/digit ratios + mean word length."""
     from raydedup.stages.textstats import quality_score_batch
@@ -2570,6 +2613,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "bpe_merge_pairs": _q_bpe_merge_pairs,
         "source_overlap": _q_source_overlap,
+        "host_hot_lines": _q_host_hot_lines,
+        "host_line_trim": _q_host_line_trim,
         "quality_scores": _q_quality_scores,
         "repetition_scores": _q_repetition_scores,
         "len_quantiles": _q_len_quantiles,
@@ -3962,6 +4007,58 @@ def oracle_sql() -> dict[str, str]:
                      '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
                    )) AS BIGINT) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
+        """,
+        # per-source boilerplate lines over the shared lined view
+        # (newline every 6 words, same RE2 rewrite as the Ray side);
+        # threshold is the exact integer cross-multiplication
+        "host_hot_lines": r"""
+            WITH lined AS (
+              SELECT doc_id, source,
+                     regexp_replace(text, '((\S+ ){5}\S+) ', '\1' || chr(10), 'g') AS text
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, source AS g, unnest(string_split(text, chr(10))) AS line
+              FROM lined
+            ),
+            dl AS (SELECT DISTINCT g, doc_id, line FROM pos WHERE line <> ''),
+            cnt AS (SELECT g, line, CAST(count(*) AS BIGINT) AS n_docs
+                    FROM dl GROUP BY g, line),
+            tot AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS g_docs
+                    FROM documents GROUP BY source)
+            SELECT c.g AS "group", c.line, c.n_docs, t.g_docs
+            FROM cnt c JOIN tot t USING (g)
+            WHERE 25 * c.n_docs >= 2 * t.g_docs AND c.n_docs >= 2
+            ORDER BY "group", c.line
+        """,
+        "host_line_trim": r"""
+            WITH lined AS (
+              SELECT doc_id, source,
+                     regexp_replace(text, '((\S+ ){5}\S+) ', '\1' || chr(10), 'g') AS text
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, source AS g,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS p
+              FROM lined
+            ),
+            dl AS (SELECT DISTINCT g, doc_id, line FROM pos WHERE line <> ''),
+            cnt AS (SELECT g, line, count(*) AS n_docs FROM dl GROUP BY g, line),
+            tot AS (SELECT source AS g, count(*) AS g_docs FROM documents GROUP BY source),
+            hot AS (SELECT c.g, c.line FROM cnt c JOIN tot t USING (g)
+                    WHERE 25 * c.n_docs >= 2 * t.g_docs AND c.n_docs >= 2),
+            kept AS (
+              SELECT p.doc_id, p.line, p.p
+              FROM pos p LEFT JOIN hot h ON h.g = p.g AND h.line = p.line
+              WHERE h.line IS NULL OR p.line = ''
+            )
+            SELECT d.doc_id,
+                   coalesce(k.txt, '') AS text
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS txt
+                       FROM kept GROUP BY doc_id) k USING (doc_id)
+            ORDER BY d.doc_id
         """,
         # exact string-level mirror of the hash-level kernel (collision
         # odds negligible — same accepted assumption as dup_ngram_fraction)
