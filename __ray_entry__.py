@@ -325,6 +325,20 @@ def _lined_docs(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(line, batch_format="pyarrow")
 
 
+def _q_temperature_sample(sf_dir: str):
+    """Data mixing: source-balanced alpha=0.5 sampling (keep rate
+    min(1, 4*isqrt(n_s)/n_s) per source, exact u64 thresholds)."""
+    from raydedup.stages.sampling import temperature_sample
+
+    ds = temperature_sample(
+        _read(sf_dir, "documents").select_columns(["doc_id", "source"]),
+        group_col="source",
+        scale_num=4,
+        scale_den=1,
+    )
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_host_hot_lines(sf_dir: str):
     """Per-source boilerplate line report: lines in >= 2/25 of a
     source's docs (exact integer cross-multiplication threshold)."""
@@ -2613,6 +2627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "bpe_merge_pairs": _q_bpe_merge_pairs,
         "source_overlap": _q_source_overlap,
+        "temperature_sample": _q_temperature_sample,
         "host_hot_lines": _q_host_hot_lines,
         "host_line_trim": _q_host_line_trim,
         "quality_scores": _q_quality_scores,
@@ -4007,6 +4022,26 @@ def oracle_sql() -> dict[str, str]:
                      '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
                    )) AS BIGINT) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
+        """,
+        # temperature mixing: corrected floor(sqrt) == isqrt exactly,
+        # HUGEINT threshold arithmetic mirrors the driver's big-int math
+        "temperature_sample": f"""
+            WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS ng
+                       FROM documents GROUP BY source),
+            i0 AS (SELECT source, ng, CAST(floor(sqrt(ng)) AS BIGINT) AS s0 FROM n),
+            isq AS (SELECT source, ng,
+                    s0 - (CASE WHEN s0*s0 > ng THEN 1 ELSE 0 END) AS sq FROM i0),
+            thr AS (SELECT source,
+                    least(4::HUGEINT * sq * 18446744073709551616::HUGEINT // (1::HUGEINT * ng),
+                          18446744073709551615::HUGEINT) AS t
+                    FROM isq),
+            r AS (SELECT doc_id, source,
+                  {mix64_cols(f"xor(CAST(doc_id AS UBIGINT), {DEFAULT_SAMPLE_SEED}::UBIGINT)", 'rk')}
+                  FROM documents)
+            SELECT r.doc_id, r.source
+            FROM r JOIN thr USING (source)
+            WHERE CAST(rk AS HUGEINT) < thr.t
+            ORDER BY r.doc_id
         """,
         # per-source boilerplate lines over the shared lined view
         # (newline every 6 words, same RE2 rewrite as the Ray side);

@@ -226,3 +226,72 @@ def stratified_sample(
         return t.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def temperature_sample(
+    ds: Dataset,
+    *,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    scale_num: int = 1,
+    scale_den: int = 1,
+    seed: int = DEFAULT_SAMPLE_SEED,
+) -> Dataset:
+    """Source-balanced (temperature alpha=0.5) sampling: each group kept
+    at rate ``min(1, scale * isqrt(n_g) / n_g)``, so a group's expected
+    kept count grows like sqrt(n_g) — the standard data-mixing move
+    that up-weights small sources relative to proportional sampling.
+
+    EXACT integer arithmetic end to end: per-group u64 thresholds
+    ``min(2^64-1, scale_num * isqrt(n_g) * 2^64 // (scale_den * n_g))``
+    are computed with Python big ints on the driver (isqrt is exact;
+    the SQL mirror reproduces it as corrected floor(sqrt) + HUGEINT
+    division), then a stateless pass keeps rows with
+    ``mix64(key ^ seed) < T_group`` — zero shuffle on the data path,
+    partition-invariant, same rank stream as hash_sample.
+
+    Pass 1 collects per-group counts via per-block combiners (one row
+    per group per block reaches the driver — the O(#groups) assumption
+    shared with ``sourceoverlap.distinct_sources``).
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    if scale_num <= 0 or scale_den <= 0:
+        raise ValueError("scale_num and scale_den must be positive")
+
+    def part(t: pa.Table) -> pa.Table:
+        g = pc.cast(pc.fill_null(t.column(group_col), ""), pa.large_string())
+        agg = (
+            pa.table({"g": g})
+            .group_by("g")
+            .aggregate([("g", "count")])
+            .rename_columns(["g", "n"])
+        )
+        return agg
+
+    counts: dict[str, int] = {}
+    parts = ds.select_columns([group_col]).map_batches(part, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for g, n in zip(b.column("g").to_pylist(), b.column("n").to_pylist()):
+            counts[g] = counts.get(g, 0) + int(n)
+
+    groups = sorted(counts)
+    thr = np.empty(len(groups), dtype=U64)
+    for i, g in enumerate(groups):
+        n_g = counts[g]
+        t_g = (scale_num * math.isqrt(n_g) * 2**64) // (scale_den * n_g)
+        thr[i] = U64(min(t_g, 2**64 - 1))
+    lut = pa.array(groups, pa.large_string())
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return t
+        g = pc.cast(pc.fill_null(t.column(group_col), ""), pa.large_string())
+        code = pc.index_in(g, value_set=lut).to_numpy(zero_copy_only=False)
+        ids = t.column(key_col).to_numpy(zero_copy_only=False)
+        r = _rank(ids, seed)
+        return t.filter(pa.array(r < thr[code]))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
