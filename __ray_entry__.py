@@ -325,6 +325,14 @@ def _lined_docs(sf_dir: str):
     return _read(sf_dir, "documents").map_batches(line, batch_format="pyarrow")
 
 
+def _q_stitch_pairs(sf_dir: str):
+    """Document stitching: directed (a, b) pairs where a's last 3
+    tokens equal b's first 3 tokens (page-continuation candidates)."""
+    from raydedup.stages.stitch import stitch_pairs
+
+    return stitch_pairs(_read(sf_dir, "documents"), k=3).to_pandas()
+
+
 def _q_temperature_sample(sf_dir: str):
     """Data mixing: source-balanced alpha=0.5 sampling (keep rate
     min(1, 4*isqrt(n_s)/n_s) per source, exact u64 thresholds)."""
@@ -2628,6 +2636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merge_pairs": _q_bpe_merge_pairs,
         "source_overlap": _q_source_overlap,
         "temperature_sample": _q_temperature_sample,
+        "stitch_pairs": _q_stitch_pairs,
         "host_hot_lines": _q_host_hot_lines,
         "host_line_trim": _q_host_line_trim,
         "quality_scores": _q_quality_scores,
@@ -4022,6 +4031,27 @@ def oracle_sql() -> dict[str, str]:
                      '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
                    )) AS BIGINT) AS n_bpe_tokens
             FROM documents ORDER BY doc_id
+        """,
+        # stitch: literal k-token string join mirrors the kernel's
+        # k-gram hash equality (engine-wide accepted collision class)
+        "stitch_pairs": r"""
+            WITH t1 AS (
+              SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY pos) rn,
+                     count(*) OVER (PARTITION BY doc_id) cnt
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+                           generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+                    FROM documents WHERE length(trim(text)) > 0)
+            ),
+            ht AS (
+              SELECT doc_id,
+                     string_agg(CASE WHEN rn <= 3 THEN w END, ' ' ORDER BY rn) AS head,
+                     string_agg(CASE WHEN rn > cnt - 3 THEN w END, ' ' ORDER BY rn) AS tail
+              FROM t1 WHERE cnt >= 3 GROUP BY doc_id
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b
+            FROM ht x JOIN ht y ON x.tail = y.head AND x.doc_id != y.doc_id
+            ORDER BY a, b
         """,
         # temperature mixing: corrected floor(sqrt) == isqrt exactly,
         # HUGEINT threshold arithmetic mirrors the driver's big-int math
