@@ -2358,6 +2358,28 @@ def _q_minhash_oph(sf_dir: str):
     return out.sort_values(["doc_id", "perm_idx"]).reset_index(drop=True)
 
 
+def _q_minhash_b1(sf_dir: str):
+    """1-bit minhash (Li & König): OPH signature LSBs packed to two u64
+    words per doc — the 16 B/doc signature store for a 10^12-doc index."""
+    from raydedup.config import DedupConfig
+    from raydedup.pipelines.dedup import compute_signatures
+    from raydedup.stages.signatures import pack_b1
+
+    cfg = DedupConfig(batch_size=1024, minhash_scheme="oph")
+    sig = compute_signatures(_docs(sf_dir), cfg, keep_shingles=False)
+    df = sig.select_columns(["doc_id", "minhash"]).to_pandas()
+    mat = np.stack([np.asarray(v, dtype=np.uint32) for v in df["minhash"]])
+    lo, hi = pack_b1(mat)
+    out = pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy(),
+            "b1_lo": lo.view(np.int64),
+            "b1_hi": hi.view(np.int64),
+        }
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_lsh_candidates(sf_dir: str):
     """J1: LSH band-collision candidate pairs with collision counts."""
     from raydedup.config import DedupConfig
@@ -2731,6 +2753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only
         "minhash_signatures": _q_minhash_signatures,
         "minhash_oph": _q_minhash_oph,
+        "minhash_b1": _q_minhash_b1,
         "lsh_candidates": _q_lsh_candidates,
         "simhash_pairs": _q_simhash_pairs,
         "lang_id": _q_lang_id,
@@ -5704,6 +5727,15 @@ FROM s ORDER BY shard, pos
         """,
         "minhash_signatures": q_minhash_signatures(),
         "minhash_oph": q_minhash_oph_sql(),
+        # b=1 pack of the OPH matrix: LSB of each perm's sig, bits
+        # little-endian within each of two u64 words, wrapped to int64
+        "minhash_b1": f"""
+            SELECT doc_id,
+                   {as_i64("CAST(sum(CASE WHEN perm_idx < 64 THEN ((CAST(sig AS UBIGINT) & 1) << perm_idx) ELSE 0::UBIGINT END) AS UBIGINT)")} AS b1_lo,
+                   {as_i64("CAST(sum(CASE WHEN perm_idx >= 64 THEN ((CAST(sig AS UBIGINT) & 1) << (perm_idx - 64)) ELSE 0::UBIGINT END) AS UBIGINT)")} AS b1_hi
+            FROM ({q_minhash_oph_sql()}) o
+            GROUP BY doc_id ORDER BY doc_id
+        """,
         "lsh_candidates": q_lsh_candidates(),
         "simhash_pairs": q_simhash_pairs(),
         "lang_id": q_lang_id(),

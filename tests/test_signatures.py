@@ -140,3 +140,47 @@ def test_kernel_batch_roundtrip_and_determinism():
     # packed shingles decode to sorted unique uint64
     sh = np.frombuffer(out.column("shingles")[0].as_py(), dtype=np.uint64)
     assert np.all(np.diff(sh.astype(object)) > 0)
+
+
+def test_pack_b1_bits_and_estimator():
+    import numpy as np
+
+    from raydedup.config import DedupConfig
+    from raydedup.stages.signatures import (
+        batch_shingle_sets,
+        minhash_batch,
+        minhash_perms,
+        pack_b1,
+    )
+    import pyarrow as pa
+
+    # bit layout: LSB of perm i lands at bit i of the right word
+    sig = np.zeros((1, 128), dtype=np.uint32)
+    sig[0, 3] = 1
+    sig[0, 70] = 5
+    lo, hi = pack_b1(sig)
+    assert int(lo[0]) == 1 << 3
+    assert int(hi[0]) == 1 << (70 - 64)
+
+    # estimator J ~ 2m - 1 on a high-overlap pair
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "the quick brown fox jumps over the lazy dog again and again tonight",
+        "completely different words about other topics entirely unrelated here",
+    ]
+    cfg = DedupConfig()
+    sets = batch_shingle_sets(pa.array(texts), cfg)
+    a, b = minhash_perms(cfg)
+    m = minhash_batch(sets, a, b)
+    lo, hi = pack_b1(m)
+    x = np.array([lo, hi], dtype=np.uint64).T
+    def match_frac(i, j):
+        ham = bin(int(x[i,0] ^ x[j,0])).count("1") + bin(int(x[i,1] ^ x[j,1])).count("1")
+        return 1 - ham / 128
+    near = 2 * match_frac(0, 1) - 1
+    far = 2 * match_frac(0, 2) - 1
+    assert near > 0.5          # true jaccard ~0.85
+    assert far < near - 0.3    # unrelated pair clearly lower
+
+    with pytest.raises(ValueError):
+        pack_b1(np.zeros((1, 200), dtype=np.uint32))
