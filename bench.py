@@ -235,6 +235,11 @@ def run_bench() -> dict:
     timed("dup_ngram_fraction_sf", lambda: q["dup_ngram_fraction"](SF_DIR))
     timed("curate_pack_sf", lambda: q["curate_pack"](SF_DIR))
     timed("passage_scrub_sf", lambda: q["passage_scrub"](SF_DIR))
+    timed("bpe_merge_pairs_sf", lambda: q["bpe_merge_pairs"](SF_DIR))
+    timed("source_overlap_sf", lambda: q["source_overlap"](SF_DIR))
+    timed("host_line_trim_sf", lambda: q["host_line_trim"](SF_DIR))
+    timed("temperature_sample_sf", lambda: q["temperature_sample"](SF_DIR))
+    timed("stitch_pairs_sf", lambda: q["stitch_pairs"](SF_DIR))
 
     out = {
         "metric": "dedup pipeline wall time (synthetic pages corpus, containment on)",
