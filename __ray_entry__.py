@@ -119,6 +119,16 @@ def _q_dup_rate_by_source(sf_dir: str):
     return t.to_pandas()
 
 
+def _q_cluster_diversity(sf_dir: str):
+    """Per-dup-cluster diversity: member count, distinct langs/sources,
+    majority lang — the false-merge QA view (a many-lang cluster is a
+    boilerplate twin, a many-source cluster is syndication)."""
+    from raydedup.stages.cluster import cluster_diversity
+
+    docs, res = _flagship(sf_dir)
+    return cluster_diversity(docs, res.clusters).to_pandas()
+
+
 def _q_best_representatives(sf_dir: str):
     """Keep-the-longest-copy representative selection over the flagship
     assignment (stages/cluster.py select_representatives): per cluster,
@@ -2644,6 +2654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passage_dedup": _q_passage_dedup,
         "passage_scrub": _q_passage_scrub,
         "dup_rate_by_source": _q_dup_rate_by_source,
+        "cluster_diversity": _q_cluster_diversity,
         "dedup_agreement": _q_dedup_agreement,
         "best_representatives": _q_best_representatives,
         "largest_clusters": _q_largest_clusters,
@@ -5502,6 +5513,24 @@ FROM s ORDER BY shard, pos
         FROM s
         """,
         # per-source dup rate over the flagship assignment; ONE division
+        "cluster_diversity": f"""
+        WITH asn AS ({q_dedup_pipeline_sql()}),
+        m AS (SELECT a.cluster_id, d.lang, d.source
+              FROM asn a JOIN documents d USING (doc_id)),
+        sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                      CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+               FROM m GROUP BY cluster_id HAVING count(*) >= 2),
+        lc AS (SELECT cluster_id, lang, count(*) AS n FROM m GROUP BY 1, 2),
+        top AS (SELECT cluster_id, lang AS top_lang, CAST(n AS BIGINT) AS top_lang_n
+                FROM lc
+                QUALIFY row_number() OVER (PARTITION BY cluster_id
+                                           ORDER BY n DESC, lang) = 1)
+        SELECT s.cluster_id, s.n_docs, s.n_langs, s.n_sources,
+               t.top_lang, t.top_lang_n
+        FROM sz s JOIN top t USING (cluster_id)
+        ORDER BY s.cluster_id
+        """,
         "dup_rate_by_source": f"""
         WITH asn AS ({q_dedup_pipeline_sql()})
         SELECT d.source AS source,

@@ -657,3 +657,151 @@ def dedup_weights(clusters: Dataset) -> Dataset:
         collect=False,
     )
     return refs_to_dataset(refs, schema)
+
+
+def cluster_diversity(
+    docs: Dataset,
+    clusters: Dataset,
+    *,
+    min_size: int = 2,
+) -> pa.Table:
+    """Per-dup-cluster diversity stats: (cluster_id, n_docs, n_langs,
+    n_sources, top_lang, top_lang_n) for clusters with >= ``min_size``
+    members, ordered by cluster_id.
+
+    The dedup QA view: a cluster spanning many sources is syndication /
+    mirroring (expected), one spanning many LANGS is usually a false
+    merge or boilerplate twin — the per-cluster complement of
+    ``dup_rate_by_group``'s per-group view.
+
+    Scale shape: exchange 1 (doc_id) attaches each member's lang/source
+    to its cluster_id; exchange 2 (cluster_id) computes counts,
+    distincts and the majority lang per cluster with one lexsort +
+    run arithmetic per bucket. Output is O(dup clusters) — the report
+    surface, collected like the other cluster reports.
+    """
+    import pyarrow.compute as pc
+
+    from raydedup.stages.exchange import hash_exchange_apply, hash_exchange_join
+
+    mem_schema = pa.schema(
+        [
+            ("cluster_id", pa.int64()),
+            ("lang", pa.large_string()),
+            ("source", pa.large_string()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("cluster_id", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("n_langs", pa.int64()),
+            ("n_sources", pa.int64()),
+            ("top_lang", pa.large_string()),
+            ("top_lang_n", pa.int64()),
+        ]
+    )
+
+    def attach(dt: pa.Table, ct: pa.Table) -> pa.Table:
+        if dt.num_rows == 0 or dt.num_columns == 0 or ct.num_rows == 0 or ct.num_columns == 0:
+            return mem_schema.empty_table()
+        did = dt.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cid_doc = ct.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cid = ct.column("cluster_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(cid_doc, kind="stable")
+        cid_doc, cid = cid_doc[order], cid[order]
+        pos = np.searchsorted(cid_doc, did)
+        pos[pos == cid_doc.shape[0]] = 0
+        hit = cid_doc[pos] == did
+        if not hit.any():
+            return mem_schema.empty_table()
+        return pa.table(
+            {
+                "cluster_id": pa.array(cid[pos[hit]], pa.int64()),
+                "lang": pc.cast(
+                    pc.fill_null(dt.column("lang"), "").filter(pa.array(hit)),
+                    pa.large_string(),
+                ),
+                "source": pc.cast(
+                    pc.fill_null(dt.column("source"), "").filter(pa.array(hit)),
+                    pa.large_string(),
+                ),
+            }
+        )
+
+    members = hash_exchange_join(
+        docs.select_columns(["doc_id", "lang", "source"]),
+        clusters.select_columns(["doc_id", "cluster_id"]),
+        "doc_id",
+        "doc_id",
+        attach,
+    )
+
+    def stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        cid = t.column("cluster_id").to_numpy(zero_copy_only=False)
+        lang = t.column("lang")
+        src = t.column("source")
+        lcode = lang.combine_chunks().dictionary_encode()
+        scode = src.combine_chunks().dictionary_encode()
+        li = lcode.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        si = scode.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # cluster-major sort once by (cluster, lang-code)
+        order = np.lexsort((li, cid))
+        c_l, l_l = cid[order], li[order]
+        newc = np.empty(c_l.shape[0], dtype=bool)
+        newc[0] = True
+        newc[1:] = c_l[1:] != c_l[:-1]
+        cstarts = np.flatnonzero(newc)
+        n_docs = np.diff(np.append(cstarts, c_l.shape[0]))
+        keep = n_docs >= min_size
+        # per-(cluster, lang) runs -> counts; majority = max count, tie =
+        # smallest lang STRING (dictionary codes are not string-ordered,
+        # so order candidates by (count DESC, string ASC) explicitly)
+        newl = np.empty(c_l.shape[0], dtype=bool)
+        newl[0] = True
+        newl[1:] = (c_l[1:] != c_l[:-1]) | (l_l[1:] != l_l[:-1])
+        lstarts = np.flatnonzero(newl)
+        lcnt = np.diff(np.append(lstarts, c_l.shape[0]))
+        lclu = c_l[lstarts]  # cluster of each (c, lang) run
+        n_langs = np.bincount(
+            np.searchsorted(c_l[cstarts], lclu), minlength=cstarts.shape[0]
+        )
+        # majority per cluster: sort candidate runs by
+        # (cluster, -count, lang string) and take the first per cluster
+        ldict = lcode.dictionary.to_numpy(zero_copy_only=False)
+        lstr = ldict[l_l[lstarts]]
+        morder = np.lexsort((lstr, -lcnt, lclu))
+        mc, mcnt, mstr = lclu[morder], lcnt[morder], lstr[morder]
+        firstm = np.empty(mc.shape[0], dtype=bool)
+        firstm[0] = True
+        firstm[1:] = mc[1:] != mc[:-1]
+        top_lang = mstr[firstm]
+        top_n = mcnt[firstm]
+        # distinct sources per cluster via a second lexsort
+        order2 = np.lexsort((si, cid))
+        c_s, s_s = cid[order2], si[order2]
+        news = np.empty(c_s.shape[0], dtype=bool)
+        news[0] = True
+        news[1:] = (c_s[1:] != c_s[:-1]) | (s_s[1:] != s_s[:-1])
+        sclu = c_s[np.flatnonzero(news)]
+        n_sources = np.bincount(
+            np.searchsorted(c_l[cstarts], sclu), minlength=cstarts.shape[0]
+        )
+        return pa.table(
+            {
+                "cluster_id": pa.array(c_l[cstarts][keep], pa.int64()),
+                "n_docs": pa.array(n_docs[keep].astype(np.int64), pa.int64()),
+                "n_langs": pa.array(n_langs[keep].astype(np.int64), pa.int64()),
+                "n_sources": pa.array(n_sources[keep].astype(np.int64), pa.int64()),
+                "top_lang": pa.array(top_lang[keep], pa.large_string()),
+                "top_lang_n": pa.array(top_n[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = hash_exchange_apply(members, "cluster_id", stats)
+    if agg.num_rows == 0:
+        return out_schema.empty_table()
+    idx = np.argsort(agg.column("cluster_id").to_numpy(zero_copy_only=False), kind="stable")
+    return agg.take(pa.array(idx))

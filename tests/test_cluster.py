@@ -322,3 +322,40 @@ def test_dedup_weights(ray_session):
     np.testing.assert_allclose(t.weight, 1.0 / t.cluster_size)
     mass = t.groupby("cluster_id").weight.sum()
     np.testing.assert_allclose(mass, 1.0)
+
+
+def test_cluster_diversity(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.cluster import cluster_diversity
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "lang": pa.array(["en", "en", "de", "en", "fr", "en"], pa.large_string()),
+                "source": pa.array(["a", "b", "a", "a", "c", "a"], pa.large_string()),
+            }
+        )
+    ).repartition(3)
+    clusters = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                # cluster 10: docs 1,2,3 (en,en,de; sources a,b,a)
+                # cluster 20: docs 4,5 (en,fr; a,c); singleton 30 excluded
+                "cluster_id": pa.array([10, 10, 10, 20, 20, 30], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    out = cluster_diversity(docs, clusters).to_pydict()
+    assert out["cluster_id"] == [10, 20]
+    assert out["n_docs"] == [3, 2]
+    assert out["n_langs"] == [2, 2]
+    assert out["n_sources"] == [2, 2]
+    assert out["top_lang"] == ["en", "en"]   # cluster 20 ties en/fr -> lang ASC
+    assert out["top_lang_n"] == [2, 1]
+    # partition invariance
+    out2 = cluster_diversity(docs.repartition(1), clusters.repartition(1)).to_pydict()
+    assert out2 == out
