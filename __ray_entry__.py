@@ -1532,6 +1532,12 @@ def _q_text_normalize(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _textnorm_sql(col: str) -> str:
+    from raydedup.stages.textnorm import text_normalize_sql
+
+    return text_normalize_sql(col)
+
+
 def q_text_normalize_sql():
     """Mirror of _q_text_normalize: same messy derivation, same literal
     pass chain."""
@@ -1556,6 +1562,41 @@ WITH messy AS (
 SELECT doc_id, raw_chars, length(norm_text) AS norm_chars, norm_text
 FROM n ORDER BY doc_id
 """
+
+
+def _q_normalized_dup_pairs(sf_dir: str):
+    """Exact dedup MODULO normalization: two decorated variants per doc
+    (vanishing decorations — leading spaces / control tail vs
+    NBSP+ZWSP prefix / trailing whitespace) must pair up once
+    normalized. vid = doc_id*2 (+1 for variant 2)."""
+    import pyarrow.compute as pc
+
+    from raydedup.stages.textnorm import normalized_dup_pairs
+
+    def variants(t):
+        txt = pc.fill_null(t.column("text"), "")
+        ids = pc.cast(t.column("doc_id"), pa.int64())
+        v1 = pa.table(
+            {
+                "vid": pc.multiply(ids, pa.scalar(2, pa.int64())),
+                "text": pc.binary_join_element_wise(
+                    pa.scalar("   "), txt, pa.scalar("\x07\x1b"), ""
+                ),
+            }
+        )
+        v2 = pa.table(
+            {
+                "vid": pc.add(pc.multiply(ids, pa.scalar(2, pa.int64())), pa.scalar(1, pa.int64())),
+                "text": pc.binary_join_element_wise(
+                    pa.scalar(" ​ "), txt, pa.scalar("   \t "), ""
+                ),
+            }
+        )
+        return pa.concat_tables([v1, v2])
+
+    ds = _read(sf_dir, "documents").map_batches(variants, batch_format="pyarrow")
+    t = normalized_dup_pairs(ds, id_col="vid")
+    return t.to_pandas()
 
 
 def _q_embedding_decon(sf_dir: str):
@@ -2739,6 +2780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_line_clean": _q_c4_line_clean,
         "webtext_funnel": _q_webtext_funnel,
         "text_normalize": _q_text_normalize,
+        "normalized_dup_pairs": _q_normalized_dup_pairs,
         "embedding_decon": _q_embedding_decon,
         "knn_cosine": _q_knn_cosine,
         "embedding_neardup": _q_embedding_neardup,
@@ -5513,6 +5555,25 @@ FROM s ORDER BY shard, pos
         FROM s
         """,
         # per-source dup rate over the flagship assignment; ONE division
+        # normalized-dup: both variants' decorations vanish under the
+        # literal normalization pass chain, so each doc's two vids pair
+        "normalized_dup_pairs": f"""
+        WITH u AS (
+          SELECT doc_id*2 AS vid, '   ' || text || chr(7) || chr(27) AS text
+          FROM documents
+          UNION ALL
+          SELECT doc_id*2+1 AS vid,
+                 chr(160) || chr(8203) || ' ' || text || '   ' || chr(9) || ' ' AS text
+          FROM documents
+        ), n AS (
+          SELECT vid, {_textnorm_sql('text')} AS nt FROM u
+        )
+        SELECT a, b FROM (
+          SELECT CAST(min(vid) OVER (PARTITION BY nt) AS BIGINT) AS a,
+                 CAST(vid AS BIGINT) AS b
+          FROM n
+        ) WHERE a != b ORDER BY a, b
+        """,
         "cluster_diversity": f"""
         WITH asn AS ({q_dedup_pipeline_sql()}),
         m AS (SELECT a.cluster_id, d.lang, d.source

@@ -111,3 +111,70 @@ def text_normalize_sql(col: str) -> str:
         r = rep.replace("'", "''")
         expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
     return expr
+
+
+def normalized_dup_pairs(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Exact duplicates MODULO normalization: (a, b) pairs where a is
+    the min-id member of each group sharing identical NORMALIZED text
+    and b the other members — catches trivially-reformatted copies
+    (typographic variants, ragged whitespace, control junk) that the
+    byte-exact sha pass misses, without paying the near-dup pipeline.
+
+    Scale shape: a stateless normalize+hash pass (no strings leave the
+    batch), ONE hash exchange groups equal norm-hashes, each bucket
+    emits (min id, other id) rows. Output is O(dup docs) — the report
+    surface. Hash equality stands in for string equality (engine-wide
+    accepted collision class); the SQL mirror partitions on the literal
+    normalized string.
+    """
+    import numpy as np
+
+    from raydedup.hashing import hash_strings_u64
+    from raydedup.stages.exchange import hash_exchange_apply
+
+    partial_schema = pa.schema([("h", pa.int64()), ("id", pa.int64())])
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return partial_schema.empty_table()
+        norm = normalize_text_column(pc.fill_null(t.column(text_col), ""))
+        h = hash_strings_u64(norm.to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "id": pc.cast(t.column(id_col), pa.int64()),
+            }
+        )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return out_schema.empty_table()
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        i = t.column("id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, h))
+        h, i = h[order], i[order]
+        new = np.empty(h.shape[0], dtype=bool)
+        new[0] = True
+        new[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(new)
+        runs = np.diff(np.append(starts, h.shape[0]))
+        a = np.repeat(i[starts], runs)
+        keep = a != i
+        return pa.table(
+            {"a": pa.array(a[keep], pa.int64()), "b": pa.array(i[keep], pa.int64())}
+        )
+
+    agg = hash_exchange_apply(ds.map_batches(part, batch_format="pyarrow"), "h", bucket)
+    if agg.num_rows == 0:
+        return out_schema.empty_table()
+    import numpy as np
+
+    a = agg.column("a").to_numpy(zero_copy_only=False)
+    b = agg.column("b").to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    return pa.table(
+        {"a": pa.array(a[order], pa.int64()), "b": pa.array(b[order], pa.int64())}
+    )

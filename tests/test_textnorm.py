@@ -160,3 +160,37 @@ def test_pass_chain_is_re2_safe():
         con.execute(
             "SELECT regexp_replace(?, ?, ?, 'g')", ["probe", pat, rep]
         ).fetchone()
+
+
+def test_normalized_dup_pairs(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.textnorm import normalized_dup_pairs
+
+    rows = [
+        (1, "hello  world"),            # double space
+        (2, "hello world"),             # canonical
+        (3, "  hello world\t"),         # edges
+        (4, "“hello world”"),           # curly quotes -> "hello world" != bare
+        (5, "different text"),
+        (6, None),                      # null -> ""
+        (7, ""),                        # empty pairs with null
+    ]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.large_string()),
+            }
+        )
+    ).repartition(3)
+    out = normalized_dup_pairs(docs)
+    pairs = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
+    assert (1, 2) in pairs and (1, 3) in pairs   # whitespace variants collapse
+    assert not any(4 in p for p in pairs)        # quoted form is distinct content
+    assert (6, 7) in pairs                       # null and empty normalize equal
+    assert not any(5 in p for p in pairs)
+    # partition invariance
+    out2 = normalized_dup_pairs(docs.repartition(1))
+    assert out.to_pydict() == out2.to_pydict()
