@@ -757,6 +757,98 @@ def cmd_load(args: argparse.Namespace) -> int:
     return 0
 
 
+def _docs_with_host(pages_glob: str):
+    """pages parquet -> docs Dataset with a ``host`` column from url."""
+    from raydedup.sources.pages import pages_to_docs, read_pages
+    from raydedup.stages.domains import add_host
+
+    files = sorted(glob.glob(os.path.join(pages_glob, "*.parquet"))) or [pages_glob]
+    return add_host(pages_to_docs(read_pages(files)), url_col="url", out_col="host")
+
+
+def cmd_overlap(args: argparse.Namespace) -> int:
+    """Cross-group shingle-overlap matrix (exact pairwise Jaccard of
+    each group's distinct 5-gram sets), grouped by url host."""
+    _init_ray()
+    from raydedup.stages.sourceoverlap import source_overlap
+
+    t = source_overlap(_docs_with_host(args.pages), k=args.k, source_col="host")
+    for r in t.to_pylist():
+        print(
+            f"{r['src_a']}\t{r['src_b']}\t{r['n_common']}/{r['n_a']}|{r['n_b']}"
+            f"\t{r['jaccard']:.4f}"
+        )
+    return 0
+
+
+def cmd_hostlines(args: argparse.Namespace) -> int:
+    """Per-host boilerplate lines: with --out, strip lines occurring in
+    >= num/den of the host's docs and write cleaned parquet; without,
+    print the per-host template lines."""
+    _init_ray()
+    from raydedup.stages.hostlines import host_hot_lines, trim_host_lines
+
+    docs = _docs_with_host(args.pages)
+    kw = dict(group_col="host", num=args.num, den=args.den, min_docs=args.min_docs)
+    if args.out:
+        import pyarrow.parquet as pq
+
+        trim_host_lines(docs, **kw).write_parquet(args.out)
+        n = sum(
+            pq.read_metadata(f).num_rows
+            for f in glob.glob(os.path.join(args.out, "*.parquet"))
+        )
+        print(json.dumps({"docs": n, "out": args.out}))
+        return 0
+    t = host_hot_lines(docs, **kw)
+    for r in t.to_pylist():
+        print(f"{r['group']}\t{r['n_docs']}/{r['g_docs']}\t{r['line']}")
+    return 0
+
+
+def cmd_mix(args: argparse.Namespace) -> int:
+    """Temperature (alpha=0.5) source-balanced sampling by host; prints
+    per-host kept counts, or writes the sample with --out."""
+    _init_ray()
+    from raydedup.stages.sampling import temperature_sample
+
+    docs = _docs_with_host(args.pages)
+    samp = temperature_sample(
+        docs, group_col="host", scale_num=args.scale_num, scale_den=args.scale_den
+    )
+    if args.out:
+        samp.write_parquet(args.out)
+        print(json.dumps({"docs": samp.count(), "out": args.out}))
+        return 0
+    df = samp.select_columns(["host"]).to_pandas()
+    for host, n in df.groupby("host").size().sort_index().items():
+        print(f"{host}\t{n}")
+    return 0
+
+
+def cmd_stitch(args: argparse.Namespace) -> int:
+    """Directed page-continuation pairs: a's last k tokens == b's first
+    k tokens (doc ids; resolve urls with the resolve verb)."""
+    _init_ray()
+    from raydedup.stages.stitch import stitch_pairs
+
+    t = stitch_pairs(_docs_with_host(args.pages), k=args.k)
+    for a, b in zip(t.column("a").to_pylist(), t.column("b").to_pylist()):
+        print(f"{a}\t{b}")
+    return 0
+
+
+def cmd_normdup(args: argparse.Namespace) -> int:
+    """Exact duplicates modulo typographic normalization."""
+    _init_ray()
+    from raydedup.stages.textnorm import normalized_dup_pairs
+
+    t = normalized_dup_pairs(_docs_with_host(args.pages))
+    for a, b in zip(t.column("a").to_pylist(), t.column("b").to_pylist()):
+        print(f"{a}\t{b}")
+    return 0
+
+
 def cmd_delete(args: argparse.Namespace) -> int:
     from raydedup.pipelines.query import delete_from_index
 
@@ -991,6 +1083,35 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("resolve", help="url -> doc_id")
     s.add_argument("urls", nargs="+")
     s.set_defaults(fn=cmd_resolve)
+
+    s = sub.add_parser("overlap", help="cross-host shingle-overlap matrix")
+    s.add_argument("pages")
+    s.add_argument("--k", type=int, default=5)
+    s.set_defaults(fn=cmd_overlap)
+
+    s = sub.add_parser("hostlines", help="per-host boilerplate lines (report/trim)")
+    s.add_argument("pages")
+    s.add_argument("--out")
+    s.add_argument("--num", type=int, default=1)
+    s.add_argument("--den", type=int, default=2)
+    s.add_argument("--min-docs", type=int, default=2, dest="min_docs")
+    s.set_defaults(fn=cmd_hostlines)
+
+    s = sub.add_parser("mix", help="temperature (sqrt) source-balanced sample by host")
+    s.add_argument("pages")
+    s.add_argument("--out")
+    s.add_argument("--scale-num", type=int, default=1, dest="scale_num")
+    s.add_argument("--scale-den", type=int, default=1, dest="scale_den")
+    s.set_defaults(fn=cmd_mix)
+
+    s = sub.add_parser("stitch", help="tail/head k-token page-continuation pairs")
+    s.add_argument("pages")
+    s.add_argument("--k", type=int, default=8)
+    s.set_defaults(fn=cmd_stitch)
+
+    s = sub.add_parser("normdup", help="exact duplicates modulo normalization")
+    s.add_argument("pages")
+    s.set_defaults(fn=cmd_normdup)
 
     s = sub.add_parser("delete", help="remove docs (by url) from an index")
     s.add_argument("index")

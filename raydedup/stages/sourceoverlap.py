@@ -10,18 +10,20 @@ deciding which sources to keep or down-weight.
 Scale shape:
 
 1. the distinct source list is collected first (tiny by assumption —
-   sources are feeds/crawls, not documents; ≤ 64 enforced) and the
-   source→index map ships in the task closure.
+   sources are feeds/crawls/hosts, not documents; ≤ 4096 enforced so
+   the S² output matrix stays small) and the source→index map ships in
+   the task closure.
 2. per-batch combiner reuses the flagship shingle emission
    (``dupngrams._posting_batches``) with the SOURCE INDEX standing in
    for the doc id, so postings dedup to distinct (shingle, source)
    pairs before the exchange — a batch of near-identical same-source
    pages costs one posting per shingle.
 3. ONE exchange on the shingle hash; each bucket dedups its (shingle,
-   source) pairs, folds each shingle's sources into a u64 bitmask
-   (``bitwise_or.reduceat`` over sh-runs), and emits ONLY per-source
-   distinct counts plus per-pair co-occurrence counts — O(S^2) rows
-   per bucket regardless of shingle volume.
+   source) pairs, builds a 0/1 shingle-run x source membership matrix
+   in row chunks and accumulates ``C = B^T @ B`` — every pairwise
+   co-occurrence count AND the per-source distinct counts (diag) in
+   one BLAS call per chunk, O(S^2) rows per bucket regardless of
+   shingle volume.
 4. the driver sums the tiny per-bucket partials and computes the ONE
    IEEE division per source pair.
 
@@ -74,7 +76,13 @@ def distinct_sources(docs: Dataset, col: str = "source") -> list[str]:
 def _bucket_pair_partial(t: pa.Table, n_src: int) -> pa.Table:
     """bucket (sh, doc_id=src_idx) -> (a, b, n) rows: a==b gives the
     source's distinct-shingle count in this bucket, a<b the pair's
-    co-occurrence count. O(n_src^2) output rows."""
+    co-occurrence count. O(n_src^2) output rows.
+
+    Kernel: 0/1 membership matrix B (shingle-run x source) in row
+    chunks; C = B^T @ B accumulates ALL pairwise co-occurrences at
+    once, and diag(C) the per-source distinct counts — one BLAS call
+    per chunk, no per-pair Python, no source-count cap (chunk rows
+    < 2^24 keep the float32 matmul exact)."""
     if t.num_rows == 0 or t.num_columns == 0:
         return _PART_SCHEMA.empty_table()
     sh = t.column("sh").to_numpy(zero_copy_only=False).view(U64)
@@ -86,36 +94,27 @@ def _bucket_pair_partial(t: pa.Table, n_src: int) -> pa.Table:
     keep[0] = True
     keep[1:] = (sh[1:] != sh[:-1]) | (src[1:] != src[:-1])
     sh, src = sh[keep], src[keep]
-    a_out, b_out, n_out = [], [], []
-    # per-source distinct counts
-    per = np.bincount(src, minlength=n_src)
-    for i in np.flatnonzero(per):
-        a_out.append(i)
-        b_out.append(i)
-        n_out.append(int(per[i]))
-    # per-shingle source bitmask over sh-runs
     new = np.empty(sh.shape[0], dtype=bool)
     new[0] = True
     new[1:] = sh[1:] != sh[:-1]
-    starts = np.flatnonzero(new)
-    masks = np.bitwise_or.reduceat(U64(1) << src.astype(U64), starts)
-    multi = masks[(masks & (masks - U64(1))) != 0]  # ≥2 sources only
-    if multi.shape[0]:
-        for i in range(n_src):
-            with_i = multi[(multi >> U64(i)) & U64(1) == 1]
-            if not with_i.shape[0]:
-                continue
-            for j in range(i + 1, n_src):
-                c = int(((with_i >> U64(j)) & U64(1)).sum())
-                if c:
-                    a_out.append(i)
-                    b_out.append(j)
-                    n_out.append(c)
+    run_id = np.cumsum(new) - 1
+    n_runs = int(run_id[-1]) + 1
+    C = np.zeros((n_src, n_src), dtype=np.int64)
+    chunk = 1 << 16  # run rows per matmul chunk (B stays ~tens of MB)
+    for r0 in range(0, n_runs, chunk):
+        r1 = min(r0 + chunk, n_runs)
+        rows = (run_id >= r0) & (run_id < r1)
+        B = np.zeros((r1 - r0, n_src), dtype=np.float32)
+        B[run_id[rows] - r0, src[rows]] = 1.0
+        C += (B.T @ B).astype(np.int64)
+    iu = np.triu_indices(n_src)
+    vals = C[iu]
+    nz = vals > 0
     return pa.table(
         {
-            "a": pa.array(a_out, pa.int64()),
-            "b": pa.array(b_out, pa.int64()),
-            "n": pa.array(n_out, pa.int64()),
+            "a": pa.array(iu[0][nz].astype(I64), pa.int64()),
+            "b": pa.array(iu[1][nz].astype(I64), pa.int64()),
+            "n": pa.array(vals[nz], pa.int64()),
         }
     )
 
@@ -134,10 +133,11 @@ def source_overlap(
 
     sources = distinct_sources(docs, source_col)
     n_src = len(sources)
-    if n_src > 64:
+    if n_src > 4096:
         raise ValueError(
-            f"source_overlap: {n_src} sources exceed the u64 bitmask; "
-            "pre-bucket sources or raise the mask width"
+            f"source_overlap: {n_src} groups make an O(S^2)={n_src**2} "
+            "output matrix; group by a coarser axis (registered domain, "
+            "source) or pre-bucket"
         )
     src_lut = pa.array(sources, pa.large_string())
 

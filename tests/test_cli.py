@@ -507,3 +507,35 @@ def test_report_verb(ray_session, small_corpus, capsys, monkeypatch):
     assert sum(r["n_docs"] for r in rep["dup_rate_by_lang"]) == 600
     ag = rep["vs_exact_only"]
     assert ag["pairs_same_both"] == ag["pairs_same_b"] <= ag["pairs_same_a"]
+
+
+def test_new_webtext_verbs(ray_session, small_corpus, tmp_path, capsys, monkeypatch):
+    """overlap / hostlines / mix / stitch / normdup verbs run end-to-end
+    over the pages corpus and produce sane output."""
+    import raydedup.cli as cli
+
+    monkeypatch.setattr(cli, "_shutdown_ray", lambda: None)
+    _, paths = small_corpus
+    pages = paths["pages"]
+
+    assert cli.main(["mix", pages, "--scale-num", "2"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out and all("\t" in ln for ln in out)  # host TAB kept-count
+
+    assert cli.main(["overlap", pages, "--k", "5"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out  # >= 2 hosts in the synthetic corpus -> >= 1 pair row
+
+    assert cli.main(["normdup", pages]) == 0
+    nd = capsys.readouterr().out.strip().splitlines()
+    # planted exact dups normalize equal too
+    assert len(nd) >= 1
+
+    assert cli.main(["stitch", pages, "--k", "3"]) == 0
+    capsys.readouterr()
+
+    dst = str(tmp_path / "trimmed")
+    assert cli.main(["hostlines", pages, "--num", "1", "--den", "100",
+                     "--min-docs", "5", "--out", dst]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["docs"] == 600
