@@ -343,6 +343,14 @@ def _q_stitch_pairs(sf_dir: str):
     return stitch_pairs(_read(sf_dir, "documents"), k=3).to_pandas()
 
 
+def _q_stitch_chains(sf_dir: str):
+    """Reassembled page chains over unambiguous stitch edges (k=3):
+    (chain_id=head doc, pos, doc_id) reading order."""
+    from raydedup.stages.stitch import stitch_chains
+
+    return stitch_chains(_read(sf_dir, "documents"), k=3).to_pandas()
+
+
 def _q_temperature_sample(sf_dir: str):
     """Data mixing: source-balanced alpha=0.5 sampling (keep rate
     min(1, 4*isqrt(n_s)/n_s) per source, exact u64 thresholds)."""
@@ -2711,6 +2719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": _q_source_overlap,
         "temperature_sample": _q_temperature_sample,
         "stitch_pairs": _q_stitch_pairs,
+        "stitch_chains": _q_stitch_chains,
         "host_hot_lines": _q_host_hot_lines,
         "host_line_trim": _q_host_line_trim,
         "quality_scores": _q_quality_scores,
@@ -4128,6 +4137,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT x.doc_id AS a, y.doc_id AS b
             FROM ht x JOIN ht y ON x.tail = y.head AND x.doc_id != y.doc_id
             ORDER BY a, b
+        """,
+        # chains: unambiguous-edge filter then a recursive walk from
+        # heads (cycle-free by construction, so the CTE terminates)
+        "stitch_chains": r"""
+            WITH RECURSIVE t1 AS (
+              SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY pos) rn,
+                     count(*) OVER (PARTITION BY doc_id) cnt
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+                           generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+                    FROM documents WHERE length(trim(text)) > 0)
+            ),
+            ht AS (
+              SELECT doc_id,
+                     string_agg(CASE WHEN rn <= 3 THEN w END, ' ' ORDER BY rn) AS head,
+                     string_agg(CASE WHEN rn > cnt - 3 THEN w END, ' ' ORDER BY rn) AS tail
+              FROM t1 WHERE cnt >= 3 GROUP BY doc_id
+            ),
+            e AS (
+              SELECT x.doc_id AS a, y.doc_id AS b
+              FROM ht x JOIN ht y ON x.tail = y.head AND x.doc_id != y.doc_id
+            ),
+            ua AS (SELECT a FROM e GROUP BY a HAVING count(*) = 1),
+            ub AS (SELECT b FROM e GROUP BY b HAVING count(*) = 1),
+            k AS (SELECT e.a, e.b FROM e JOIN ua USING (a) JOIN ub USING (b)),
+            heads AS (SELECT a FROM k WHERE a NOT IN (SELECT b FROM k)),
+            chain AS (
+              SELECT a AS chain_id, CAST(0 AS BIGINT) AS pos, a AS doc_id FROM heads
+              UNION ALL
+              SELECT c.chain_id, c.pos + 1, k.b
+              FROM chain c JOIN k ON k.a = c.doc_id
+            )
+            SELECT CAST(chain_id AS BIGINT) AS chain_id, pos,
+                   CAST(doc_id AS BIGINT) AS doc_id
+            FROM chain ORDER BY chain_id, pos
         """,
         # temperature mixing: corrected floor(sqrt) == isqrt exactly,
         # HUGEINT threshold arithmetic mirrors the driver's big-int math

@@ -159,3 +159,75 @@ def stitch_pairs(
     return pa.table(
         {"a": pa.array(a[order], pa.int64()), "b": pa.array(b[order], pa.int64())}
     )
+
+
+CHAIN_SCHEMA = pa.schema(
+    [("chain_id", pa.int64()), ("pos", pa.int64()), ("doc_id", pa.int64())]
+)
+
+
+def stitch_chains(
+    docs: Dataset,
+    *,
+    k: int = 8,
+    max_run: int = 64,
+    max_len: int = 1024,
+) -> pa.Table:
+    """Reassembled page chains: (chain_id, pos, doc_id) reading order.
+
+    Over the directed stitch edge set, only UNAMBIGUOUS edges survive
+    (a has exactly one successor and b exactly one predecessor — a
+    boilerplate tail matching many heads is noise, not a continuation);
+    the remainder is a union of simple paths and cycles. Chains are
+    emitted from each head (a doc that is nobody's continuation),
+    chain_id = head doc_id; pure cycles have no head and emit nothing
+    (two identical docs pointing at each other are dedup's business,
+    not stitching's). ``max_len`` bounds the walk against pathological
+    chains.
+
+    The edge set is the stitch report (O(continuations), driver-small);
+    the walk is vectorized across chains — one searchsorted round per
+    chain POSITION, not per chain.
+    """
+    edges = stitch_pairs(docs, k=k, max_run=max_run)
+    if edges.num_rows == 0:
+        return CHAIN_SCHEMA.empty_table()
+    a = edges.column("a").to_numpy(zero_copy_only=False)
+    b = edges.column("b").to_numpy(zero_copy_only=False)
+    # unique successor / unique predecessor filter
+    ua, ca = np.unique(a, return_counts=True)
+    ub, cb = np.unique(b, return_counts=True)
+    ok_a = np.isin(a, ua[ca == 1])
+    ok_b = np.isin(b, ub[cb == 1])
+    a, b = a[ok_a & ok_b], b[ok_a & ok_b]
+    if a.shape[0] == 0:
+        return CHAIN_SCHEMA.empty_table()
+    order = np.argsort(a, kind="stable")
+    a_s, b_s = a[order], b[order]
+    heads = a_s[~np.isin(a_s, b_s)]
+    if heads.shape[0] == 0:
+        return CHAIN_SCHEMA.empty_table()
+    chains, poss, docs_out = [], [], []
+    cur = heads.copy()
+    cid = heads.copy()
+    pos = 0
+    while cur.shape[0] and pos < max_len:
+        chains.append(cid)
+        poss.append(np.full(cur.shape[0], pos, dtype=np.int64))
+        docs_out.append(cur)
+        nxt = np.searchsorted(a_s, cur)
+        nxt[nxt == a_s.shape[0]] = 0
+        hit = a_s[nxt] == cur
+        cid, cur = cid[hit], b_s[nxt[hit]]
+        pos += 1
+    out = pa.table(
+        {
+            "chain_id": pa.array(np.concatenate(chains), pa.int64()),
+            "pos": pa.array(np.concatenate(poss), pa.int64()),
+            "doc_id": pa.array(np.concatenate(docs_out), pa.int64()),
+        }
+    )
+    idx = np.lexsort(
+        (out.column("pos").to_numpy(), out.column("chain_id").to_numpy())
+    )
+    return out.take(pa.array(idx))

@@ -70,3 +70,33 @@ def test_empty(ray_session):
     out = stitch_pairs(_docs([(1, "a b"), (2, "")]), k=3)
     assert out.num_rows == 0
     assert out.schema.names == ["a", "b"]
+
+
+def test_chains(ray_session):
+    from raydedup.stages.stitch import stitch_chains
+
+    rows = [
+        # chain: 1 -> 2 -> 3 via unique 3-gram links
+        (1, "start of one alpha beta gamma"),
+        (2, "alpha beta gamma middle part delta epsilon zeta"),
+        (3, "delta epsilon zeta the ending words"),
+        # ambiguous: 4 and 5 both continue into 6's head -> dropped
+        (4, "first variant common link here"),
+        (5, "second variant common link here"),
+        (6, "common link here continues onward now"),
+        # pure 2-cycle: 7 <-> 8 (no head) -> no chain
+        (7, "loop one cyc a b c loop two"),
+        (8, "loop two cyc d e f loop one"),
+    ]
+    out = stitch_chains(_docs(rows, 3), k=3).to_pydict()
+    assert out["chain_id"] == [1, 1, 1]
+    assert out["pos"] == [0, 1, 2]
+    assert out["doc_id"] == [1, 2, 3]
+
+
+def test_chains_empty(ray_session):
+    from raydedup.stages.stitch import stitch_chains
+
+    out = stitch_chains(_docs([(1, "a b c d e")]), k=3)
+    assert out.num_rows == 0
+    assert out.schema.names == ["chain_id", "pos", "doc_id"]
