@@ -2439,6 +2439,16 @@ def _q_minhash_b1(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_b1_neardup(sf_dir: str):
+    """Near-dup pairs off the 16 B/doc 1-bit signature store: 8x16-bit
+    band LSH + 128-bit Hamming acceptance (J = 2m-1 estimator)."""
+    from raydedup.config import DedupConfig
+    from raydedup.stages.b1dedup import b1_neardup_pairs
+
+    cfg = DedupConfig(batch_size=1024, minhash_scheme="oph")
+    return b1_neardup_pairs(_docs(sf_dir), cfg, hamming_max=12).to_pandas()
+
+
 def _q_lsh_candidates(sf_dir: str):
     """J1: LSH band-collision candidate pairs with collision counts."""
     from raydedup.config import DedupConfig
@@ -2816,6 +2826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": _q_minhash_signatures,
         "minhash_oph": _q_minhash_oph,
         "minhash_b1": _q_minhash_b1,
+        "b1_neardup": _q_b1_neardup,
         "lsh_candidates": _q_lsh_candidates,
         "simhash_pairs": _q_simhash_pairs,
         "lang_id": _q_lang_id,
@@ -4077,7 +4088,39 @@ def _curate_status_ctes():
 
 
 def oracle_sql() -> dict[str, str]:
+    # shared 1-bit pack over the OPH signature matrix (minhash_b1 /
+    # b1_neardup): LSBs little-endian within two u64 words
+    b1_pack = f"""
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN perm_idx < 64 THEN ((CAST(sig AS UBIGINT) & 1) << perm_idx) ELSE 0::UBIGINT END) AS UBIGINT) AS lo_u,
+                   CAST(sum(CASE WHEN perm_idx >= 64 THEN ((CAST(sig AS UBIGINT) & 1) << (perm_idx - 64)) ELSE 0::UBIGINT END) AS UBIGINT) AS hi_u
+            FROM ({q_minhash_oph_sql()}) o
+            GROUP BY doc_id
+    """
     d = {
+        # band LSH over the b1 pack + Hamming acceptance; no run cap in
+        # the mirror (a >256-doc identical 16-bit slice cannot occur at
+        # oracle scale, so the kernel's cap never fires there)
+        "b1_neardup": f"""
+            WITH u AS ({b1_pack}),
+            bands AS (
+              SELECT doc_id, lo_u, hi_u, g.band,
+                     CASE WHEN g.band < 4 THEN (lo_u >> (16*g.band)) & 65535
+                          ELSE (hi_u >> (16*(g.band-4))) & 65535 END AS slice
+              FROM u CROSS JOIN (SELECT CAST(unnest(range(8)) AS INT) AS band) g
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                     x.lo_u AS la, x.hi_u AS ha, y.lo_u AS lb, y.hi_u AS hb
+              FROM bands x JOIN bands y
+                ON x.band = y.band AND x.slice = y.slice AND x.doc_id < y.doc_id
+            )
+            SELECT a, b,
+                   CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 12
+            ORDER BY a, b
+        """,
         "exact_dup_pairs": """
             SELECT CAST(min(doc_id) OVER (PARTITION BY text) AS BIGINT) AS a,
                    CAST(doc_id AS BIGINT) AS b
