@@ -838,6 +838,26 @@ def cmd_stitch(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_b1dedup(args: argparse.Namespace) -> int:
+    """Near-dup pairs off the 16 B/doc 1-bit signature store (banded
+    Hamming LSH; cheaper store, coarser estimator than the flagship)."""
+    _init_ray()
+    from raydedup.sources.pages import pages_to_docs, read_pages
+    from raydedup.stages.b1dedup import b1_neardup_pairs
+
+    files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
+    t = b1_neardup_pairs(
+        pages_to_docs(read_pages(files)),
+        _cfg_from_args(args),
+        hamming_max=args.hamming_max,
+    )
+    for a, b, h in zip(
+        t.column("a").to_pylist(), t.column("b").to_pylist(), t.column("hamming").to_pylist()
+    ):
+        print(f"{a}\t{b}\t{h}")
+    return 0
+
+
 def cmd_normdup(args: argparse.Namespace) -> int:
     """Exact duplicates modulo typographic normalization."""
     _init_ray()
@@ -1112,6 +1132,12 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("normdup", help="exact duplicates modulo normalization")
     s.add_argument("pages")
     s.set_defaults(fn=cmd_normdup)
+
+    s = sub.add_parser("b1dedup", help="near-dup pairs via 1-bit minhash store")
+    s.add_argument("pages")
+    s.add_argument("--hamming-max", type=int, default=12, dest="hamming_max")
+    s.add_argument("--set", action="append", metavar="KEY=VALUE")
+    s.set_defaults(fn=cmd_b1dedup)
 
     s = sub.add_parser("delete", help="remove docs (by url) from an index")
     s.add_argument("index")

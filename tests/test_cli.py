@@ -539,3 +539,15 @@ def test_new_webtext_verbs(ray_session, small_corpus, tmp_path, capsys, monkeypa
                      "--min-docs", "5", "--out", dst]) == 0
     info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["docs"] == 600
+
+
+def test_b1dedup_verb(ray_session, small_corpus, capsys, monkeypatch):
+    import raydedup.cli as cli
+
+    monkeypatch.setattr(cli, "_shutdown_ray", lambda: None)
+    _, paths = small_corpus
+    assert cli.main(["b1dedup", paths["pages"], "--hamming-max", "16"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out, "planted dups must surface through the b1 store"
+    a, b, h = out[0].split("\t")
+    assert int(a) < int(b) and 0 <= int(h) <= 16
