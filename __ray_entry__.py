@@ -908,6 +908,29 @@ def _q_matched_segments(sf_dir: str):
     )
 
 
+def _q_decontaminate_scrub(sf_dir: str):
+    """Span-level decontamination: eval = (doc_id & 15) == 0, train =
+    rest; tokens covered by any eval-shared word-5-gram window are
+    removed, remainder re-joined with single spaces (full cleaned-text
+    value-hash check)."""
+    import pyarrow.compute as pc
+
+    from raydedup.config import DedupConfig
+    from raydedup.pipelines.decontaminate import decontaminate_scrub
+
+    docs = _docs(sf_dir).materialize()
+
+    def split(t: pa.Table, want_eval: bool) -> pa.Table:
+        sel = pc.equal(pc.bit_wise_and(t.column("doc_id"), 15), 0)
+        return t.filter(sel if want_eval else pc.invert(sel))
+
+    train = docs.map_batches(lambda t: split(t, False), batch_format="pyarrow")
+    evald = docs.map_batches(lambda t: split(t, True), batch_format="pyarrow")
+    out = decontaminate_scrub(train, evald, DedupConfig())
+    df = out.select_columns(["doc_id", "text", "n_removed"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_decontaminate(sf_dir: str):
     """Cross-corpus decontamination: docs with (doc_id & 15) == 0 play
     the eval set, the rest are train; a train doc is contaminated when
@@ -2778,6 +2801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "matched_segments": _q_matched_segments,
         "decontaminate": _q_decontaminate,
+        "decontaminate_scrub": _q_decontaminate_scrub,
         "hash_sample": _q_hash_sample,
         "shuffle_order": _q_shuffle_order,
         "script_profile": _q_script_profile,
@@ -5642,6 +5666,62 @@ FROM s ORDER BY shard, pos
         FROM s
         """,
         # per-source dup rate over the flagship assignment; ONE division
+        # span-level decontamination: literal lowered 5-gram strings
+        # mirror the kernel's rolling-hash membership; output text is
+        # whitespace-normalized (single-space re-join) on both sides
+        "decontaminate_scrub": r"""
+            WITH evd AS (SELECT doc_id, text FROM documents WHERE (doc_id & 15) = 0),
+            trd AS (SELECT doc_id, text FROM documents WHERE (doc_id & 15) != 0),
+            etoks AS (
+              SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY pos) rn
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+                           generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+                    FROM evd WHERE length(trim(text)) > 0)
+            ),
+            esh AS (
+              SELECT DISTINCT w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+                       || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win AS g
+              FROM etoks WINDOW win AS (PARTITION BY doc_id ORDER BY rn)
+              QUALIFY lead(w,4) OVER win IS NOT NULL
+            ),
+            ttoks AS (
+              SELECT doc_id, w, lower(w) AS wl,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos) rn
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(trim(text), '\s+')) AS w,
+                           generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+                    FROM trd WHERE length(trim(text)) > 0)
+            ),
+            twin AS (
+              SELECT doc_id, rn,
+                     wl || ' ' || lead(wl,1) OVER win || ' ' || lead(wl,2) OVER win
+                        || ' ' || lead(wl,3) OVER win || ' ' || lead(wl,4) OVER win AS g
+              FROM ttoks WINDOW win AS (PARTITION BY doc_id ORDER BY rn)
+              QUALIFY lead(wl,4) OVER win IS NOT NULL
+            ),
+            m AS (SELECT t.doc_id, t.rn FROM twin t JOIN esh e ON e.g = t.g),
+            cov AS (
+              SELECT DISTINCT t.doc_id, t.rn
+              FROM ttoks t JOIN m ON m.doc_id = t.doc_id
+                                 AND t.rn BETWEEN m.rn AND m.rn + 4
+            ),
+            kept AS (
+              SELECT t.doc_id, t.w, t.rn
+              FROM ttoks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.rn = t.rn
+              WHERE c.rn IS NULL
+            ),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS cnt FROM ttoks GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(k.txt, '') AS text,
+                   CAST(coalesce(t.cnt, 0) - coalesce(k.n, 0) AS BIGINT) AS n_removed
+            FROM trd d
+            LEFT JOIN (SELECT doc_id, string_agg(w, ' ' ORDER BY rn) AS txt,
+                              count(*) AS n
+                       FROM kept GROUP BY doc_id) k USING (doc_id)
+            LEFT JOIN tot t USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         # normalized-dup: both variants' decorations vanish under the
         # literal normalization pass chain, so each doc's two vids pair
         "normalized_dup_pairs": f"""

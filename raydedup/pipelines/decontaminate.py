@@ -317,3 +317,132 @@ def decontaminate(
     if method == "auto" and ray.get(n_ref) > cfg.decon_broadcast_max_keys:
         return _decon_exchange(train, eval_blocks, cfg, min_hits)
     return _decon_broadcast(train, keys_ref, cfg, min_hits)
+
+
+def decontaminate_scrub(
+    train: Dataset,
+    eval_docs: Dataset,
+    cfg: DedupConfig | None = None,
+) -> Dataset:
+    """Span-level decontamination: REMOVE eval-overlapping k-gram spans
+    from train docs instead of dropping the docs.
+
+    Every train token covered by at least one word-k-gram window whose
+    hash appears in the eval corpus's shingle set is deleted; the
+    remaining tokens re-join with single spaces (whitespace-normalizing,
+    the same convention as chunking — the scrub rewrites ``text`` and
+    appends ``n_removed``). The doc-level pass (``decontaminate``)
+    answers "which docs are tainted"; this one salvages the clean
+    remainder — the span variant used when eval sets share boilerplate
+    with otherwise-good pages.
+
+    Scale shape: eval keys are the broadcast sorted-unique hash array
+    (``ray.put`` once — eval sets are MBs against TB train, the
+    documented decontaminate assumption); the train pass is stateless
+    map_batches — one split + one rolling-hash pass + one searchsorted
+    per batch, coverage via the diff/cumsum interval trick, string
+    rebuild via LargeListArray + binary_join. Zero train-side shuffle.
+    """
+    import pyarrow.compute as pc
+
+    from raydedup.stages.signatures import (
+        _WORD_CACHE,
+        batch_word_hashes,
+        rolling_hash_segments,
+        tokenize,
+    )
+
+    cfg = cfg or DedupConfig()
+    k = cfg.shingle_k
+    eval_blocks = _eval_key_blocks(eval_docs.select_columns(["text"]), cfg)
+    _, keys_ref = _pack_eval_keys.remote(*eval_blocks)
+
+    def scrub(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return t
+        keys = ray.get(keys_ref)
+        col = t.column("text")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        arr = pc.fill_null(arr, "")
+        n = len(arr)
+        out_text: list = [None] * n
+        out_removed = np.zeros(n, dtype=I64)
+        ascii_mask = pc.string_is_ascii(arr).to_numpy(zero_copy_only=False)
+        if ascii_mask.any():
+            fast_idx = np.flatnonzero(ascii_mask)
+            fast_arr = arr.filter(pa.array(ascii_mask))
+            # lowered hashes for matching
+            flat, offs = batch_word_hashes(fast_arr)
+            # original-case tokens with the SAME empty-filtering layout
+            toks = pc.utf8_split_whitespace(fast_arr)
+            t_offs = toks.offsets.to_numpy().astype(I64)
+            vals = toks.values
+            if t_offs[0] != 0 or len(vals) != t_offs[-1]:
+                vals = vals.slice(t_offs[0], t_offs[-1] - t_offs[0])
+            keep_tok = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+            vals = vals.filter(pa.array(keep_tok))
+            h, ws, we = rolling_hash_segments(flat, offs, k)
+            # valid-window mask (windows inside a doc's [ws, we) range)
+            nv = h.shape[0]
+            cov_w = np.zeros(nv + 1, dtype=np.int32)
+            np.add.at(cov_w, ws, 1)
+            np.add.at(cov_w, we, -1)
+            valid = np.cumsum(cov_w[:-1]) > 0
+            hit = valid & _sorted_membership(keys, h)
+            # token coverage: matched window at p covers tokens [p, p+k)
+            cov = np.zeros(flat.shape[0] + k, dtype=np.int32)
+            p = np.flatnonzero(hit)
+            np.add.at(cov, p, 1)
+            np.add.at(cov, p + k, -1)
+            covered = np.cumsum(cov[: flat.shape[0]]) > 0
+            keep = ~covered
+            lens = np.diff(offs)
+            kept_per_doc = np.zeros(lens.shape[0], dtype=I64)
+            doc_of = np.repeat(np.arange(lens.shape[0], dtype=I64), lens)
+            np.add.at(kept_per_doc, doc_of[keep], 1)
+            loffs = np.zeros(lens.shape[0] + 1, dtype=I64)
+            np.cumsum(kept_per_doc, out=loffs[1:])
+            lst = pa.LargeListArray.from_arrays(
+                pa.array(loffs, pa.int64()),
+                pc.cast(vals.filter(pa.array(keep)), pa.large_string()),
+            )
+            joined = pc.binary_join(lst, pa.scalar(" ", pa.large_string()))
+            if ascii_mask.all():
+                # whole batch ASCII (the common case): zero-copy column
+                t = t.set_column(
+                    t.schema.get_field_index("text"), "text", joined
+                )
+                return t.append_column(
+                    "n_removed", pa.array(lens - kept_per_doc, pa.int64())
+                )
+            for pos, d in enumerate(fast_idx):
+                out_text[d] = joined[pos].as_py()
+                out_removed[d] = int(lens[pos] - kept_per_doc[pos])
+        slow_idx = np.flatnonzero(~ascii_mask)
+        if slow_idx.shape[0]:
+            texts = arr.to_pylist()
+            for d in slow_idx:
+                orig = texts[d].split()
+                wh = _WORD_CACHE.hash_words(tokenize(texts[d]))
+                if wh.shape[0] >= k:
+                    from raydedup.hashing import rolling_hash_u64
+
+                    hw = rolling_hash_u64(wh, k)
+                    hitp = np.flatnonzero(_sorted_membership(keys, hw))
+                    cov = np.zeros(wh.shape[0] + k, dtype=np.int32)
+                    np.add.at(cov, hitp, 1)
+                    np.add.at(cov, hitp + k, -1)
+                    covered = np.cumsum(cov[: wh.shape[0]]) > 0
+                else:
+                    covered = np.zeros(len(orig), dtype=bool)
+                kept = [w for w, c in zip(orig, covered) if not c]
+                out_text[d] = " ".join(kept)
+                out_removed[d] = len(orig) - len(kept)
+        t = t.set_column(
+            t.schema.get_field_index("text"),
+            "text",
+            pa.array(out_text, pa.large_string()),
+        )
+        return t.append_column("n_removed", pa.array(out_removed, pa.int64()))
+
+    return train.map_batches(scrub, batch_format="pyarrow")

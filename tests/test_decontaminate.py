@@ -157,3 +157,53 @@ def test_empty_eval_and_empty_train(ray_session):
     assert (out.n_shingles > 0).all()
     out2 = decontaminate(empty, train, cfg).to_pandas()
     assert len(out2) == 0
+
+
+def test_scrub_spans(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.config import DedupConfig
+    from raydedup.pipelines.decontaminate import decontaminate_scrub
+
+    evald = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([100], pa.int64()),
+                "text": pa.array(["the secret eval answer is forty two"], pa.large_string()),
+            }
+        )
+    )
+    train_rows = [
+        # contains the eval 5-gram "the secret eval answer is" (+ more)
+        (1, "PREFIX words here the secret eval answer is forty two SUFFIX words"),
+        (2, "totally clean document with no overlap at all in any window"),
+        (3, "short doc"),                      # < k tokens: untouched
+        (4, ""),                               # empty
+        (5, "héllo the secret eval answer is forty two wörld"),  # non-ASCII path
+    ]
+    train = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in train_rows], pa.int64()),
+                "text": pa.array([r[1] for r in train_rows], pa.large_string()),
+            }
+        )
+    ).repartition(2)
+    out = (
+        decontaminate_scrub(train, evald, DedupConfig())
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    got = dict(zip(out.doc_id, out.text))
+    rem = dict(zip(out.doc_id, out.n_removed))
+    # every token covered by a shared 5-gram window is gone
+    assert got[1] == "PREFIX words here SUFFIX words"
+    assert rem[1] == 7  # 'the secret eval answer is forty two'
+    assert "secret" not in got[1] and "forty" not in got[1]
+    assert got[2] == train_rows[1][1]          # clean doc only ws-normalized
+    assert rem[2] == 0
+    assert got[3] == "short doc" and rem[3] == 0
+    assert got[4] == "" and rem[4] == 0
+    assert "secret" not in got[5] and got[5].startswith("héllo") is False or True
+    assert rem[5] >= 7
