@@ -388,6 +388,17 @@ def _q_host_line_trim(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_source_clusters(sf_dir: str):
+    """Mirror/syndication clusters over the source-overlap matrix:
+    transitive merge at Jaccard >= 1/50 (exact integer threshold),
+    cluster_rep = lexicographically smallest member."""
+    from raydedup.stages.sourceoverlap import source_clusters
+
+    return source_clusters(
+        _read(sf_dir, "documents"), tau_num=1, tau_den=50
+    ).to_pandas()
+
+
 def _q_quality_scores(sf_dir: str):
     """Text analysis: punctuation/digit ratios + mean word length."""
     from raydedup.stages.textstats import quality_score_batch
@@ -2753,6 +2764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample": _q_temperature_sample,
         "stitch_pairs": _q_stitch_pairs,
         "stitch_chains": _q_stitch_chains,
+        "source_clusters": _q_source_clusters,
         "host_hot_lines": _q_host_hot_lines,
         "host_line_trim": _q_host_line_trim,
         "quality_scores": _q_quality_scores,
@@ -4121,6 +4133,33 @@ def oracle_sql() -> dict[str, str]:
             FROM ({q_minhash_oph_sql()}) o
             GROUP BY doc_id
     """
+    src_overlap_sql = _SHINGLES_CTE + """,
+            ss AS (
+              SELECT DISTINCT d.source AS src, s.shingle
+              FROM sh s JOIN documents d USING (doc_id)
+            ),
+            sz AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY src),
+            srcs AS (SELECT DISTINCT source AS src FROM documents),
+            com AS (
+              SELECT x.src AS src_a, y.src AS src_b, CAST(count(*) AS BIGINT) AS n_common
+              FROM ss x JOIN ss y ON x.shingle = y.shingle AND x.src < y.src
+              GROUP BY 1, 2
+            )
+            SELECT p.src_a, p.src_b,
+                   coalesce(za.n, 0) AS n_a, coalesce(zb.n, 0) AS n_b,
+                   coalesce(c.n_common, 0) AS n_common,
+                   CASE WHEN coalesce(za.n,0) + coalesce(zb.n,0) - coalesce(c.n_common,0) = 0
+                        THEN 0.0
+                        ELSE coalesce(c.n_common, 0) * 1.0
+                             / (coalesce(za.n,0) + coalesce(zb.n,0) - coalesce(c.n_common,0))
+                   END AS jaccard
+            FROM (SELECT x.src AS src_a, y.src AS src_b
+                  FROM srcs x JOIN srcs y ON x.src < y.src) p
+            LEFT JOIN com c ON c.src_a = p.src_a AND c.src_b = p.src_b
+            LEFT JOIN sz za ON za.src = p.src_a
+            LEFT JOIN sz zb ON zb.src = p.src_b
+            ORDER BY p.src_a, p.src_b
+        """
     d = {
         # band LSH over the b1 pack + Hamming acceptance; no run cap in
         # the mirror (a >256-doc identical 16-bit slice cannot occur at
@@ -4314,32 +4353,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # exact string-level mirror of the hash-level kernel (collision
         # odds negligible — same accepted assumption as dup_ngram_fraction)
-        "source_overlap": _SHINGLES_CTE + """,
-            ss AS (
-              SELECT DISTINCT d.source AS src, s.shingle
-              FROM sh s JOIN documents d USING (doc_id)
+        "source_overlap": src_overlap_sql,
+        # transitive closure at the integer Jaccard threshold; UNION
+        # (not UNION ALL) dedups the frontier so the recursion halts
+        "source_clusters": f"""
+            WITH RECURSIVE ov AS ({src_overlap_sql}),
+            e AS (
+              SELECT src_a AS a, src_b AS b FROM ov
+              WHERE n_common > 0 AND 50 * n_common >= 1 * (n_a + n_b - n_common)
+              UNION ALL
+              SELECT src_b, src_a FROM ov
+              WHERE n_common > 0 AND 50 * n_common >= 1 * (n_a + n_b - n_common)
             ),
-            sz AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY src),
-            srcs AS (SELECT DISTINCT source AS src FROM documents),
-            com AS (
-              SELECT x.src AS src_a, y.src AS src_b, CAST(count(*) AS BIGINT) AS n_common
-              FROM ss x JOIN ss y ON x.shingle = y.shingle AND x.src < y.src
-              GROUP BY 1, 2
+            srcs AS (SELECT DISTINCT source AS s FROM documents),
+            walk AS (
+              SELECT s, s AS reach FROM srcs
+              UNION
+              SELECT w.s, e.b FROM walk w JOIN e ON e.a = w.reach
             )
-            SELECT p.src_a, p.src_b,
-                   coalesce(za.n, 0) AS n_a, coalesce(zb.n, 0) AS n_b,
-                   coalesce(c.n_common, 0) AS n_common,
-                   CASE WHEN coalesce(za.n,0) + coalesce(zb.n,0) - coalesce(c.n_common,0) = 0
-                        THEN 0.0
-                        ELSE coalesce(c.n_common, 0) * 1.0
-                             / (coalesce(za.n,0) + coalesce(zb.n,0) - coalesce(c.n_common,0))
-                   END AS jaccard
-            FROM (SELECT x.src AS src_a, y.src AS src_b
-                  FROM srcs x JOIN srcs y ON x.src < y.src) p
-            LEFT JOIN com c ON c.src_a = p.src_a AND c.src_b = p.src_b
-            LEFT JOIN sz za ON za.src = p.src_a
-            LEFT JOIN sz zb ON zb.src = p.src_b
-            ORDER BY p.src_a, p.src_b
+            SELECT s AS source, min(reach) AS cluster_rep
+            FROM walk GROUP BY s ORDER BY s
         """,
         # char semantics: DuckDB substring/length are codepoint-based,
         # matching the kernel's utf-32 decode; UTF-8 binary string order

@@ -176,3 +176,60 @@ def source_overlap(
             rows["n_common"].append(int(n_c[i, j]))
             rows["jaccard"].append(n_c[i, j] / union if union else 0.0)
     return pa.table(rows, schema=OUT_SCHEMA)
+
+
+def source_clusters(
+    docs: Dataset,
+    *,
+    k: int = 5,
+    source_col: str = "source",
+    tau_num: int = 1,
+    tau_den: int = 50,
+) -> pa.Table:
+    """Group sources into mirror/syndication clusters: sources whose
+    pairwise shingle-set Jaccard meets ``tau_num/tau_den`` (exact
+    integer cross-multiplication: ``tau_den * n_common >= tau_num *
+    union``) are merged transitively; each source reports its
+    component's lexicographically-smallest member as ``cluster_rep``.
+
+    The source-level analog of the flagship's doc clustering — read
+    before choosing which mirrors to drop. The pairwise matrix is the
+    ``source_overlap`` exchange output (O(S^2), driver-small by the
+    same ≤4096 guard), so the union-find here is plain driver Python
+    over a report-sized table, never over documents.
+    """
+    ov = source_overlap(docs, k=k, source_col=source_col)
+    srcs = sorted(
+        set(ov.column("src_a").to_pylist())
+        | set(ov.column("src_b").to_pylist())
+        | set(distinct_sources(docs, source_col))
+    )
+    parent = {s: s for s in srcs}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, na, nb, nc in zip(
+        ov.column("src_a").to_pylist(),
+        ov.column("src_b").to_pylist(),
+        ov.column("n_a").to_pylist(),
+        ov.column("n_b").to_pylist(),
+        ov.column("n_common").to_pylist(),
+    ):
+        union = na + nb - nc
+        if nc > 0 and tau_den * nc >= tau_num * union:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # keep the smaller string as root so rep = min member
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    reps = {s: find(s) for s in srcs}
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.large_string()),
+            "cluster_rep": pa.array([reps[s] for s in srcs], pa.large_string()),
+        }
+    )

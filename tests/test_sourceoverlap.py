@@ -84,3 +84,21 @@ def test_single_source(ray_session):
     out = source_overlap(_docs([(1, "a b c d e f g", "only")]))
     assert out.num_rows == 0
     assert out.schema.names == ["src_a", "src_b", "n_a", "n_b", "n_common", "jaccard"]
+
+
+def test_source_clusters(ray_session):
+    from raydedup.stages.sourceoverlap import source_clusters
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "m1"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota", "m2"),   # mirrors m1
+        (3, "alpha beta gamma delta epsilon zeta eta kappa", "m3"),  # mirrors m2 and m1
+        (4, "one two three four five six seven eight nine", "solo"),
+    ]
+    out = source_clusters(_docs(rows), tau_num=1, tau_den=3).to_pydict()
+    rep = dict(zip(out["source"], out["cluster_rep"]))
+    assert rep["m1"] == rep["m2"] == rep["m3"] == "m1"  # transitive merge, min rep
+    assert rep["solo"] == "solo"
+    # high threshold: nothing merges
+    out2 = source_clusters(_docs(rows), tau_num=99, tau_den=100).to_pydict()
+    assert all(s == r for s, r in zip(out2["source"], out2["cluster_rep"]))
