@@ -2533,6 +2533,62 @@ def _q_lang_id(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_lang_confusion(sf_dir: str):
+    """Classifier QA: confusion counts of the stored lang label vs the
+    heuristic lang_id prediction — per (lang, lang_pred) doc counts."""
+    from raydedup.stages.textstats import LangIdKernel
+
+    ds = _read(sf_dir, "documents").map_batches(
+        LangIdKernel, batch_format="pyarrow", concurrency=2
+    )
+
+    def part(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "lang": pc.cast(t.column("lang"), pa.large_string()),
+                    "lang_pred": pc.cast(t.column("lang_pred"), pa.large_string()),
+                }
+            )
+            .group_by(["lang", "lang_pred"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "lang_pred", "n"])
+        )
+        return g
+
+    parts = ds.select_columns(["lang", "lang_pred"]).map_batches(
+        part, batch_format="pyarrow"
+    )
+    df = parts.to_pandas().groupby(["lang", "lang_pred"], as_index=False)["n"].sum()
+    df["n_docs"] = df.pop("n").astype("int64")
+    return df.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
+def _q_length_gate(sf_dir: str):
+    """Quantile gating: drop the shortest token-count quartile — the
+    exact corpus P25 (value-count exchange, integer ranks) broadcast as
+    a threshold into a stateless filter. Keeps docs with
+    n_tokens >= P25."""
+    import ray
+
+    from raydedup.stages.quantiles import exact_quantiles
+    from raydedup.stages.textstats import token_count_batch
+
+    toks = _read(sf_dir, "documents").map_batches(
+        lambda t: token_count_batch(t).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    ).materialize()
+    q25 = exact_quantiles(toks, "n_tokens", pcts=(25,))
+    thr = int(q25.column("value")[0].as_py())
+    thr_ref = ray.put(thr)
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n_tokens"), ray.get(thr_ref)))
+
+    out = toks.map_batches(keep, batch_format="pyarrow")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_doc_fingerprints(sf_dir: str):
     """M6/M7: content hash + rolling fingerprint per doc."""
     from raydedup.stages.textstats import doc_fingerprint_batch
@@ -2866,6 +2922,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_candidates": _q_lsh_candidates,
         "simhash_pairs": _q_simhash_pairs,
         "lang_id": _q_lang_id,
+        "lang_confusion": _q_lang_confusion,
+        "length_gate": _q_length_gate,
         "doc_fingerprints": _q_doc_fingerprints,
         "knn_cosine_ivf": _q_knn_cosine_ivf,
         "knn_cosine_lsh": _q_knn_cosine_lsh,
@@ -4862,6 +4920,24 @@ def oracle_sql() -> dict[str, str]:
         # exact lower-discrete percentiles; integer rank arithmetic
         # ((pct*n + 99) // 100) on both sides — no float boundary to
         # disagree over
+        "length_gate": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+              FROM documents
+            ),
+            c AS (SELECT n_tokens AS v, count(*) AS c FROM tk GROUP BY v),
+            cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cc FROM c),
+            n AS (SELECT count(*) AS n FROM tk),
+            thr AS (
+              SELECT min(cum.v) AS t FROM cum CROSS JOIN n
+              WHERE cum.cc >= greatest((25 * n.n + 99) // 100, 1)
+            )
+            SELECT tk.doc_id, CAST(tk.n_tokens AS BIGINT) AS n_tokens
+            FROM tk CROSS JOIN thr WHERE tk.n_tokens >= thr.t
+            ORDER BY tk.doc_id
+        """,
         "len_quantiles": """
             WITH p(pct) AS (SELECT unnest([25, 50, 90, 99])),
             c AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY v),
@@ -6029,6 +6105,11 @@ FROM s ORDER BY shard, pos
         "lsh_candidates": q_lsh_candidates(),
         "simhash_pairs": q_simhash_pairs(),
         "lang_id": q_lang_id(),
+        "lang_confusion": f"""
+            SELECT d.lang, l.lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents d JOIN ({q_lang_id()}) l USING (doc_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "doc_fingerprints": q_doc_fingerprints(),
         "containment_winnowed": q_containment_winnowed(),
         "monitor_windows": q_monitor_sql(),
