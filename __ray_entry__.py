@@ -351,6 +351,15 @@ def _q_stitch_chains(sf_dir: str):
     return stitch_chains(_read(sf_dir, "documents"), k=3).to_pandas()
 
 
+def _q_stitch_merge(sf_dir: str):
+    """Materialized chain reassembly (k=3): one merged whitespace-
+    normalized text per chain, continuations contributing everything
+    after their k-token overlap."""
+    from raydedup.stages.stitch import stitch_merge
+
+    return stitch_merge(_read(sf_dir, "documents"), k=3).to_pandas()
+
+
 def _q_temperature_sample(sf_dir: str):
     """Data mixing: source-balanced alpha=0.5 sampling (keep rate
     min(1, 4*isqrt(n_s)/n_s) per source, exact u64 thresholds)."""
@@ -2820,6 +2829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample": _q_temperature_sample,
         "stitch_pairs": _q_stitch_pairs,
         "stitch_chains": _q_stitch_chains,
+        "stitch_merge": _q_stitch_merge,
         "source_clusters": _q_source_clusters,
         "host_hot_lines": _q_host_hot_lines,
         "host_line_trim": _q_host_line_trim,
@@ -4336,6 +4346,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(chain_id AS BIGINT) AS chain_id, pos,
                    CAST(doc_id AS BIGINT) AS doc_id
             FROM chain ORDER BY chain_id, pos
+        """,
+        # merged chains: heads keep all tokens, continuations drop their
+        # first k (the proven overlap); ORIGINAL-case tokens re-joined
+        "stitch_merge": r"""
+            WITH RECURSIVE t1 AS (
+              SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY pos) rn,
+                     count(*) OVER (PARTITION BY doc_id) cnt
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+                           generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+                    FROM documents WHERE length(trim(text)) > 0)
+            ),
+            ht AS (
+              SELECT doc_id,
+                     string_agg(CASE WHEN rn <= 3 THEN w END, ' ' ORDER BY rn) AS head,
+                     string_agg(CASE WHEN rn > cnt - 3 THEN w END, ' ' ORDER BY rn) AS tail
+              FROM t1 WHERE cnt >= 3 GROUP BY doc_id
+            ),
+            e AS (
+              SELECT x.doc_id AS a, y.doc_id AS b
+              FROM ht x JOIN ht y ON x.tail = y.head AND x.doc_id != y.doc_id
+            ),
+            ua AS (SELECT a FROM e GROUP BY a HAVING count(*) = 1),
+            ub AS (SELECT b FROM e GROUP BY b HAVING count(*) = 1),
+            k AS (SELECT e.a, e.b FROM e JOIN ua USING (a) JOIN ub USING (b)),
+            heads AS (SELECT a FROM k WHERE a NOT IN (SELECT b FROM k)),
+            chain AS (
+              SELECT a AS chain_id, CAST(0 AS BIGINT) AS pos, a AS doc_id FROM heads
+              UNION ALL
+              SELECT c.chain_id, c.pos + 1, k.b
+              FROM chain c JOIN k ON k.a = c.doc_id
+            ),
+            otoks AS (
+              SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY pos) rn
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(trim(text), '\s+')) AS w,
+                           generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+                    FROM documents WHERE length(trim(text)) > 0)
+            ),
+            parts AS (SELECT chain_id, CAST(count(*) AS BIGINT) AS n_parts
+                      FROM chain GROUP BY chain_id)
+            SELECT c.chain_id, p.n_parts,
+                   string_agg(t.w, ' ' ORDER BY c.pos, t.rn) AS text
+            FROM chain c
+            JOIN otoks t ON t.doc_id = c.doc_id
+            JOIN parts p ON p.chain_id = c.chain_id
+            WHERE c.pos = 0 OR t.rn > 3
+            GROUP BY c.chain_id, p.n_parts
+            ORDER BY c.chain_id
         """,
         # temperature mixing: corrected floor(sqrt) == isqrt exactly,
         # HUGEINT threshold arithmetic mirrors the driver's big-int math

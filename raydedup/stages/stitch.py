@@ -231,3 +231,89 @@ def stitch_chains(
         (out.column("pos").to_numpy(), out.column("chain_id").to_numpy())
     )
     return out.take(pa.array(idx))
+
+
+MERGED_SCHEMA = pa.schema(
+    [
+        ("chain_id", pa.int64()),
+        ("n_parts", pa.int64()),
+        ("text", pa.large_string()),
+    ]
+)
+
+
+def stitch_merge(
+    docs: Dataset,
+    *,
+    k: int = 8,
+    max_run: int = 64,
+    max_len: int = 1024,
+) -> pa.Table:
+    """Materialize reassembled documents: each stitch chain becomes ONE
+    merged text — the head doc's tokens followed by each continuation's
+    tokens with its first ``k`` (the overlap that proved the join)
+    dropped, re-joined with single spaces (whitespace-normalizing, the
+    chunking convention). Output (chain_id, n_parts, text), chain_id =
+    head doc_id, ordered by chain_id.
+
+    Member texts are fetched with ONE semi-join pass over the corpus
+    (chain membership broadcast as a sorted id array — chains are the
+    report-sized stitch output, never O(corpus)); the merge itself is
+    driver-side over the fetched members only.
+    """
+    import ray
+
+    chains = stitch_chains(docs, k=k, max_run=max_run, max_len=max_len)
+    if chains.num_rows == 0:
+        return MERGED_SCHEMA.empty_table()
+    member = np.sort(chains.column("doc_id").to_numpy(zero_copy_only=False))
+    member_ref = ray.put(member)
+
+    def fetch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("text", pa.large_string())]
+            ).empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        mem = ray.get(member_ref)
+        pos = np.searchsorted(mem, ids)
+        pos[pos == mem.shape[0]] = 0
+        hit = mem[pos] == ids
+        kept = t.filter(pa.array(hit))
+        return pa.table(
+            {
+                "doc_id": pc.cast(kept.column("doc_id"), pa.int64()),
+                "text": pc.cast(
+                    pc.fill_null(kept.column("text"), ""), pa.large_string()
+                ),
+            }
+        )
+
+    members = docs.select_columns(["doc_id", "text"]).map_batches(
+        fetch, batch_format="pyarrow"
+    )
+    texts: dict[int, str] = {}
+    for b in members.iter_batches(batch_format="pyarrow"):
+        texts.update(zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()))
+
+    cid = chains.column("chain_id").to_pylist()
+    did = chains.column("doc_id").to_pylist()
+    merged: dict[int, list[str]] = {}
+    counts: dict[int, int] = {}
+    # chains table is (chain_id, pos) sorted, so appends are in order
+    for c, d in zip(cid, did):
+        toks = texts.get(d, "").split()
+        if c in merged:
+            toks = toks[k:]  # drop the overlap that proved the join
+        merged.setdefault(c, []).extend(toks)
+        counts[c] = counts.get(c, 0) + 1
+    heads = sorted(merged)
+    return pa.table(
+        {
+            "chain_id": pa.array(heads, pa.int64()),
+            "n_parts": pa.array([counts[h] for h in heads], pa.int64()),
+            "text": pa.array([" ".join(merged[h]) for h in heads], pa.large_string()),
+        }
+    )

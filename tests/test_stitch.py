@@ -100,3 +100,21 @@ def test_chains_empty(ray_session):
     out = stitch_chains(_docs([(1, "a b c d e")]), k=3)
     assert out.num_rows == 0
     assert out.schema.names == ["chain_id", "pos", "doc_id"]
+
+
+def test_merge(ray_session):
+    from raydedup.stages.stitch import stitch_merge
+
+    rows = [
+        (1, "start of one alpha beta gamma"),
+        (2, "alpha beta gamma middle part delta epsilon zeta"),
+        (3, "delta epsilon zeta the ending words"),
+        (9, "unrelated standalone document text here"),
+    ]
+    out = stitch_merge(_docs(rows, 3), k=3).to_pydict()
+    assert out["chain_id"] == [1]
+    assert out["n_parts"] == [3]
+    assert out["text"] == [
+        "start of one alpha beta gamma middle part delta epsilon zeta "
+        "the ending words"
+    ]
