@@ -1993,6 +1993,15 @@ def _q_doc_frequency(sf_dir: str):
     return df.sort_values("token").reset_index(drop=True)
 
 
+def _q_token_freq_spectrum(sf_dir: str):
+    """Count-of-counts: how many distinct tokens occur exactly cf times
+    corpus-wide (Good-Turing / Zipf-health spectrum) — tokens collapse
+    to (cf, n) inside the exchange, never reaching the driver."""
+    from raydedup.stages.tfidf import token_freq_spectrum
+
+    return token_freq_spectrum(_read(sf_dir, "documents")).to_pandas()
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Misra-Gries heavy hitters: every token with exact corpus count
     > n/(capacity+1) at capacity=127 — two streaming passes (mergeable
@@ -2886,6 +2895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "doc_frequency": _q_doc_frequency,
         "heavy_hitters": _q_heavy_hitters,
+        "token_freq_spectrum": _q_token_freq_spectrum,
         "unigram_surprisal": _q_unigram_surprisal,
         "top_terms": _q_top_terms,
         "curate_pipeline": _q_curate_pipeline,
@@ -4996,6 +5006,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT tk.doc_id, CAST(tk.n_tokens AS BIGINT) AS n_tokens
             FROM tk CROSS JOIN thr WHERE tk.n_tokens >= thr.t
             ORDER BY tk.doc_id
+        """,
+        "token_freq_spectrum": r"""
+            WITH toks AS (
+              SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            cf AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w)
+            SELECT c AS cf, CAST(count(*) AS BIGINT) AS n_tokens
+            FROM cf GROUP BY c ORDER BY cf
         """,
         "len_quantiles": """
             WITH p(pct) AS (SELECT unnest([25, 50, 90, 99])),

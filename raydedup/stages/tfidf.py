@@ -435,3 +435,59 @@ def vocab_stats(docs: Dataset) -> pa.Table:
             "max_token_count": pa.array([pc.max(parts.column("max_token_count")).as_py()], pa.int64()),
         }
     )
+
+
+def token_freq_spectrum(docs: Dataset) -> pa.Table:
+    """Count-of-counts over corpus token occurrences: (cf, n_tokens) =
+    how many distinct lowered whitespace tokens occur exactly ``cf``
+    times corpus-wide — the Good-Turing / Zipf-health spectrum a
+    tokenizer-curation run reads (a fat singleton head means noise; a
+    truncated tail means boilerplate).
+
+    Scale shape: per-batch combiner sums occurrence counts per token,
+    ONE token-hash exchange finishes the per-token totals, and each
+    bucket collapses straight to (cf, n_partial) rows — the driver
+    merges O(distinct cf values x buckets) tiny partials; tokens never
+    reach it.
+    """
+    import pyarrow.compute as pc
+
+    from raydedup.stages.exchange import hash_exchange_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = _batch_doc_token_counts(t)
+        p = c.group_by("token").aggregate([("tf", "sum")])
+        p = p.rename_columns(["token", "cf_partial"]).cast(
+            pa.schema([("token", pa.large_string()), ("cf_partial", pa.int64())])
+        )
+        return _with_token_key(p)
+
+    partials = docs.select_columns(["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    spec_schema = pa.schema([("cf", pa.int64()), ("n_tokens", pa.int64())])
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return spec_schema.empty_table()
+        g = t.group_by("token").aggregate([("cf_partial", "sum")])
+        h = (
+            g.rename_columns(["token", "cf"])
+            .group_by("cf")
+            .aggregate([([], "count_all")])
+        )
+        return h.rename_columns(["cf", "n_tokens"]).cast(spec_schema)
+
+    agg = hash_exchange_apply(partials, "key", reduce_bucket)
+    if agg.num_rows == 0:
+        return spec_schema.empty_table()
+    out = (
+        agg.group_by("cf").aggregate([("n_tokens", "sum")])
+        .rename_columns(["cf", "n_tokens"])
+        .cast(spec_schema)
+    )
+    return out.take(
+        pa.array(
+            np.argsort(out.column("cf").to_numpy(zero_copy_only=False), kind="stable")
+        )
+    )

@@ -219,3 +219,33 @@ def test_vocab_stats_empty_corpus(ray_session):
     t = vocab_stats(_mkdocs(["", "   "]))
     assert t.column("total_tokens")[0].as_py() == 0
     assert t.column("distinct_tokens")[0].as_py() == 0
+
+
+def test_token_freq_spectrum(ray_session):
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.tfidf import token_freq_spectrum
+
+    texts = ["a a a b b c", "c b  a", "", "A unique"]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.large_string()),
+            }
+        )
+    ).repartition(3)
+    out = token_freq_spectrum(docs).to_pydict()
+    cf = Counter()
+    for t in texts:
+        cf.update(t.lower().split())
+    spec = Counter(cf.values())
+    assert out["cf"] == sorted(spec)
+    assert out["n_tokens"] == [spec[c] for c in sorted(spec)]
+    # 'a'/'A' fold together: a appears 5x -> cf 5 present
+    assert 5 in out["cf"]
+    out2 = token_freq_spectrum(docs.repartition(1)).to_pydict()
+    assert out2 == out
