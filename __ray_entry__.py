@@ -1275,6 +1275,46 @@ def _q_domain_cap(sf_dir: str):
     )
 
 
+def _q_content_drift(sf_dir: str):
+    """Per-url content drift between two derived snapshots: old = text,
+    new = text plus an appended marker sentence for doc_id%3==0 —
+    changed urls read jaccard < 1, unchanged exactly 1.0."""
+    import pyarrow.compute as pc
+
+    from raydedup.stages.contentdrift import content_drift
+
+    base = _read(sf_dir, "documents").select_columns(["doc_id", "source", "text"])
+
+    def derive(t: pa.Table, new: bool) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64())
+        url = pc.binary_join_element_wise(
+            pc.cast(t.column("source"), pa.string()),
+            "/p/",
+            pc.cast(ids, pa.string()),
+            "",
+        )
+        txt = pc.fill_null(t.column("text"), "")
+        if new:
+            # ids % 3 == 0 (pyarrow has no modulo kernel)
+            changed = pc.equal(
+                pc.subtract(ids, pc.multiply(pc.divide(ids, 3), 3)), 0
+            )
+            txt = pc.if_else(
+                changed,
+                pc.binary_join_element_wise(
+                    txt,
+                    " drift marker alpha beta gamma delta epsilon zeta eta theta",
+                    "",
+                ),
+                txt,
+            )
+        return pa.table({"url": url, "text": txt})
+
+    old = base.map_batches(lambda t: derive(t, False), batch_format="pyarrow")
+    new = base.map_batches(lambda t: derive(t, True), batch_format="pyarrow")
+    return content_drift(old, new).to_pandas()
+
+
 def _q_crawl_diff(sf_dir: str):
     """Two-crawl snapshot diff (stages/crawldiff.py): urls keyed
     source||'/p/'||doc_id%80; the old side drops u%7==0 urls, the new
@@ -2881,6 +2921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": _q_domain_stats,
         "domain_cap": _q_domain_cap,
         "crawl_diff": _q_crawl_diff,
+        "content_drift": _q_content_drift,
         "dup_ngram_fraction": _q_dup_ngram_fraction,
         "shard_layout": _q_shard_layout,
         "weighted_sample": _q_weighted_sample,
@@ -5584,6 +5625,60 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": q_domain_stats_sql(),
         "domain_cap": q_domain_cap_sql(),
         "crawl_diff": _CRAWL_DIFF_SQL,
+        # drift: per-url DISTINCT 5-gram sets of both derived versions;
+        # unchanged urls read jaccard exactly 1.0
+        "content_drift": r"""
+            WITH oldd AS (
+              SELECT source || '/p/' || CAST(doc_id AS VARCHAR) AS url, text
+              FROM documents
+            ),
+            newd AS (
+              SELECT source || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || ' drift marker alpha beta gamma delta epsilon zeta eta theta'
+                          ELSE text END AS text
+              FROM documents
+            ),
+            otok AS (
+              SELECT url, w, row_number() OVER (PARTITION BY url ORDER BY pos) rn
+              FROM (SELECT url,
+                           unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+                           generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+                    FROM oldd WHERE length(trim(text)) > 0)
+            ),
+            ntok AS (
+              SELECT url, w, row_number() OVER (PARTITION BY url ORDER BY pos) rn
+              FROM (SELECT url,
+                           unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+                           generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+                    FROM newd WHERE length(trim(text)) > 0)
+            ),
+            osh AS (
+              SELECT DISTINCT url,
+                     w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+                       || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win AS shingle
+              FROM otok WINDOW win AS (PARTITION BY url ORDER BY rn)
+              QUALIFY lead(w,4) OVER win IS NOT NULL
+            ),
+            nsh AS (
+              SELECT DISTINCT url,
+                     w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+                       || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win AS shingle
+              FROM ntok WINDOW win AS (PARTITION BY url ORDER BY rn)
+              QUALIFY lead(w,4) OVER win IS NOT NULL
+            ),
+            oc AS (SELECT url, CAST(count(*) AS BIGINT) AS n_old FROM osh GROUP BY url),
+            nc AS (SELECT url, CAST(count(*) AS BIGINT) AS n_new FROM nsh GROUP BY url),
+            cm AS (SELECT o.url, CAST(count(*) AS BIGINT) AS n_common
+                   FROM osh o JOIN nsh n ON n.url = o.url AND n.shingle = o.shingle
+                   GROUP BY o.url)
+            SELECT oc.url, oc.n_old, nc.n_new,
+                   coalesce(cm.n_common, 0) AS n_common,
+                   coalesce(cm.n_common, 0) * 1.0
+                     / (oc.n_old + nc.n_new - coalesce(cm.n_common, 0)) AS jaccard
+            FROM oc JOIN nc USING (url) LEFT JOIN cm USING (url)
+            ORDER BY oc.url
+        """,
         "dup_ngram_fraction": q_dup_ngram_sql(),
         "weighted_sample": f"""
 WITH w8 AS (
