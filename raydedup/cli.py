@@ -692,6 +692,30 @@ def cmd_diff(args: argparse.Namespace) -> int:
 
         return docs.map_batches(prep, batch_format="pyarrow")
 
+    if getattr(args, "content", False):
+        # per-url text Jaccard between the two versions (drift report)
+        from raydedup.sources.pages import pages_to_docs as p2d
+        from raydedup.sources.pages import read_pages as rp
+        from raydedup.stages.contentdrift import content_drift
+
+        def docs_side(path):
+            files = sorted(glob.glob(os.path.join(path, "*.parquet"))) or [path]
+            return p2d(rp(files)).select_columns(["url", "text"])
+
+        t = content_drift(docs_side(args.old), docs_side(args.new))
+        changed = sum(1 for j in t.column("jaccard").to_pylist() if j < 1.0)
+        print(
+            json.dumps(
+                {"urls": t.num_rows, "drifted": changed, "out": args.out}
+            )
+        )
+        if args.out:
+            import pyarrow.parquet as _pq
+
+            os.makedirs(args.out, exist_ok=True)
+            _pq.write_table(t, os.path.join(args.out, "drift.parquet"))
+        return 0
+
     diff = crawl_diff(side(args.old), side(args.new))
     if args.out:
         diff.write_parquet(args.out)
@@ -1040,6 +1064,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("old")
     s.add_argument("new")
     s.add_argument("--out", default=None)
+    s.add_argument(
+        "--content",
+        action="store_true",
+        help="per-url text Jaccard drift instead of digest statuses",
+    )
     s.set_defaults(fn=cmd_diff)
 
     s = sub.add_parser("dupngrams", help="per-doc duplicated-k-gram fraction")

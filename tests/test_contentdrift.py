@@ -56,3 +56,16 @@ def test_drift(ray_session):
     # partition invariance
     out2 = content_drift(_side(old, 1), _side(new, 5)).to_pandas().set_index("url")
     assert out.equals(out2)
+
+
+def test_diff_content_verb(ray_session, small_corpus, tmp_path, capsys, monkeypatch):
+    import json
+
+    import raydedup.cli as cli
+
+    monkeypatch.setattr(cli, "_shutdown_ray", lambda: None)
+    _, paths = small_corpus
+    # corpus against itself: zero drift
+    assert cli.main(["diff", paths["pages"], paths["pages"], "--content"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["urls"] == 600 and out["drifted"] == 0
