@@ -1275,6 +1275,47 @@ def _q_domain_cap(sf_dir: str):
     )
 
 
+def _q_url_blocklist(sf_dir: str):
+    """Crawler-trap URL filter: derived urls get trap suffixes on fixed
+    doc_id residues; blocked docs report the first matching pattern."""
+    import pyarrow.compute as pc
+
+    from raydedup.stages.urlfilter import DEFAULT_URL_BLOCKLIST, url_block_batch
+
+    base = _read(sf_dir, "documents").select_columns(["doc_id", "source"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        suffix = np.select(
+            [ids % 6 == 0, ids % 7 == 0, ids % 11 == 0, ids % 13 == 0, ids % 17 == 0],
+            [
+                "?x=1&sessionid=abc",
+                "/tag/news",
+                "/search?q=1",
+                "/calendar/2024",
+                "/page/1234",
+            ],
+            default="",
+        )
+        url = pc.binary_join_element_wise(
+            pc.cast(t.column("source"), pa.string()),
+            "/p/",
+            pc.cast(pc.cast(t.column("doc_id"), pa.int64()), pa.string()),
+            pa.array(suffix, pa.string()),
+            "",
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "url": url})
+
+    ds = base.map_batches(derive, batch_format="pyarrow").map_batches(
+        lambda t: url_block_batch(t, DEFAULT_URL_BLOCKLIST), batch_format="pyarrow"
+    )
+    df = ds.to_pandas()
+    df = df[df.blocked_by >= 0].copy()
+    df["pattern"] = [DEFAULT_URL_BLOCKLIST[i] for i in df.blocked_by]
+    df = df[["doc_id", "url", "pattern"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_content_drift(sf_dir: str):
     """Per-url content drift between two derived snapshots: old = text,
     new = text plus an appended marker sentence for doc_id%3==0 —
@@ -2922,6 +2963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_cap": _q_domain_cap,
         "crawl_diff": _q_crawl_diff,
         "content_drift": _q_content_drift,
+        "url_blocklist": _q_url_blocklist,
         "dup_ngram_fraction": _q_dup_ngram_fraction,
         "shard_layout": _q_shard_layout,
         "weighted_sample": _q_weighted_sample,
@@ -5625,6 +5667,31 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": q_domain_stats_sql(),
         "domain_cap": q_domain_cap_sql(),
         "crawl_diff": _CRAWL_DIFF_SQL,
+        # blocklist: same RE2 engine both sides; CASE order = pattern
+        # order = first-match-wins
+        "url_blocklist": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     source || '/p/' || CAST(doc_id AS VARCHAR) ||
+                     CASE WHEN doc_id % 6 = 0 THEN '?x=1&sessionid=abc'
+                          WHEN doc_id % 7 = 0 THEN '/tag/news'
+                          WHEN doc_id % 11 = 0 THEN '/search?q=1'
+                          WHEN doc_id % 13 = 0 THEN '/calendar/2024'
+                          WHEN doc_id % 17 = 0 THEN '/page/1234'
+                          ELSE '' END AS url
+              FROM documents
+            )
+            SELECT doc_id, url,
+                   CASE WHEN regexp_matches(url, '[?&]sessionid=') THEN '[?&]sessionid='
+                        WHEN regexp_matches(url, '/tag/') THEN '/tag/'
+                        WHEN regexp_matches(url, '/search\?') THEN '/search\?'
+                        WHEN regexp_matches(url, '/calendar/') THEN '/calendar/'
+                        WHEN regexp_matches(url, '/page/\d{3,}') THEN '/page/\d{3,}'
+                   END AS pattern
+            FROM u
+            WHERE pattern IS NOT NULL
+            ORDER BY doc_id
+        """,
         # drift: per-url DISTINCT 5-gram sets of both derived versions;
         # unchanged urls read jaccard exactly 1.0
         "content_drift": r"""
