@@ -2632,6 +2632,20 @@ def _q_lang_id(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_doc_types(sf_dir: str):
+    """Coarse doc-type heuristic (code/list/prose/empty): line-class
+    counts + integer cross-multiplication verdict."""
+    from raydedup.stages.textstats import doc_type_batch
+
+    ds = _read(sf_dir, "documents").map_batches(
+        lambda t: doc_type_batch(t).select(
+            ["doc_id", "n_lines", "n_code_lines", "n_bullet_lines", "doc_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_lang_confusion(sf_dir: str):
     """Classifier QA: confusion counts of the stored lang label vs the
     heuristic lang_id prediction — per (lang, lang_pred) doc counts."""
@@ -3027,6 +3041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "lang_confusion": _q_lang_confusion,
         "length_gate": _q_length_gate,
+        "doc_types": _q_doc_types,
         "doc_fingerprints": _q_doc_fingerprints,
         "knn_cosine_ivf": _q_knn_cosine_ivf,
         "knn_cosine_lsh": _q_knn_cosine_lsh,
@@ -5072,6 +5087,29 @@ def oracle_sql() -> dict[str, str]:
         # exact lower-discrete percentiles; integer rank arithmetic
         # ((pct*n + 99) // 100) on both sides — no float boundary to
         # disagree over
+        "doc_types": r"""
+            WITH ln AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+              FROM documents
+            ),
+            nl AS (
+              SELECT doc_id,
+                     CAST(count(*) FILTER (WHERE l <> '') AS BIGINT) AS n_lines,
+                     CAST(count(*) FILTER (WHERE l <> '' AND regexp_matches(l, '[;{}]')) AS BIGINT) AS n_code_lines,
+                     CAST(count(*) FILTER (WHERE l <> '' AND regexp_matches(l, '^\s*[-*•]')) AS BIGINT) AS n_bullet_lines
+              FROM ln GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(nl.n_lines, 0) AS n_lines,
+                   coalesce(nl.n_code_lines, 0) AS n_code_lines,
+                   coalesce(nl.n_bullet_lines, 0) AS n_bullet_lines,
+                   CASE WHEN coalesce(nl.n_lines, 0) = 0 THEN 'empty'
+                        WHEN 4 * nl.n_code_lines >= nl.n_lines THEN 'code'
+                        WHEN 2 * nl.n_bullet_lines >= nl.n_lines THEN 'list'
+                        ELSE 'prose' END AS doc_type
+            FROM documents d LEFT JOIN nl USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         "length_gate": r"""
             WITH tk AS (
               SELECT doc_id,

@@ -394,3 +394,57 @@ def script_profile(docs: Dataset, text_col: str = "text") -> Dataset:
     return docs.map_batches(
         lambda t: script_profile_batch(t, text_col), batch_format="pyarrow"
     )
+
+
+# line-class patterns (RE2 both sides; order-free, each counted independently)
+DOCTYPE_CODE_RE = r"[;{}]"          # statement/brace debris on the line
+DOCTYPE_BULLET_RE = r"^\s*[-*•]"    # list bullet after leading whitespace
+
+
+def doc_type_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Coarse document-type heuristic: per-doc line-class counts plus a
+    deterministic integer-arithmetic verdict.
+
+    ``n_lines`` (non-empty), ``n_code_lines`` (line contains ``;``/
+    ``{``/``}``), ``n_bullet_lines`` (leading bullet), and ``doc_type``:
+    'code' when ``4*n_code_lines >= n_lines`` (>=25% code debris),
+    else 'list' when ``2*n_bullet_lines >= n_lines``, else 'prose'
+    ('empty' when no non-empty lines). The code-vs-prose gate every
+    training-mix recipe applies before routing docs to domain buckets.
+    One line split + two RE2 kernels per batch; row-local, streams.
+    """
+    from raydedup.stages.lines import _batch_line_arrays
+
+    vals, doc_of, lens = _batch_line_arrays(batch)
+    n = batch.num_rows
+    n_lines = np.zeros(n, dtype=np.int64)
+    n_code = np.zeros(n, dtype=np.int64)
+    n_bullet = np.zeros(n, dtype=np.int64)
+    if len(vals):
+        nonempty = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+        code = pc.match_substring_regex(vals, DOCTYPE_CODE_RE).to_numpy(
+            zero_copy_only=False
+        )
+        bullet = pc.match_substring_regex(vals, DOCTYPE_BULLET_RE).to_numpy(
+            zero_copy_only=False
+        )
+        np.add.at(n_lines, doc_of[nonempty], 1)
+        np.add.at(n_code, doc_of[nonempty & code], 1)
+        np.add.at(n_bullet, doc_of[nonempty & bullet], 1)
+    dtype = np.where(
+        n_lines == 0,
+        "empty",
+        np.where(
+            4 * n_code >= np.maximum(n_lines, 1),
+            "code",
+            np.where(2 * n_bullet >= np.maximum(n_lines, 1), "list", "prose"),
+        ),
+    )
+    # n_lines==0 rows fall through the maximum(,1) guards above, but the
+    # outer where already routed them to 'empty'
+    return (
+        batch.append_column("n_lines", pa.array(n_lines, pa.int64()))
+        .append_column("n_code_lines", pa.array(n_code, pa.int64()))
+        .append_column("n_bullet_lines", pa.array(n_bullet, pa.int64()))
+        .append_column("doc_type", pa.array(dtype.tolist(), pa.large_string()))
+    )

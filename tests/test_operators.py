@@ -502,3 +502,30 @@ def test_media_resize(rd):
 
     with pytest.raises(NotImplementedError):
         MediaResizeKernel(decoder="pil")
+
+
+def test_doc_type_batch():
+    from raydedup.stages.textstats import doc_type_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array(
+                [
+                    "int main() {\n  return 0;\n}\nplain line",   # 3/4 code
+                    "- one\n- two\nintro line\n* three",          # 3/4 bullets
+                    "ordinary prose paragraph\nanother line",     # prose
+                    "",                                           # empty
+                    None,                                         # null -> empty
+                ],
+                pa.large_string(),
+            ),
+        }
+    )
+    out = doc_type_batch(t)
+    assert out.column("doc_type").to_pylist() == [
+        "code", "list", "prose", "empty", "empty",
+    ]
+    assert out.column("n_code_lines").to_pylist()[0] == 3
+    assert out.column("n_bullet_lines").to_pylist()[1] == 3
+    assert out.column("n_lines").to_pylist() == [4, 4, 2, 0, 0]
