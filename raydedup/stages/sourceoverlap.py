@@ -103,9 +103,11 @@ def _bucket_pair_partial(t: pa.Table, n_src: int) -> pa.Table:
     chunk = 1 << 16  # run rows per matmul chunk (B stays ~tens of MB)
     for r0 in range(0, n_runs, chunk):
         r1 = min(r0 + chunk, n_runs)
-        rows = (run_id >= r0) & (run_id < r1)
+        # run_id is nondecreasing: the chunk's rows are one contiguous
+        # slice (searchsorted, not an O(n) mask per chunk)
+        lo_, hi_ = np.searchsorted(run_id, [r0, r1])
         B = np.zeros((r1 - r0, n_src), dtype=np.float32)
-        B[run_id[rows] - r0, src[rows]] = 1.0
+        B[run_id[lo_:hi_] - r0, src[lo_:hi_]] = 1.0
         C += (B.T @ B).astype(np.int64)
     iu = np.triu_indices(n_src)
     vals = C[iu]
