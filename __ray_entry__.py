@@ -2083,6 +2083,15 @@ def _q_token_freq_spectrum(sf_dir: str):
     return token_freq_spectrum(_read(sf_dir, "documents")).to_pandas()
 
 
+def _q_vocab_growth(sf_dir: str):
+    """Heaps-law curve: distinct vocab within doc-id prefixes at
+    power-of-2 thresholds (per-token min-doc exchange, O(#thresholds)
+    to the driver)."""
+    from raydedup.stages.tfidf import vocab_growth
+
+    return vocab_growth(_read(sf_dir, "documents")).to_pandas()
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Misra-Gries heavy hitters: every token with exact corpus count
     > n/(capacity+1) at capacity=127 — two streaming passes (mergeable
@@ -2993,6 +3002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_frequency": _q_doc_frequency,
         "heavy_hitters": _q_heavy_hitters,
         "token_freq_spectrum": _q_token_freq_spectrum,
+        "vocab_growth": _q_vocab_growth,
         "unigram_surprisal": _q_unigram_surprisal,
         "top_terms": _q_top_terms,
         "curate_pipeline": _q_curate_pipeline,
@@ -5127,6 +5137,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT tk.doc_id, CAST(tk.n_tokens AS BIGINT) AS n_tokens
             FROM tk CROSS JOIN thr WHERE tk.n_tokens >= thr.t
             ORDER BY tk.doc_id
+        """,
+        # bit_length(m) via exact shift comparison (k=0 OR 2^(k-1)<=m),
+        # never float log2
+        "vocab_growth": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            fst AS (SELECT w, min(doc_id) AS mind FROM toks GROUP BY w),
+            mx AS (SELECT max(doc_id) AS m FROM documents),
+            ks AS (
+              SELECT CAST(k AS BIGINT) AS k
+              FROM (SELECT unnest(range(63)) AS k) CROSS JOIN mx
+              WHERE k = 0 OR (1::BIGINT << CAST(k - 1 AS INT)) <= mx.m
+            )
+            SELECT (1::BIGINT << CAST(k AS INT)) AS threshold,
+                   (SELECT CAST(count(*) AS BIGINT) FROM documents d
+                    WHERE d.doc_id < (1::BIGINT << CAST(ks.k AS INT))) AS n_docs,
+                   (SELECT CAST(count(*) AS BIGINT) FROM fst f
+                    WHERE f.mind < (1::BIGINT << CAST(ks.k AS INT))) AS vocab
+            FROM ks
+            WHERE (SELECT count(*) FROM documents d
+                   WHERE d.doc_id < (1::BIGINT << CAST(ks.k AS INT))) > 0
+            ORDER BY threshold
         """,
         "token_freq_spectrum": r"""
             WITH toks AS (

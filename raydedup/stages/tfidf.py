@@ -491,3 +491,125 @@ def token_freq_spectrum(docs: Dataset) -> pa.Table:
             np.argsort(out.column("cf").to_numpy(zero_copy_only=False), kind="stable")
         )
     )
+
+
+def vocab_growth(docs: Dataset) -> pa.Table:
+    """Heaps-law vocabulary growth curve: for each power-of-2 doc-id
+    threshold T, how many docs have ``doc_id < T`` and how many distinct
+    lowered whitespace tokens FIRST occur in that prefix — the
+    vocab-vs-corpus-size curve a tokenizer-budget decision reads
+    (sublinear growth = healthy natural text; linear = ids/noise).
+
+    Scale shape: per-batch combiner keeps one (token-hash, min doc_id)
+    row per distinct token; ONE token-hash exchange finishes per-token
+    first-doc ids and each bucket collapses straight to per-threshold
+    counts — O(#thresholds) rows reach the driver, never a token.
+    The doc counts per threshold come from the same batch pass.
+    """
+    import pyarrow.compute as pc
+
+    from raydedup.stages.exchange import hash_exchange_apply
+    from raydedup.stages.signatures import _WORD_CACHE, batch_word_hashes, tokenize
+
+    max_id = int(docs.max("doc_id"))
+    # clamp to int64: hash-style doc ids have bit_length 63, and 2^63
+    # overflows; at k=62 the top threshold still covers >= half the id
+    # space (the curve's tail point, mirrored exactly in SQL)
+    n_thr = min(max(int(max_id).bit_length(), 1), 62)
+    thresholds = [1 << k for k in range(n_thr + 1)]
+
+    part_schema = pa.schema([("h", pa.int64()), ("mind", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return part_schema.empty_table()
+        texts = pc.fill_null(t.column("text").combine_chunks(), "")
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(I64)
+        ascii_mask = pc.string_is_ascii(texts).to_numpy(zero_copy_only=False)
+        hs, ds_ = [], []
+        if ascii_mask.any():
+            flat, offs = batch_word_hashes(texts.filter(pa.array(ascii_mask)))
+            lens = np.diff(offs)
+            hs.append(flat)
+            ds_.append(np.repeat(ids[ascii_mask], lens))
+        if not ascii_mask.all():
+            txts = texts.to_pylist()
+            for d in np.flatnonzero(~ascii_mask):
+                wh = _WORD_CACHE.hash_words(tokenize(txts[d]))
+                hs.append(wh)
+                ds_.append(np.full(wh.shape[0], ids[d], I64))
+        if not hs:
+            return part_schema.empty_table()
+        h = np.concatenate(hs).view(I64)
+        d = np.concatenate(ds_)
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        if h.shape[0] == 0:
+            return part_schema.empty_table()
+        new = np.empty(h.shape[0], dtype=bool)
+        new[0] = True
+        new[1:] = h[1:] != h[:-1]
+        st = np.flatnonzero(new)
+        return pa.table(
+            {"h": pa.array(h[st], pa.int64()), "mind": pa.array(d[st], pa.int64())}
+        )
+
+    partials = docs.select_columns(["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    spec_schema = pa.schema([("k", pa.int64()), ("n", pa.int64())])
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return spec_schema.empty_table()
+        g = t.group_by("h").aggregate([("mind", "min")])
+        mind = g.column("mind_min").to_numpy(zero_copy_only=False)
+        ks, ns = [], []
+        for k, thr in enumerate(thresholds):
+            c = int((mind < thr).sum())
+            if c:
+                ks.append(k)
+                ns.append(c)
+        return pa.table({"k": pa.array(ks, pa.int64()), "n": pa.array(ns, pa.int64())})
+
+    agg = hash_exchange_apply(partials, "h", reduce_bucket)
+    vocab = np.zeros(len(thresholds), dtype=np.int64)
+    if agg.num_rows:
+        np.add.at(
+            vocab,
+            agg.column("k").to_numpy(zero_copy_only=False),
+            agg.column("n").to_numpy(zero_copy_only=False),
+        )
+
+    def doc_part(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(I64)
+        return pa.table(
+            {
+                "k": pa.array(np.arange(len(thresholds)), pa.int64()),
+                "n": pa.array(
+                    [(ids < thr).sum() for thr in thresholds], pa.int64()
+                ),
+            }
+        )
+
+    ndocs = np.zeros(len(thresholds), dtype=np.int64)
+    for b in (
+        docs.select_columns(["doc_id"])
+        .map_batches(doc_part, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        np.add.at(
+            ndocs,
+            b.column("k").to_numpy(zero_copy_only=False),
+            b.column("n").to_numpy(zero_copy_only=False),
+        )
+    keep = ndocs > 0
+    return pa.table(
+        {
+            "threshold": pa.array(
+                np.asarray(thresholds, dtype=np.int64)[keep], pa.int64()
+            ),
+            "n_docs": pa.array(ndocs[keep], pa.int64()),
+            "vocab": pa.array(vocab[keep], pa.int64()),
+        }
+    )

@@ -249,3 +249,28 @@ def test_token_freq_spectrum(ray_session):
     assert 5 in out["cf"]
     out2 = token_freq_spectrum(docs.repartition(1)).to_pydict()
     assert out2 == out
+
+
+def test_vocab_growth(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.stages.tfidf import vocab_growth
+
+    texts = {0: "a b", 1: "a c", 3: "d e f", 8: "a g"}
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values()), pa.large_string()),
+            }
+        )
+    ).repartition(3)
+    out = vocab_growth(docs).to_pydict()
+    # max id 8 -> bit_length 4 -> thresholds 1,2,4,8,16
+    assert out["threshold"] == [1, 2, 4, 8, 16]
+    assert out["n_docs"] == [1, 2, 3, 3, 4]
+    # first-occurrence vocab: T=1 {a,b}; T=2 +{c}; T=4 +{d,e,f}; T=16 +{g}
+    assert out["vocab"] == [2, 3, 6, 6, 7]
+    out2 = vocab_growth(docs.repartition(1)).to_pydict()
+    assert out2 == out
