@@ -294,3 +294,86 @@ def test_sliding_min_equals_naive(vals, s):
     else:
         expected = np.array([h[i : i + s].min() for i in range(m)], dtype=np.uint64)
         np.testing.assert_array_equal(got, expected)
+
+
+# --- late-round-3 kernels ---------------------------------------------------
+
+
+@given(st.lists(st.text(alphabet="ab \t\nxyz脑", min_size=0, max_size=40), min_size=1, max_size=20))
+@settings(max_examples=40, deadline=None)
+def test_bpe_pair_partial_matches_counter(texts):
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from raydedup.stages.bpepairs import _batch_pair_partial
+
+    t = pa.table({"text": pa.array(texts, pa.large_string())})
+    part = _batch_pair_partial(t)
+    pk = part.column("pk").to_numpy().view(np.uint64)
+    cnt = part.column("cnt").to_numpy()
+    got = {int(k): int(c) for k, c in zip(pk, cnt)}
+    br = {0, 9, 10, 13, 32}
+    ref = Counter()
+    for s in texts:
+        cs = [ord(c) for c in s]
+        for a, b in zip(cs, cs[1:]):
+            if a not in br and b not in br:
+                ref[(a << 32) | b] += 1
+    assert got == dict(ref)
+
+
+@given(
+    st.integers(min_value=1, max_value=500),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=60, deadline=None)
+def test_temperature_threshold_exact(n_g, num, den):
+    import math
+
+    # the kernel's big-int threshold formula vs a rational reference
+    t = (num * math.isqrt(n_g) * 2**64) // (den * n_g)
+    # never exceeds the exact real value num*sqrt(n)/den/n * 2^64
+    assert t * den * n_g <= num * math.isqrt(n_g) * 2**64
+    # keep probability monotone in num and antitone in den
+    t2 = ((num + 1) * math.isqrt(n_g) * 2**64) // (den * n_g)
+    assert t2 >= t
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=2, max_size=300))
+@settings(max_examples=40, deadline=None)
+def test_pairwise_union_lexsort_identity(xs):
+    """The (pair, hash) lexsort union trick used by content_drift: for a
+    random split into two multisets, |A| + |B| - distinct == |A ∩ B| as
+    sets, matching Python set arithmetic."""
+    arr = np.array(xs, dtype=np.uint64)
+    half = len(arr) // 2
+    a = np.unique(arr[:half])
+    b = np.unique(arr[half:])
+    P = np.concatenate([np.zeros(a.shape[0], np.int64), np.zeros(b.shape[0], np.int64)])
+    H = np.concatenate([a, b])
+    order = np.lexsort((H, P))
+    Hs = H[order]
+    new = np.empty(Hs.shape[0], dtype=bool)
+    if Hs.shape[0]:
+        new[0] = True
+        new[1:] = Hs[1:] != Hs[:-1]
+    union = int(new.sum())
+    inter = a.shape[0] + b.shape[0] - union
+    assert inter == len(set(a.tolist()) & set(b.tolist()))
+    assert union == len(set(a.tolist()) | set(b.tolist()))
+
+
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=0, max_size=60))
+@settings(max_examples=40, deadline=None)
+def test_pack_b1_roundtrip_bits(vals):
+    from raydedup.stages.signatures import pack_b1
+
+    sig = np.zeros((1, 128), dtype=np.uint32)
+    for v in vals:
+        sig[0, v % 128] = v
+    lo, hi = pack_b1(sig)
+    word = int(lo[0]) | (int(hi[0]) << 64)
+    for i in range(128):
+        assert ((word >> i) & 1) == int(sig[0, i] & 1)
