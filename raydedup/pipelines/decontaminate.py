@@ -410,7 +410,9 @@ def decontaminate_scrub(
             if ascii_mask.all():
                 # whole batch ASCII (the common case): zero-copy column
                 t = t.set_column(
-                    t.schema.get_field_index("text"), "text", joined
+                    t.schema.get_field_index("text"),
+                    "text",
+                    pc.cast(joined, t.schema.field("text").type),
                 )
                 return t.append_column(
                     "n_removed", pa.array(lens - kept_per_doc, pa.int64())
@@ -441,7 +443,10 @@ def decontaminate_scrub(
         t = t.set_column(
             t.schema.get_field_index("text"),
             "text",
-            pa.array(out_text, pa.large_string()),
+            pc.cast(
+                pa.array(out_text, pa.large_string()),
+                t.schema.field("text").type,
+            ),
         )
         return t.append_column("n_removed", pa.array(out_removed, pa.int64()))
 

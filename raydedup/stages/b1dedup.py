@@ -118,8 +118,9 @@ def b1_neardup_pairs(
         hi = t.column("hi").to_numpy(zero_copy_only=False).view(U64)
         order = np.lexsort((doc, key))
         key, doc, lo, hi = key[order], doc[order], lo[order], hi[order]
-        # dedup (key, doc): a doc posts each band once, but batches may
-        # split a doc? (no — doc rows are batch-local) keep for safety
+        # docs are ascending within each key run after the lexsort, so
+        # the upper triangle (j2 > j1) IS the a<b pair set — no ordered
+        # cross product to build and halve
         new = np.empty(key.shape[0], dtype=bool)
         new[0] = True
         new[1:] = key[1:] != key[:-1]
@@ -129,17 +130,31 @@ def b1_neardup_pairs(
         if over.any():
             logger.warning("b1dedup: dropped %d over-cap band runs", int(over.sum()))
         runs = np.where(over | (runs < 2), 0, runs)
-        npairs = runs * runs  # ordered cross; a<b filtered below
+        npairs = runs * (runs - 1) // 2
         total = int(npairs.sum())
         if total == 0:
             return OUT_SCHEMA.empty_table()
         r_of = np.repeat(np.arange(starts.shape[0], dtype=I64), npairs)
         excl = np.concatenate([[0], np.cumsum(npairs)[:-1]]).astype(I64)
         j = np.arange(total, dtype=I64) - excl[r_of]
-        ia = starts[r_of] + j // runs[r_of]
-        ib = starts[r_of] + j % runs[r_of]
-        keep = doc[ia] < doc[ib]
-        ia, ib = ia[keep], ib[keep]
+        # triangular unranking: row i1 of the (r-1)-row triangle, then
+        # offset within the row (exact integer isqrt via float sqrt of
+        # values < 2^52 with a +-1 correction)
+        r = runs[r_of]
+        # pairs are enumerated as (i1, i2): j = i1*(2r - i1 - 1)/2 + (i2 - i1 - 1)
+        disc = (2 * r - 1).astype(np.float64) ** 2 - 8 * j.astype(np.float64)
+        i1 = ((2 * r - 1) - np.sqrt(disc)).astype(np.int64) // 2
+        # float-rounding correction: nudge i1 so j lands in its row range
+        base = i1 * (2 * r - i1 - 1) // 2
+        lowfix = base > j
+        i1[lowfix] -= 1
+        base[lowfix] = i1[lowfix] * (2 * r[lowfix] - i1[lowfix] - 1) // 2
+        highfix = j - base >= (r - 1 - i1)
+        i1[highfix] += 1
+        base[highfix] = i1[highfix] * (2 * r[highfix] - i1[highfix] - 1) // 2
+        i2 = i1 + 1 + (j - base)
+        ia = starts[r_of] + i1
+        ib = starts[r_of] + i2
         ham = hamming64(lo[ia], lo[ib]) + hamming64(hi[ia], hi[ib])
         ok = ham <= hamming_max
         return pa.table(

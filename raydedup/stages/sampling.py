@@ -261,6 +261,10 @@ def temperature_sample(
     if scale_num <= 0 or scale_den <= 0:
         raise ValueError("scale_num and scale_den must be positive")
 
+    # two passes (count, then filter) over the same lineage: pin the
+    # upstream blocks once so expensive transforms don't recompute
+    ds = ds.materialize()
+
     def part(t: pa.Table) -> pa.Table:
         g = pc.cast(pc.fill_null(t.column(group_col), ""), pa.large_string())
         agg = (

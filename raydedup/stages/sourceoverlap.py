@@ -100,7 +100,9 @@ def _bucket_pair_partial(t: pa.Table, n_src: int) -> pa.Table:
     run_id = np.cumsum(new) - 1
     n_runs = int(run_id[-1]) + 1
     C = np.zeros((n_src, n_src), dtype=np.int64)
-    chunk = 1 << 16  # run rows per matmul chunk (B stays ~tens of MB)
+    # size the chunk so B stays ~16 MB at ANY allowed source count (and
+    # chunk rows < 2^24 keep the float32 matmul exact)
+    chunk = max(1, (1 << 22) // max(n_src, 1))
     for r0 in range(0, n_runs, chunk):
         r1 = min(r0 + chunk, n_runs)
         # run_id is nondecreasing: the chunk's rows are one contiguous
@@ -167,17 +169,24 @@ def source_overlap(
         diag = a == b
         np.add.at(n_d, a[diag], n[diag])
         np.add.at(n_c, (a[~diag], b[~diag]), n[~diag])
-    rows = {c: [] for c in OUT_SCHEMA.names}
-    for i in range(n_src):
-        for j in range(i + 1, n_src):
-            union = int(n_d[i] + n_d[j] - n_c[i, j])
-            rows["src_a"].append(sources[i])
-            rows["src_b"].append(sources[j])
-            rows["n_a"].append(int(n_d[i]))
-            rows["n_b"].append(int(n_d[j]))
-            rows["n_common"].append(int(n_c[i, j]))
-            rows["jaccard"].append(n_c[i, j] / union if union else 0.0)
-    return pa.table(rows, schema=OUT_SCHEMA)
+    # vectorized S^2 assembly (8.4M pairs at the 4096-source cap would
+    # take minutes as a Python loop)
+    ii, jj = np.triu_indices(n_src, k=1)
+    na, nb, nc = n_d[ii], n_d[jj], n_c[ii, jj]
+    union = na + nb - nc
+    jac = np.where(union > 0, nc / np.maximum(union, 1), 0.0)
+    src_arr = pa.array(sources, pa.large_string())
+    return pa.table(
+        {
+            "src_a": src_arr.take(pa.array(ii.astype(I64))),
+            "src_b": src_arr.take(pa.array(jj.astype(I64))),
+            "n_a": pa.array(na.astype(I64), pa.int64()),
+            "n_b": pa.array(nb.astype(I64), pa.int64()),
+            "n_common": pa.array(nc.astype(I64), pa.int64()),
+            "jaccard": pa.array(jac, pa.float64()),
+        },
+        schema=OUT_SCHEMA,
+    )
 
 
 def source_clusters(

@@ -220,6 +220,14 @@ def stitch_chains(
         hit = a_s[nxt] == cur
         cid, cur = cid[hit], b_s[nxt[hit]]
         pos += 1
+    if cur.shape[0]:
+        # drops are counted, never silent (same discipline as the
+        # over-cap run drops in stitch_pairs)
+        logger.warning(
+            "stitch_chains: %d chains truncated at max_len=%d",
+            int(cur.shape[0]),
+            max_len,
+        )
     out = pa.table(
         {
             "chain_id": pa.array(np.concatenate(chains), pa.int64()),

@@ -511,7 +511,12 @@ def vocab_growth(docs: Dataset) -> pa.Table:
     from raydedup.stages.exchange import hash_exchange_apply
     from raydedup.stages.signatures import _WORD_CACHE, batch_word_hashes, tokenize
 
-    max_id = int(docs.max("doc_id"))
+    mx = docs.max("doc_id")
+    if mx is None:  # empty corpus: typed empty curve
+        return pa.schema(
+            [("threshold", pa.int64()), ("n_docs", pa.int64()), ("vocab", pa.int64())]
+        ).empty_table()
+    max_id = int(mx)
     # clamp to int64: hash-style doc ids have bit_length 63, and 2^63
     # overflows; at k=62 the top threshold still covers >= half the id
     # space (the curve's tail point, mirrored exactly in SQL)
