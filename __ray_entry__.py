@@ -5855,7 +5855,9 @@ FROM s ORDER BY shard, pos
         "text_normalize": q_text_normalize_sql(),
         "embedding_decon": q_embedding_decon_sql(),
         # 80/10/10 hash-range splits: edge constants computed EXACTLY as
-        # the engine computes them (min(int(cum * 2^64), 2^64-1))
+        # the engine computes them (min(int(cum * 2^64), 2^64-1)); strict
+        # < on each edge (half-open [lo, hi) intervals) so the first
+        # split equals hash_sample(rate=0.8) at the same seed
         "corpus_splits": f"""
         WITH raw AS (
           SELECT doc_id,
@@ -5865,8 +5867,8 @@ FROM s ORDER BY shard, pos
           SELECT doc_id, {mix64_cols('r', 'rk')} FROM raw
         )
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
-               CASE WHEN rk <= {min(int(0.8 * 2.0**64), 2**64 - 1)}::UBIGINT THEN 'train'
-                    WHEN rk <= {min(int((0.8 + 0.1) * 2.0**64), 2**64 - 1)}::UBIGINT THEN 'valid'
+               CASE WHEN rk < {min(int(0.8 * 2.0**64), 2**64 - 1)}::UBIGINT THEN 'train'
+                    WHEN rk < {min(int((0.8 + 0.1) * 2.0**64), 2**64 - 1)}::UBIGINT THEN 'valid'
                     ELSE 'test' END AS split
         FROM mixed ORDER BY doc_id
         """,

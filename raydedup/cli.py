@@ -841,8 +841,16 @@ def cmd_mix(args: argparse.Namespace) -> int:
         docs, group_col="host", scale_num=args.scale_num, scale_den=args.scale_den
     )
     if args.out:
+        import pyarrow.parquet as pq
+
         samp.write_parquet(args.out)
-        print(json.dumps({"docs": samp.count(), "out": args.out}))
+        # count from the written files' metadata — a .count() on the
+        # Dataset would re-execute the whole sampling pass
+        n = sum(
+            pq.read_metadata(f).num_rows
+            for f in glob.glob(os.path.join(args.out, "*.parquet"))
+        )
+        print(json.dumps({"docs": n, "out": args.out}))
         return 0
     df = samp.select_columns(["host"]).to_pandas()
     for host, n in df.groupby("host").size().sort_index().items():

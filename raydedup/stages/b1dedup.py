@@ -108,6 +108,17 @@ def b1_neardup_pairs(
     from raydedup.stages.signatures import hamming64
 
     cfg = cfg or DedupConfig()
+    if cfg.n_perms != 128:
+        # pack_b1 zero-pads below 128 perms: padded bits always agree,
+        # so the 128-bit Hamming acceptance would overestimate Jaccard
+        # and the all-zero hi word would collapse bands 4-7 into giant
+        # cap-dropped runs (ADVICE r3). The b=1 path is specified for
+        # the 128-perm layout; reject other configs loudly.
+        raise ValueError(
+            f"b1_neardup_pairs requires cfg.n_perms == 128 (the Hamming "
+            f"acceptance and 8x16-bit band layout assume a full 128-bit "
+            f"pack), got n_perms={cfg.n_perms}"
+        )
 
     def bucket(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or t.num_columns == 0:

@@ -226,13 +226,30 @@ def unseen_docs(
         rtext = right.take(pa.array(r_order)).column("__stext")
         if isinstance(rtext, pa.ChunkedArray):
             rtext = rtext.combine_chunks()
+        # vectorized byte-equality over the (left row, matching-key seen
+        # row) candidate pairs: run expansion + one Arrow equal kernel —
+        # pair volume is bounded by design (true dups + ~per-mille bloom
+        # false positives), and no per-row Python remains (ADVICE r3)
+        import pyarrow.compute as pc
+
         keep = np.ones(left.num_rows, dtype=bool)
-        for i in np.flatnonzero(hi > lo):
-            lt = ltext[i].as_py()
-            for j in range(lo[i], hi[i]):
-                if rtext[j].as_py() == lt:
-                    keep[i] = False
-                    break
+        cand = np.flatnonzero(hi > lo)
+        if cand.shape[0]:
+            counts = (hi - lo)[cand]
+            total = int(counts.sum())
+            l_idx = np.repeat(cand, counts)
+            offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            r_idx = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(offs, counts)
+                + np.repeat(lo[cand], counts)
+            )
+            eq = pc.equal(
+                pc.fill_null(ltext.take(pa.array(l_idx)), ""),
+                rtext.take(pa.array(r_idx)),
+            )
+            eqn = pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+            keep[l_idx[eqn]] = False
         return left.filter(pa.array(keep))
 
     from raydedup.stages.exchange import hash_exchange_join

@@ -113,7 +113,13 @@ def hash_split(
 ) -> Dataset:
     """Label every row with a split name by hash range — disjoint and
     exhaustive (fracs must sum to 1 within 1e-9). Deterministic in the
-    key, so re-runs and re-partitions never move a row across splits."""
+    key, so re-runs and re-partitions never move a row across splits.
+
+    Split i covers the half-open rank interval [edge_{i-1}, edge_i)
+    (searchsorted side="right"): a rank exactly equal to an interior
+    edge goes to the UPPER split, consistent with ``hash_sample``'s
+    strict ``r < thr`` keep rule — the first split's rows are exactly
+    ``hash_sample(rate=fracs[0])``'s rows at the same seed."""
     names = list(fracs)
     vals = np.array([fracs[n] for n in names], dtype=np.float64)
     if (vals < 0).any() or abs(vals.sum() - 1.0) > 1e-9:
@@ -126,7 +132,7 @@ def hash_split(
     def label(t: pa.Table) -> pa.Table:
         ids = t.column(key_col).to_numpy(zero_copy_only=False)
         r = _rank(ids, seed)
-        idx = np.searchsorted(edges, r, side="left")
+        idx = np.searchsorted(edges, r, side="right")
         idx = np.minimum(idx, len(names) - 1)
         lab = pa.array(np.array(names, dtype=object)[idx], type=pa.string())
         return t.append_column(label_col, lab)
@@ -195,34 +201,52 @@ def stratified_sample(
     allc = pa.concat_tables(blocks)
     winners = _local_topk(allc, strata_col, key_col, k, seed)
     # winners keyed per STRATUM: the same key value winning in stratum A
-    # must not leak rows from stratum B
-    wmap: dict = {}
-    wst = winners.column(strata_col).to_pylist()
+    # must not leak rows from stratum B. Membership is tested against a
+    # sorted (stratum_name, key) pair list — the stratum column is
+    # dictionary-encoded per batch and the per-code winner slices are
+    # found by searchsorted over names, so the filter is vectorized
+    # (ADVICE r3: no per-stratum Python string-equality loops).
+    wst = winners.column(strata_col)
+    if isinstance(wst, pa.ChunkedArray):
+        wst = wst.combine_chunks()
+    wnames = np.asarray(wst.to_pylist(), dtype=object)
     wid = winners.column(key_col).to_numpy(zero_copy_only=False).astype(I64)
-    for sname in set(wst):
-        sel = np.fromiter((x == sname for x in wst), dtype=bool, count=len(wst))
-        wmap[sname] = np.sort(wid[sel])
-    wmap_ref = ray.put(wmap)
+    w_order = np.lexsort((wid, wnames))
+    wnames, wid = wnames[w_order], wid[w_order]
+    # per-stratum contiguous slices of the sorted winner ids
+    w_name_starts = np.flatnonzero(
+        np.concatenate([[True], wnames[1:] != wnames[:-1]])
+    )
+    w_uniq = wnames[w_name_starts]
+    w_bounds = np.append(w_name_starts, wnames.shape[0])
+    wmap_ref = ray.put((w_uniq, w_bounds, wid))
 
     def keep(t: pa.Table) -> pa.Table:
-        wanted = ray.get(wmap_ref)
+        uniq, bounds, ids_sorted = ray.get(wmap_ref)
         ids = t.column(key_col).to_numpy(zero_copy_only=False).astype(I64)
-        strata = t.column(strata_col).to_pylist()
-        mask = np.zeros(ids.shape[0], dtype=bool)
-        for sname in set(strata):
-            wk = wanted.get(sname)
-            if wk is None or wk.shape[0] == 0:
-                continue
-            rows = np.fromiter(
-                (x == sname for x in strata), dtype=bool, count=len(strata)
-            )
-            sub = ids[rows]
-            idx = np.searchsorted(wk, sub)
-            valid = idx < wk.shape[0]
-            hit = np.zeros(sub.shape[0], dtype=bool)
-            if valid.any():
-                hit[valid] = wk[idx[valid]] == sub[valid]
-            mask[np.flatnonzero(rows)[hit]] = True
+        strata = t.column(strata_col)
+        enc = (
+            strata.combine_chunks().dictionary_encode()
+            if isinstance(strata, pa.ChunkedArray)
+            else strata.dictionary_encode()
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(I64)
+        dvals = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        # map each batch-local stratum code -> winner slice [lo, hi)
+        pos = np.searchsorted(uniq, dvals)
+        pos_c = np.minimum(pos, uniq.shape[0] - 1) if uniq.shape[0] else pos * 0
+        known = uniq.shape[0] > 0
+        found = (uniq[pos_c] == dvals) if known else np.zeros(dvals.shape[0], bool)
+        lo_of = np.where(found, bounds[:-1][pos_c], 0)
+        hi_of = np.where(found, bounds[1:][pos_c], 0)
+        lo, hi = lo_of[codes], hi_of[codes]
+        # per-row binary search of ids within its stratum's winner slice
+        idx = np.empty(ids.shape[0], dtype=I64)
+        for c in np.unique(codes):  # distinct strata per batch: tiny
+            sel = codes == c
+            idx[sel] = np.searchsorted(ids_sorted[lo_of[c] : hi_of[c]], ids[sel])
+        idx = idx + lo
+        mask = (idx < hi) & (ids_sorted[np.minimum(idx, max(ids_sorted.shape[0] - 1, 0))] == ids) if ids_sorted.shape[0] else np.zeros(ids.shape[0], bool)
         return t.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")

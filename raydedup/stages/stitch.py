@@ -265,63 +265,93 @@ def stitch_merge(
     head doc_id, ordered by chain_id.
 
     Member texts are fetched with ONE semi-join pass over the corpus
-    (chain membership broadcast as a sorted id array — chains are the
-    report-sized stitch output, never O(corpus)); the merge itself is
-    driver-side over the fetched members only.
+    (chain membership broadcast as a sorted (doc_id -> chain_id, pos)
+    map — chains are the report-sized stitch output, never O(corpus)),
+    then MERGED PER CHAIN inside a chain_id-keyed exchange: each bucket
+    kernel sees all of its chains' member texts and nothing else, so
+    driver memory is O(merged output), not O(all stitched member text)
+    (ADVICE r3 — a pagination-heavy corpus with long chains never
+    accumulates its raw member texts on the driver).
     """
     import ray
+
+    from raydedup.stages.exchange import hash_exchange_apply
 
     chains = stitch_chains(docs, k=k, max_run=max_run, max_len=max_len)
     if chains.num_rows == 0:
         return MERGED_SCHEMA.empty_table()
-    member = np.sort(chains.column("doc_id").to_numpy(zero_copy_only=False))
-    member_ref = ray.put(member)
+    mem_ids = chains.column("doc_id").to_numpy(zero_copy_only=False)
+    m_order = np.argsort(mem_ids, kind="stable")
+    member = mem_ids[m_order]
+    m_chain = chains.column("chain_id").to_numpy(zero_copy_only=False)[m_order]
+    m_pos = chains.column("pos").to_numpy(zero_copy_only=False)[m_order]
+    member_ref = ray.put((member, m_chain, m_pos))
+
+    _MEMBER_SCHEMA = pa.schema(
+        [
+            ("chain_id", pa.int64()),
+            ("pos", pa.int64()),
+            ("text", pa.large_string()),
+        ]
+    )
 
     def fetch(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         if t.num_rows == 0 or t.num_columns == 0:
-            return pa.schema(
-                [("doc_id", pa.int64()), ("text", pa.large_string())]
-            ).empty_table()
+            return _MEMBER_SCHEMA.empty_table()
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        mem = ray.get(member_ref)
+        mem, mc, mp = ray.get(member_ref)
         pos = np.searchsorted(mem, ids)
         pos[pos == mem.shape[0]] = 0
         hit = mem[pos] == ids
         kept = t.filter(pa.array(hit))
+        sel = pos[hit]
         return pa.table(
             {
-                "doc_id": pc.cast(kept.column("doc_id"), pa.int64()),
+                "chain_id": pa.array(mc[sel], pa.int64()),
+                "pos": pa.array(mp[sel], pa.int64()),
                 "text": pc.cast(
                     pc.fill_null(kept.column("text"), ""), pa.large_string()
                 ),
             }
         )
 
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return MERGED_SCHEMA.empty_table()
+        cid = t.column("chain_id").to_numpy(zero_copy_only=False)
+        pos = t.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, cid))
+        cid = cid[order]
+        texts = t.take(pa.array(order)).column("text").to_pylist()
+        new = np.empty(cid.shape[0], dtype=bool)
+        new[0] = True
+        new[1:] = cid[1:] != cid[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, cid.shape[0]))
+        heads, n_parts, merged = [], [], []
+        for s, n in zip(starts, sizes):
+            toks: list[str] = []
+            for j in range(s, s + n):
+                part = texts[j].split()
+                toks.extend(part[k:] if j > s else part)
+            heads.append(int(cid[s]))
+            n_parts.append(int(n))
+            merged.append(" ".join(toks))
+        return pa.table(
+            {
+                "chain_id": pa.array(heads, pa.int64()),
+                "n_parts": pa.array(n_parts, pa.int64()),
+                "text": pa.array(merged, pa.large_string()),
+            }
+        )
+
     members = docs.select_columns(["doc_id", "text"]).map_batches(
         fetch, batch_format="pyarrow"
     )
-    texts: dict[int, str] = {}
-    for b in members.iter_batches(batch_format="pyarrow"):
-        texts.update(zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()))
-
-    cid = chains.column("chain_id").to_pylist()
-    did = chains.column("doc_id").to_pylist()
-    merged: dict[int, list[str]] = {}
-    counts: dict[int, int] = {}
-    # chains table is (chain_id, pos) sorted, so appends are in order
-    for c, d in zip(cid, did):
-        toks = texts.get(d, "").split()
-        if c in merged:
-            toks = toks[k:]  # drop the overlap that proved the join
-        merged.setdefault(c, []).extend(toks)
-        counts[c] = counts.get(c, 0) + 1
-    heads = sorted(merged)
-    return pa.table(
-        {
-            "chain_id": pa.array(heads, pa.int64()),
-            "n_parts": pa.array([counts[h] for h in heads], pa.int64()),
-            "text": pa.array([" ".join(merged[h]) for h in heads], pa.large_string()),
-        }
-    )
+    out = hash_exchange_apply(members, "chain_id", merge_bucket)
+    if out.num_rows == 0 or out.num_columns == 0:
+        return MERGED_SCHEMA.empty_table()
+    order = np.argsort(out.column("chain_id").to_numpy(zero_copy_only=False))
+    return out.take(pa.array(order))

@@ -57,3 +57,16 @@ def test_partition_invariance_and_empty(ray_session):
     empty = b1_neardup_pairs(_docs(["one doc only"]))
     assert empty.num_rows == 0
     assert empty.schema.names == ["a", "b", "hamming"]
+
+
+def test_rejects_non_128_perm_config(ray_session):
+    """pack_b1 zero-pads below 128 perms, which would inflate the
+    Hamming agreement (padded bits always match) — the b=1 path rejects
+    such configs loudly instead of silently over-accepting (ADVICE r3)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="n_perms == 128"):
+        b1_neardup_pairs(
+            _docs(["a doc", "b doc"]),
+            DedupConfig(n_perms=64, n_bands=8, rows_per_band=8),
+        )

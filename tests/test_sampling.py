@@ -72,6 +72,22 @@ def test_hash_split_disjoint_exhaustive_stable(ray_session):
         hash_split(rd.from_arrow(t), {"a": 0.5, "b": 0.6})
 
 
+def test_hash_split_first_bucket_equals_hash_sample(ray_session):
+    """Composed-sample consistency (ADVICE r3): the first split's rows
+    are exactly hash_sample's rows at the same rate/seed — half-open
+    [lo, hi) rank intervals, boundary ranks go to the upper split."""
+    t = _tbl(4000)
+    fr = {"train": 0.37, "rest": 0.63}
+    split = hash_split(rd.from_arrow(t), fr).to_pandas()
+    train = sorted(split[split.split == "train"].doc_id)
+    samp = sorted(hash_sample(rd.from_arrow(t), 0.37).to_pandas().doc_id)
+    assert train == samp
+    # scalar contract: strict r < edge on the interior boundary
+    edge = np.uint64(int(0.37 * 2.0**64))
+    want = np.flatnonzero(_rank(np.arange(4000)) < edge).tolist()
+    assert train == want
+
+
 def test_stratified_sample_exact_and_invariant(ray_session):
     t = _tbl(4000, n_strata=4, seed=3)
     k = 9
