@@ -81,6 +81,105 @@ def _flatten_refs(refs: list) -> list:
     return out
 
 
+# --- module-level stage kernels (shared by the overlapped orchestration
+# below and the checkpoint-barriered resumable one) ----------------------
+
+
+@ray.remote
+def _member_table(t: pa.Table) -> pa.Table:
+    """sha edge table -> exact-dup MEMBER ids (the ``b`` side)."""
+    return pa.table({"m": t.column("b")})
+
+
+@ray.remote
+def _pair_id_table(t: pa.Table) -> pa.Table:
+    """candidate pair bucket -> distinct demanded doc ids."""
+    ids = np.unique(
+        np.concatenate(
+            [
+                t.column("a").to_numpy(zero_copy_only=False),
+                t.column("b").to_numpy(zero_copy_only=False),
+            ]
+        )
+        if t.num_rows
+        else np.empty(0, dtype=np.int64)
+    )
+    return pa.table({"doc_id": pa.array(ids.astype(np.int64), type=pa.int64())})
+
+
+def _drop_member_ids(left: pa.Table, right: pa.Table) -> pa.Table:
+    """left = demanded candidate ids bucket, right = member ids bucket
+    (column ``m``): drop demanded ids that are exact-dup members."""
+    if left.num_rows == 0 or right.num_rows == 0:
+        return left
+    mem = np.unique(right.column("m").to_numpy(zero_copy_only=False))
+    v = left.column("doc_id").to_numpy(zero_copy_only=False)
+    pos = np.minimum(np.searchsorted(mem, v), mem.shape[0] - 1)
+    return left.filter(pa.array(mem[pos] != v))
+
+
+def make_drop_exact_then_explode(window: int, stride: int):
+    """Containment explode kernel: drop exact-dup members (right,
+    column ``m``) from a docs bucket, then winnow-explode fingerprints."""
+
+    def drop_exact_then_explode(left: pa.Table, right: pa.Table) -> pa.Table:
+        if right.num_rows and left.num_rows:
+            mem = np.unique(right.column("m").to_numpy(zero_copy_only=False))
+            ids = left.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(mem, ids), mem.shape[0] - 1)
+            left = left.filter(pa.array(mem[pos] != ids))
+        return fingerprint_postings_table(left, window, stride)
+
+    return drop_exact_then_explode
+
+
+def make_filter_and_shingle(cfg: DedupConfig):
+    """Demand-side shingle kernel: keep only demanded docs, compute
+    their packed shingle sets once with the vectorized batch kernel."""
+    from raydedup.stages.verify import packed_shingle_table
+
+    def filter_and_shingle(ids_tbl: pa.Table, docs_tbl: pa.Table) -> pa.Table:
+        wanted = np.unique(ids_tbl.column("doc_id").to_numpy(zero_copy_only=False))
+        if docs_tbl.num_rows and wanted.shape[0]:
+            ids = docs_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            docs_tbl = docs_tbl.filter(pa.array(np.isin(ids, wanted)))
+        else:
+            docs_tbl = docs_tbl.slice(0, 0)
+        return packed_shingle_table(docs_tbl, cfg)
+
+    return filter_and_shingle
+
+
+def drop_forest_member_rows(left: pa.Table, right: pa.Table) -> pa.Table:
+    """Drop left rows (keyed by ``doc_id``) that are near-dup MEMBERS of
+    the forest ``right`` (a=root, b=member, member rows have a != b)."""
+    ra = right.column("a").to_numpy(zero_copy_only=False)
+    rb = right.column("b").to_numpy(zero_copy_only=False)
+    members = np.sort(rb[ra != rb])
+    if members.shape[0] and left.num_rows:
+        ids = left.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(members, ids), members.shape[0] - 1)
+        left = left.filter(pa.array(members[pos] != ids))
+    return left
+
+
+def make_combine_containment(min_cov: float):
+    """Containment pair combiner: aggregate shared-fingerprint partials
+    and keep pairs with coverage >= ``min_cov``."""
+
+    def combine_containment(t: pa.Table) -> pa.Table:
+        agg = reduce_pair_table(
+            t, sum_cols=["shared_partial"], min_cols=["n_fp_a", "n_fp_b"]
+        ).rename_columns(["a", "b", "shared", "n_fp_a", "n_fp_b"])
+        shared = agg.column("shared").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = agg.column("n_fp_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = agg.column("n_fp_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        cov = shared / np.maximum(np.minimum(na, nb), 1.0)
+        return agg.select(["a", "b"]).filter(pa.array(cov >= min_cov))
+
+    return combine_containment
+
+
 def run_dedup_scale(
     docs: Dataset,
     cfg: DedupConfig | None = None,
@@ -175,10 +274,6 @@ def run_dedup_scale(
     # joins below drop its pairs via the lookup found-mask. Connectivity
     # is unchanged while member shingle payloads never enter the verify
     # exchanges and the pair table is never re-shuffled for filtering.
-    @ray.remote
-    def _member_table(t: pa.Table) -> pa.Table:
-        return pa.table({"m": t.column("b")})
-
     msplit = split_dataset(
         [_member_table.remote(r) for r in exact_refs], "m", num_buckets
     )
@@ -196,7 +291,6 @@ def run_dedup_scale(
     from raydedup.stages.verify import (
         make_attach_a,
         make_attach_b_verify,
-        packed_shingle_table,
     )
 
     # --- containment explode, OVERLAPPED with verify + clustering ---------
@@ -210,63 +304,26 @@ def run_dedup_scale(
     # refs-only.
     fp_expl_refs: list = []
     if containment:
-        w_c, s_c = cfg.containment_window, cfg.containment_stride
-
-        def drop_exact_then_explode(left: pa.Table, right: pa.Table) -> pa.Table:
-            if right.num_rows and left.num_rows:
-                mem = np.unique(right.column("m").to_numpy(zero_copy_only=False))
-                ids = left.column("doc_id").to_numpy(zero_copy_only=False)
-                pos = np.minimum(np.searchsorted(mem, ids), mem.shape[0] - 1)
-                left = left.filter(pa.array(mem[pos] != ids))
-            return fingerprint_postings_table(left, w_c, s_c)
-
         fp_expl_refs = reduce_join_split(
-            dsplit, msplit, drop_exact_then_explode, num_buckets
+            dsplit,
+            msplit,
+            make_drop_exact_then_explode(cfg.containment_window, cfg.containment_stride),
+            num_buckets,
         )
         _mark("fp_explode", fp_expl_refs)
-
-    @ray.remote
-    def _pair_id_table(t: pa.Table) -> pa.Table:
-        ids = np.unique(
-            np.concatenate(
-                [
-                    t.column("a").to_numpy(zero_copy_only=False),
-                    t.column("b").to_numpy(zero_copy_only=False),
-                ]
-            )
-            if t.num_rows
-            else np.empty(0, dtype=np.int64)
-        )
-        return pa.table({"doc_id": pa.array(ids.astype(np.int64), type=pa.int64())})
 
     idsplit = split_dataset(
         [_pair_id_table.remote(r) for r in cand_refs], "doc_id", num_buckets
     )
 
-    def _drop_member_ids(left: pa.Table, right: pa.Table) -> pa.Table:
-        # left = demanded candidate ids bucket, right = member ids bucket
-        if left.num_rows == 0 or right.num_rows == 0:
-            return left
-        mem = np.unique(right.column("m").to_numpy(zero_copy_only=False))
-        v = left.column("doc_id").to_numpy(zero_copy_only=False)
-        pos = np.minimum(np.searchsorted(mem, v), mem.shape[0] - 1)
-        return left.filter(pa.array(mem[pos] != v))
-
     idsplit = [reduce_join_split(idsplit, msplit, _drop_member_ids, num_buckets)]
     _mark("demand_ids", idsplit)
 
-    def filter_and_shingle(ids_tbl: pa.Table, docs_tbl: pa.Table) -> pa.Table:
-        wanted = np.unique(ids_tbl.column("doc_id").to_numpy(zero_copy_only=False))
-        if docs_tbl.num_rows and wanted.shape[0]:
-            ids = docs_tbl.column("doc_id").to_numpy(zero_copy_only=False)
-            docs_tbl = docs_tbl.filter(pa.array(np.isin(ids, wanted)))
-        else:
-            docs_tbl = docs_tbl.slice(0, 0)
-        return packed_shingle_table(docs_tbl, cfg)
-
     # per-bucket packed candidate shingles, already partitioned by
     # hash(doc_id) — usable directly as the right side of both joins
-    shingled_refs = reduce_join_split(idsplit, dsplit, filter_and_shingle, num_buckets)
+    shingled_refs = reduce_join_split(
+        idsplit, dsplit, make_filter_and_shingle(cfg), num_buckets
+    )
     _mark("demand_shingle", shingled_refs)
     shsplit = [shingled_refs]
 
@@ -314,46 +371,25 @@ def run_dedup_scale(
     # exchange with redundant rows. The forest never touches the driver.
     extra_edge_refs: list = []
     if containment:
-        def drop_forest_members(left: pa.Table, right: pa.Table) -> pa.Table:
-            # left = exploded postings bucket (fp_key, doc_id, n_fp),
-            # partitioned by hash(doc_id); right = forest bucket keyed on
-            # b: drop posting rows of near-dup MEMBERS — their
-            # representative already carries ~every shared fingerprint,
-            # so member rows only flood the pair exchange
-            ra = right.column("a").to_numpy(zero_copy_only=False)
-            rb = right.column("b").to_numpy(zero_copy_only=False)
-            members = np.sort(rb[ra != rb])
-            if members.shape[0] and left.num_rows:
-                ids = left.column("doc_id").to_numpy(zero_copy_only=False)
-                pos = np.minimum(np.searchsorted(members, ids), members.shape[0] - 1)
-                left = left.filter(pa.array(members[pos] != ids))
-            return left
-
-        # the exploded postings inherited dsplit's doc_id bucketing, so
-        # the forest (keyed on b, a doc_id) co-partitions with them
+        # left = exploded postings bucket (fp_key, doc_id, n_fp),
+        # partitioned by hash(doc_id); right = forest bucket keyed on
+        # b: drop posting rows of near-dup MEMBERS — their
+        # representative already carries ~every shared fingerprint,
+        # so member rows only flood the pair exchange.
+        # The exploded postings inherited dsplit's doc_id bucketing, so
+        # the forest (keyed on b, a doc_id) co-partitions with them;
         # the member-drop join re-splits its output on fp_key IN-TASK
         # (fused) — the emit wave consumes the pieces without another
         # full pass over the posting table (the pipeline's biggest)
         fp_wave = reduce_join_resplit(
             [fp_expl_refs],
             split_dataset(forest_refs, "b", num_buckets),
-            drop_forest_members,
+            drop_forest_member_rows,
             "fp_key",
             num_buckets,
             num_buckets,
         )
-        min_cov = cfg.containment_min_coverage
         cont_cap = cfg.containment_max_postings
-
-        def combine_containment(t: pa.Table) -> pa.Table:
-            agg = reduce_pair_table(
-                t, sum_cols=["shared_partial"], min_cols=["n_fp_a", "n_fp_b"]
-            ).rename_columns(["a", "b", "shared", "n_fp_a", "n_fp_b"])
-            shared = agg.column("shared").to_numpy(zero_copy_only=False).astype(np.float64)
-            na = agg.column("n_fp_a").to_numpy(zero_copy_only=False).astype(np.float64)
-            nb = agg.column("n_fp_b").to_numpy(zero_copy_only=False).astype(np.float64)
-            cov = shared / np.maximum(np.minimum(na, nb), 1.0)
-            return agg.select(["a", "b"]).filter(pa.array(cov >= min_cov))
 
         # fused emit -> combine chain (emit wave re-splits on `a` in-task)
         from raydedup.stages.exchange import _reduce_bucket, reduce_apply_resplit
@@ -365,6 +401,7 @@ def run_dedup_scale(
             num_buckets,
             num_buckets,
         )
+        combine_containment = make_combine_containment(cfg.containment_min_coverage)
         cont_refs = [
             _reduce_bucket.remote(combine_containment, *[w[j] for w in cont_wave])
             for j in range(num_buckets)
@@ -386,22 +423,12 @@ def run_dedup_scale(
     # Driver cost is O(substring candidate pairs) — the verified-pair
     # order, not the corpus — the one driver-side table this mode keeps.
     if substring:
-        def drop_members_docs(left: pa.Table, right: pa.Table) -> pa.Table:
-            ra = right.column("a").to_numpy(zero_copy_only=False)
-            rb = right.column("b").to_numpy(zero_copy_only=False)
-            mem = np.sort(rb[ra != rb])
-            if mem.shape[0] and left.num_rows:
-                ids = left.column("doc_id").to_numpy(zero_copy_only=False)
-                pos = np.minimum(np.searchsorted(mem, ids), mem.shape[0] - 1)
-                left = left.filter(pa.array(mem[pos] != ids))
-            return left
-
         from raydedup.stages.substring import substring_pairs
 
         rep_doc_refs = reduce_join_split(
             dsplit,
             split_dataset(forest_refs, "b", num_buckets),
-            drop_members_docs,
+            drop_forest_member_rows,
             num_buckets,
         )
         sub_tbl, sub_m = substring_pairs(
@@ -445,6 +472,223 @@ def run_dedup_scale(
     metrics["verified_pairs"] = int(sum(ray.get(ver_count_futs)))
     metrics["n_dup_docs"] = int(sum(ray.get(forest_count_futs)))
     metrics["t_total"] = time.perf_counter() - t0
+    return DedupScaleResult(clusters=clusters, metrics=metrics)
+
+
+def run_dedup_scale_resumable(
+    docs: Dataset,
+    cfg: DedupConfig | None = None,
+    *,
+    ckpt,
+    containment: bool = True,
+    substring: bool = False,
+    num_buckets: int = 64,
+    n_shards: int = 8,
+    signatures: Dataset | None = None,
+) -> DedupScaleResult:
+    """run_dedup_scale with per-exchange checkpoint barriers.
+
+    Same stage kernels and cluster-identical output as run_dedup_scale,
+    but each exchange stage (sha edges, LSH candidate pairs, verified
+    edges, round-1 forest, containment links, merged forest) commits its
+    per-bucket output tables through ``ckpt``
+    (state.checkpoint.ExchangeCheckpoint) before the next stage starts —
+    a crash mid-phase-2 resumes from the last committed exchange instead
+    of replaying all of them (VERDICT r3 #1; the reference's ``.tdb``
+    resume, OlafStorageFile.java:176-191, lifted to the join stages).
+
+    The barriers serialize the stages, giving up run_dedup_scale's
+    deliberate compute/containment overlap — durability costs one
+    overlap's worth of wall time, which is why the non-checkpointed
+    entry point keeps its own orchestration. ``signatures`` (e.g. the
+    phase-1 per-shard signature parquet) skips recomputing the
+    signature kernel when the candidates stage must run.
+    """
+    cfg = cfg or DedupConfig()
+    t0 = time.perf_counter()
+    metrics: dict[str, Any] = {}
+
+    if cfg.normalize:
+        from raydedup.stages.textnorm import normalized_docs
+
+        docs = normalized_docs(docs)
+    docs = docs.materialize()
+
+    from raydedup.stages.exchange import (
+        _reduce_bucket,
+        reduce_apply_resplit,
+        reduce_join_resplit,
+        reduce_join_split,
+        split_dataset,
+    )
+    from raydedup.pipelines.dedup import sha_emit_table, sha_key_table
+
+    # lazy splits: built only if a pending stage needs them, so a resume
+    # whose remaining work is (say) clustering never re-splits the corpus
+    _cache: dict[str, Any] = {}
+
+    def get_dsplit():
+        if "dsplit" not in _cache:
+            _cache["dsplit"] = split_dataset(
+                docs.select_columns(["doc_id", "text"]), "doc_id", num_buckets
+            )
+        return _cache["dsplit"]
+
+    def get_msplit():
+        if "msplit" not in _cache:
+            _cache["msplit"] = split_dataset(
+                [_member_table.remote(r) for r in exact_refs], "m", num_buckets
+            )
+        return _cache["msplit"]
+
+    # --- stage: exact sha edges ------------------------------------------
+    def _exact_thunk():
+        keyed = docs.select_columns(["doc_id", "text_sha256"]).map_batches(
+            sha_key_table, batch_format="pyarrow"
+        )
+        return hash_exchange_apply(
+            keyed, "sha_key", sha_emit_table, num_buckets, collect=False
+        )
+
+    exact_refs = ckpt.run("exact", _exact_thunk)
+
+    # --- stage: LSH candidate pairs --------------------------------------
+    def _cand_thunk():
+        from raydedup.pipelines.dedup import compute_signatures
+        from raydedup.stages.candidates import candidate_pair_refs
+
+        sigs = signatures
+        if sigs is None:
+            sigs = compute_signatures(docs, cfg, keep_shingles=False)
+        postings = band_postings(sigs, cfg)
+        return candidate_pair_refs(postings, cfg, num_buckets)
+
+    cand_refs = ckpt.run("candidates", _cand_thunk)
+    metrics["candidate_pairs"] = ckpt.stage_rows("candidates")
+
+    # --- stage: verified edges -------------------------------------------
+    def _verified_thunk():
+        from raydedup.stages.verify import make_attach_a, make_attach_b_verify
+
+        idsplit = split_dataset(
+            [_pair_id_table.remote(r) for r in cand_refs], "doc_id", num_buckets
+        )
+        idsplit = [
+            reduce_join_split(idsplit, get_msplit(), _drop_member_ids, num_buckets)
+        ]
+        shingled_refs = reduce_join_split(
+            idsplit, get_dsplit(), make_filter_and_shingle(cfg), num_buckets
+        )
+        psplit = split_dataset(cand_refs, "a", num_buckets)
+        r1 = reduce_join_resplit(
+            psplit, [shingled_refs], make_attach_a(), "b", num_buckets, num_buckets
+        )
+        return reduce_join_split(
+            r1, [shingled_refs], make_attach_b_verify(cfg.jaccard_tau), num_buckets
+        )
+
+    verified_refs = ckpt.run("verified", _verified_thunk)
+    metrics["verified_pairs"] = ckpt.stage_rows("verified")
+
+    # --- stage: round-1 forest (exact + verified LSH edges) --------------
+    cl_buckets = min(num_buckets, 32)
+
+    def _forest1_thunk():
+        return cluster_edge_refs(
+            _select_ab(verified_refs) + exact_refs,
+            n_shards=n_shards,
+            num_buckets=cl_buckets,
+        )
+
+    forest_refs = ckpt.run("forest1", _forest1_thunk)
+
+    # --- stage: containment links over representatives -------------------
+    extra_edge_refs: list = []
+    if containment:
+        def _cont_thunk():
+            fp_expl = reduce_join_split(
+                get_dsplit(),
+                get_msplit(),
+                make_drop_exact_then_explode(
+                    cfg.containment_window, cfg.containment_stride
+                ),
+                num_buckets,
+            )
+            fp_wave = reduce_join_resplit(
+                [fp_expl],
+                split_dataset(forest_refs, "b", num_buckets),
+                drop_forest_member_rows,
+                "fp_key",
+                num_buckets,
+                num_buckets,
+            )
+            cont_cap = cfg.containment_max_postings
+            cont_wave = reduce_apply_resplit(
+                fp_wave,
+                lambda t: _emit_fp_pairs(t, cont_cap),
+                "a",
+                num_buckets,
+                num_buckets,
+            )
+            combine = make_combine_containment(cfg.containment_min_coverage)
+            return [
+                _reduce_bucket.remote(combine, *[w[j] for w in cont_wave])
+                for j in range(num_buckets)
+            ]
+
+        cont_refs = ckpt.run("containment", _cont_thunk)
+        metrics["containment_pairs"] = ckpt.stage_rows("containment")
+        metrics["t_containment_done"] = time.perf_counter() - t0
+        if metrics["containment_pairs"]:
+            extra_edge_refs += cont_refs
+
+    # --- stage: exact substring links over representatives ---------------
+    if substring:
+        def _sub_thunk():
+            from raydedup.stages.substring import substring_pairs
+
+            rep_doc_refs = reduce_join_split(
+                get_dsplit(),
+                split_dataset(forest_refs, "b", num_buckets),
+                drop_forest_member_rows,
+                num_buckets,
+            )
+            sub_tbl, sub_m = substring_pairs(
+                rd.from_arrow_refs(rep_doc_refs), min_len=cfg.substring_min_len
+            )
+            return [
+                ray.put(
+                    pa.table(
+                        {
+                            "a": sub_tbl.column("outer_id").cast(pa.int64()),
+                            "b": sub_tbl.column("inner_id").cast(pa.int64()),
+                        }
+                    )
+                )
+            ]
+
+        sub_refs = ckpt.run("substring_edges", _sub_thunk)
+        metrics["substring_pairs"] = ckpt.stage_rows("substring_edges")
+        if metrics["substring_pairs"]:
+            extra_edge_refs += sub_refs
+
+    # --- stage: merged forest (round 2) ----------------------------------
+    if extra_edge_refs:
+        def _forest2_thunk():
+            return cluster_edge_refs(
+                forest_refs + extra_edge_refs,
+                n_shards=n_shards,
+                num_buckets=cl_buckets,
+            )
+
+        forest_refs = ckpt.run("forest2", _forest2_thunk)
+        metrics["n_dup_docs"] = ckpt.stage_rows("forest2")
+    else:
+        metrics["n_dup_docs"] = ckpt.stage_rows("forest1")
+
+    clusters = assignments_exchange(docs, forest_refs, num_buckets=cl_buckets)
+    metrics["t_total"] = time.perf_counter() - t0
+    metrics["resumed_exchanges"] = list(ckpt.loaded_stages)
     return DedupScaleResult(clusters=clusters, metrics=metrics)
 
 

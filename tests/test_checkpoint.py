@@ -154,3 +154,106 @@ def test_checkpointed_scale_mode(ray_session, small_corpus, tmp_path, cfg):
     out2 = run_dedup_checkpointed(files, d2, cfg_auto, mode="auto")
     assert out2["metrics"]["dedup_path"] == "scale"
     pd.testing.assert_frame_equal(_clusters_df(out2), got)
+
+
+def test_exchange_checkpoint_roundtrip(ray_session, tmp_path, cfg):
+    """ExchangeCheckpoint.run computes once, persists per-bucket parquet
+    with manifest rows, and loads (never recomputes) on the next run;
+    a config change invalidates the lineage like every other artifact."""
+    import pyarrow as pa
+    import ray
+
+    from raydedup.state.checkpoint import ExchangeCheckpoint
+
+    mgr = CheckpointManager(str(tmp_path / "x"), cfg)
+    exch = ExchangeCheckpoint(mgr)
+    calls = []
+
+    def thunk():
+        calls.append(1)
+        return [
+            ray.put(pa.table({"a": pa.array([1, 2], pa.int64())})),
+            ray.put(pa.table({})),  # 0-column empty (schema-less bucket)
+        ]
+
+    exch.run("s1", thunk)
+    assert calls == [1] and exch.done("s1") and exch.stage_rows("s1") == 2
+
+    exch2 = ExchangeCheckpoint(CheckpointManager(str(tmp_path / "x"), cfg))
+    refs2 = exch2.run("s1", thunk)
+    assert calls == [1]  # loaded, not recomputed
+    tbls = ray.get(refs2)
+    assert tbls[0].column("a").to_pylist() == [1, 2]
+    assert tbls[1].num_rows == 0
+    assert exch2.loaded_stages == ["s1"]
+
+    other = ExchangeCheckpoint(
+        CheckpointManager(str(tmp_path / "x"), cfg.with_overrides(jaccard_tau=0.9))
+    )
+    assert not other.done("s1")
+
+
+def test_scale_resume_skips_finished_exchanges(
+    ray_session, small_corpus, tmp_path, cfg, monkeypatch
+):
+    """VERDICT r3 #1: kill mid-phase-2 (right after the candidate
+    exchange commits), resume, and complete WITHOUT re-running the
+    finished exchanges — their kernels are poisoned during the resume,
+    so any replay fails the test — with clusters identical to a direct
+    uninterrupted run_dedup_scale."""
+    from raydedup.pipelines.dedup_scale import run_dedup_scale
+    from raydedup.sources.pages import pages_to_docs, read_pages
+    from raydedup.state.checkpoint import CheckpointKilled
+
+    spec, paths = small_corpus
+    files = _pages_files(paths)
+    d = str(tmp_path / "killsc")
+
+    with pytest.raises(CheckpointKilled):
+        run_dedup_checkpointed(
+            files, d, cfg, mode="scale", fail_after_stage="candidates"
+        )
+    manifest = json.load(open(os.path.join(d, "manifest.json")))
+    ex = manifest["exchanges"]
+    assert ex["exact"]["status"] == "done"
+    assert ex["candidates"]["status"] == "done"
+    assert "verified" not in ex
+    assert "scale_clusters" not in manifest["stages"]
+    # per-bucket files + manifest rows exist for the committed stages
+    import glob as _g
+
+    n_files = len(_g.glob(os.path.join(d, "exchanges", "candidates", "*.parquet")))
+    assert n_files == ex["candidates"]["n_buckets"] > 0
+    assert len(ex["candidates"]["buckets"]) == n_files
+
+    # poison the finished exchanges' kernels: resume must never call them
+    import raydedup.pipelines.dedup as D
+    import raydedup.pipelines.dedup_scale as DS
+    import raydedup.stages.candidates as C
+
+    def _boom(*a, **k):
+        raise AssertionError("finished exchange was re-run on resume")
+
+    monkeypatch.setattr(C, "candidate_pair_refs", _boom)
+    monkeypatch.setattr(C, "band_postings", _boom)
+    monkeypatch.setattr(DS, "band_postings", _boom)
+    monkeypatch.setattr(D, "compute_signatures", _boom)
+    monkeypatch.setattr(D, "sha_emit_table", _boom)
+    monkeypatch.setattr(D, "sha_key_table", _boom)
+
+    resumed = run_dedup_checkpointed(files, d, cfg, mode="scale")
+    assert resumed is not None
+    assert set(resumed["metrics"]["resumed_exchanges"]) == {"exact", "candidates"}
+    m2 = json.load(open(os.path.join(d, "manifest.json")))
+    for stage in ("verified", "forest1", "containment"):
+        assert m2["exchanges"][stage]["status"] == "done"
+
+    got = _clusters_df(resumed)
+    monkeypatch.undo()  # the direct reference run needs the real kernels
+    direct = (
+        run_dedup_scale(pages_to_docs(read_pages(paths["pages"])), cfg, containment=True)
+        .clusters.to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[direct.columns], direct)
