@@ -89,12 +89,16 @@ class DedupConfig:
     n_cluster_shards: int = 8
 
     # --- pipeline dispatch: run_dedup_auto routes to the refs-only
-    # run_dedup_scale at or above this doc count. Crossover measured
-    # round 3 (32 CPUs, containment on): base faster ≤300k
-    # (12.7 s vs ~parity), scale 1.8x faster at 1M (49.1 s vs 88.7 s,
-    # /tmp/prof3_1m.log; BASELINE.md) — and the only variant whose
-    # driver memory is corpus-independent, i.e. the 10^12 path.
-    scale_min_docs: int = 500_000
+    # run_dedup_scale at or above this doc count. Round-4 remeasurement
+    # (32 CPUs, containment on, adaptive exchange width + early shard
+    # spawn + single-task pointer collapse): the scale path now WINS at
+    # every size tried — 1k 1.51 s vs 1.76, 5k 1.90 vs 2.14, 20k 2.35
+    # vs 2.63, 50k 4.06 vs 4.51 — so the old 500k crossover is gone and
+    # the default drops to 10k (VERDICT r3 #2). The residual threshold
+    # only keeps trivially small inputs on the simpler driver-assisted
+    # path; the scale route is the default wherever size matters and is
+    # the only variant whose driver memory is corpus-independent.
+    scale_min_docs: int = 10_000
 
     # --- execution
     batch_size: int = 4096

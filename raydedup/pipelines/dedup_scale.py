@@ -180,14 +180,30 @@ def make_combine_containment(min_cov: float):
     return combine_containment
 
 
+def _auto_buckets(n_docs: int) -> int:
+    """Exchange width sized to the corpus: every bucket below ~3k docs
+    is a task whose fixed latency outweighs its work, so small corpora
+    run narrow (fewer task waves per exchange) and the width saturates
+    at 64 where per-bucket memory bounding takes over."""
+    return int(min(64, max(8, n_docs // 3000)))
+
+
+def _auto_shards(n_docs: int) -> int:
+    """Union-find shard-actor count: 8 actors is the steady-state pool,
+    but below the scale crossover 2-4 shards cut the per-round actor
+    round-trip fan-in without ever holding more than ~25k forest rows
+    per shard."""
+    return int(min(8, max(2, n_docs // 25_000 + 1)))
+
+
 def run_dedup_scale(
     docs: Dataset,
     cfg: DedupConfig | None = None,
     *,
     containment: bool = True,
     substring: bool = False,
-    num_buckets: int = 64,
-    n_shards: int = 8,
+    num_buckets: int | None = None,
+    n_shards: int | None = None,
 ) -> DedupScaleResult:
     cfg = cfg or DedupConfig()
     t0 = time.perf_counter()
@@ -231,6 +247,19 @@ def run_dedup_scale(
     # overlaps the text movement with signature compute instead of paying
     # for it serially after the candidate barrier (the residual gap vs
     # run_dedup's id-broadcast verify, BASELINE.md).
+    n_docs = docs.count()  # materialized: metadata-only
+    if num_buckets is None:
+        num_buckets = _auto_buckets(n_docs)
+    if n_shards is None:
+        n_shards = _auto_shards(n_docs)
+
+    # union-find shard actors spawn NOW (async): their process startup
+    # (~0.5 s) overlaps the signature/verify stages instead of landing
+    # on the clustering critical path; both cluster rounds reuse them
+    from raydedup.stages.cluster import UnionFindShard
+
+    uf_shards = [UnionFindShard.remote(i, n_shards) for i in range(n_shards)]
+
     doc_text = docs.select_columns(["doc_id", "text"])
     dsplit = split_dataset(doc_text, "doc_id", num_buckets)
     _mark("text_split", dsplit)
@@ -347,12 +376,9 @@ def run_dedup_scale(
     _mark("attach_b_verify", verified_refs)
 
     # --- clustering round 1: exact + verified LSH edges -------------------
-    # the shard actor pool is spawned ONCE and reused by the containment
-    # merge round below (contract() resets shard state at stability, so
-    # the second round starts clean on warm actors)
-    from raydedup.stages.cluster import UnionFindShard
-
-    uf_shards = [UnionFindShard.remote(i, n_shards) for i in range(n_shards)]
+    # the shard actor pool (spawned at pipeline start, already warm) is
+    # reused by the containment merge round below (contract() resets
+    # shard state at stability, so the second round starts clean)
     edge_refs = _select_ab(verified_refs) + exact_refs
     forest_refs = cluster_edge_refs(
         edge_refs,
@@ -482,8 +508,8 @@ def run_dedup_scale_resumable(
     ckpt,
     containment: bool = True,
     substring: bool = False,
-    num_buckets: int = 64,
-    n_shards: int = 8,
+    num_buckets: int | None = None,
+    n_shards: int | None = None,
     signatures: Dataset | None = None,
 ) -> DedupScaleResult:
     """run_dedup_scale with per-exchange checkpoint barriers.
@@ -513,6 +539,11 @@ def run_dedup_scale_resumable(
 
         docs = normalized_docs(docs)
     docs = docs.materialize()
+    n_docs = docs.count()  # materialized: metadata-only
+    if num_buckets is None:
+        num_buckets = _auto_buckets(n_docs)
+    if n_shards is None:
+        n_shards = _auto_shards(n_docs)
 
     from raydedup.stages.exchange import (
         _reduce_bucket,
@@ -705,11 +736,13 @@ def run_dedup_auto(
     memory) on the input doc count vs ``cfg.scale_min_docs``.
 
     Both paths are cluster-equivalent (same e2e recall/false-merge
-    gates); the measured crossover is ~300k docs at 32 CPUs and the
-    scale path is 1.8x faster by 1M (BASELINE.md round-3), so the
-    default threshold of 500k picks each variant where it wins. The
-    chosen path is recorded in ``metrics["dedup_path"]``. Returns that
-    path's native result type (both expose .clusters and .metrics)."""
+    gates). Round-4 remeasurement after the adaptive exchange width /
+    early shard spawn / single-task pointer collapse: the scale path
+    wins at every size tried (1k-50k all faster, 1.8x at 1M), so the
+    default threshold is now 10k — only trivially small inputs stay on
+    the driver-assisted path (see config.scale_min_docs). The chosen
+    path is recorded in ``metrics["dedup_path"]``. Returns that path's
+    native result type (both expose .clusters and .metrics)."""
     cfg = cfg or DedupConfig()
     n_docs = docs.count()  # parquet-backed inputs: metadata-only
     if n_docs >= cfg.scale_min_docs:

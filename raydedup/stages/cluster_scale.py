@@ -44,18 +44,63 @@ def _route_table(shards: list, n_shards: int, *tables: pa.Table) -> int:
     return int(a.shape[0])
 
 
-def _pointer_jump(forest_refs: list, num_buckets: int, max_rounds: int = 48) -> list:
+@ray.remote
+def _collapse_local(*tables: pa.Table) -> pa.Table:
+    """Full pointer collapse of a forest small enough for ONE task:
+    iterate parent -> grandparent over the whole table until stable.
+    One worker task, zero exchange rounds — the fast path that replaces
+    ~log(depth) driver-synchronized jump rounds when the contracted
+    forest is only thousands of rows (the common case far below the
+    scale crossover; the multi-bucket exchange path below remains the
+    10^12-row route)."""
+    nonempty = [t for t in tables if t.num_rows]
+    if not nonempty:
+        donor = next((t for t in tables if t.num_columns), None)
+        return donor.slice(0, 0) if donor is not None else pa.table({})
+    t = pa.concat_tables(nonempty)
+    a = t.column("a").to_numpy(zero_copy_only=False).copy()
+    b = t.column("b").to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    bs = b[order]
+    for _ in range(64):
+        pos = np.minimum(np.searchsorted(bs, a), bs.shape[0] - 1)
+        hit = bs[pos] == a
+        new_a = np.where(hit, a[order][pos], a)
+        if (new_a == a).all():
+            break
+        a = new_a
+    return pa.table(
+        {"a": pa.array(a, type=pa.int64()), "b": pa.array(b, type=pa.int64())}
+    )
+
+
+@ray.remote
+def _strip_changed(t: pa.Table):
+    ch = t.column("_changed")
+    n = int(ch[0].as_py()) if t.num_rows else 0
+    return t.drop_columns(["_changed"]), n
+
+
+def _pointer_jump(
+    forest_refs: list, num_buckets: int, max_rounds: int = 48, n_rows: int | None = None
+) -> list:
     """Collapse parent chains (m -> p, p -> r  =>  m -> r) without the
     driver: each round exchange-joins the forest with itself on
     (parent == member). Roots are strictly decreasing, so depth shrinks
     geometrically (depth 2^rounds), so 48 rounds covers any physical
     chain; convergence = zero changed rows (a per-bucket count, the only
-    thing the driver sees) exits far earlier in practice."""
+    thing the driver sees) exits far earlier in practice.
+
+    ``n_rows`` (when the caller knows the forest size — bytes from the
+    contraction signatures, never edges) routes small forests through
+    ``_collapse_local``: one task does the whole collapse internally
+    instead of paying several exchange waves of fixed latency."""
     from raydedup.stages.exchange import hash_exchange_join
 
-    for _ in range(max_rounds):
-        changed_refs = []
+    if n_rows is not None and n_rows <= 2_000_000:
+        return [_collapse_local.remote(*forest_refs)]
 
+    for _ in range(max_rounds):
         def jump(left: pa.Table, right: pa.Table) -> pa.Table:
             # left: edges keyed by parent a; right: edges keyed by member b
             # (same forest) -> replace left's parent with its grandparent.
@@ -87,14 +132,7 @@ def _pointer_jump(forest_refs: list, num_buckets: int, max_rounds: int = 48) -> 
         joined = hash_exchange_join(
             forest_refs, forest_refs, "a", "b", jump, num_buckets=num_buckets
         )
-
-        @ray.remote
-        def strip(t: pa.Table):
-            ch = t.column("_changed")
-            n = int(ch[0].as_py()) if t.num_rows else 0
-            return t.drop_columns(["_changed"]), n
-
-        stripped = [strip.options(num_returns=2).remote(r) for r in joined]
+        stripped = [_strip_changed.options(num_returns=2).remote(r) for r in joined]
         forest_refs = [s[0] for s in stripped]
         changed = sum(ray.get([s[1] for s in stripped]))
         if changed == 0:
@@ -168,6 +206,7 @@ def cluster_edge_refs(
     )
     prev_sig = None
     tables: list = []
+    sig: tuple = ()
     for _ in range(max_rounds):
         tables = [s.contract_table.remote() for s in shards]
         sig = tuple(ray.get([_edge_sig.remote(t) for t in tables]))
@@ -178,7 +217,11 @@ def cluster_edge_refs(
     if kill:
         for s in shards:
             ray.kill(s)
-    return _pointer_jump(tables, num_buckets)
+    # forest size is already on the driver (the stability signatures
+    # carry per-shard row counts — bytes, not edges): small forests take
+    # the single-task collapse, huge ones the exchange jump rounds
+    n_rows = int(sum(c for c, _ in sig)) if sig else 0
+    return _pointer_jump(tables, num_buckets, n_rows=n_rows)
 
 
 def assignments_exchange(docs, forest_refs: list, num_buckets: int = 32):
