@@ -203,7 +203,11 @@ def run_dedup(
     docs = docs.materialize()
     n_docs = docs.count()
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    target_blocks = int(min(max(2 * cpus, 8), max(1, n_docs // 512)))
+    # one task wave's worth of blocks is enough — read_pages already
+    # sizes its read tasks to the cluster, so the repartition (a full
+    # extra copy + materialize) only runs when the input arrived badly
+    # under-split (e.g. a single-file Dataset from a caller)
+    target_blocks = int(min(max(cpus, 8), max(1, n_docs // 512)))
     if docs.num_blocks() < target_blocks:
         docs = docs.repartition(target_blocks).materialize()
     metrics["n_docs"] = n_docs

