@@ -69,6 +69,19 @@ class DedupConfig:
     # runs is surfaced in band_size_stats()/containment_stats() metrics.
     max_band_postings: int = 1000
     salt_band_postings: int = 200
+    # Over-cap run RECOVERY (SURVEY §4's salting alternative, off by
+    # default — the default policy drops+counts): instead of dropping
+    # an over-cap run, split its distinct-signature reps into
+    # consecutive sub-groups of ``hot_run_group`` (sig order,
+    # deterministic), emit the full clique within each sub-group plus
+    # the run-min anchor rep replicated into every sub-group, and keep
+    # the star edges. Pair volume is O(n_reps * hot_run_group) instead
+    # of O(n_reps^2); anything similar to the anchor still merges
+    # globally and verification filters the rest, so recall on genuine
+    # near-dup families inside hot runs is recovered at a bounded
+    # fan-out cost (tests/test_candidates.py pins it).
+    recover_hot_runs: bool = False
+    hot_run_group: int = 32
 
     # --- containment / suffix pass (analog of monitor windowing,
     # OlafStrategy.java:561-573: 25 s windows, 5 s overlap)

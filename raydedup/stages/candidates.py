@@ -108,7 +108,13 @@ def simhash_postings(signatures: Dataset, cfg: DedupConfig) -> Dataset:
     )
 
 
-def emit_pairs_partition(t: pa.Table | pd.DataFrame, max_postings: int) -> pa.Table:
+def emit_pairs_partition(
+    t: pa.Table | pd.DataFrame,
+    max_postings: int,
+    *,
+    recover_hot_runs: bool = False,
+    hot_run_group: int = 32,
+) -> pa.Table:
     """Vectorized pair emission for ONE hash partition of postings.
 
     Sorts the partition by (band_key, sig, doc_id) and, per band-key run:
@@ -124,6 +130,13 @@ def emit_pairs_partition(t: pa.Table | pd.DataFrame, max_postings: int) -> pa.Ta
     - emits linear star edges (rep -> member) inside each signature
       group, preserving connectivity for signature-identical docs whose
       bytes differ (verification confirms them with Jaccard 1.0).
+
+    ``recover_hot_runs`` (cfg.recover_hot_runs, SURVEY §4 salting):
+    over-cap runs are RECOVERED instead of dropped — their reps split
+    into consecutive ``hot_run_group``-sized sub-groups (sig order),
+    full clique within each sub-group plus the run-min anchor rep
+    replicated into every one, star edges kept. O(reps * group) pair
+    fan-out; downstream Jaccard verification rejects false merges.
 
     Dropped runs are counted separately by band_size_stats()."""
     if isinstance(t, pd.DataFrame):
@@ -167,10 +180,13 @@ def emit_pairs_partition(t: pa.Table | pd.DataFrame, max_postings: int) -> pa.Ta
     cum_groups = np.cumsum(gb)
     groups_in_run = np.diff(np.append(cum_groups[starts] - 1, cum_groups[-1]))
     run_mask = (sizes >= 2) & (groups_in_run <= max_postings)
+    over_mask = (sizes >= 2) & (groups_in_run > max_postings)
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
     # star edges: member postings of kept runs whose doc != group rep
-    keep_posting = np.repeat(run_mask, sizes)
+    # (recovered over-cap runs keep their star edges too)
+    star_runs = run_mask | over_mask if recover_hot_runs else run_mask
+    keep_posting = np.repeat(star_runs, sizes)
     star = keep_posting & (docs != rep_per_posting)
     if star.any():
         out_a.append(rep_per_posting[star])
@@ -194,6 +210,18 @@ def emit_pairs_partition(t: pa.Table | pd.DataFrame, max_postings: int) -> pa.Ta
         di, dj = dm[:, ii].ravel(), dm[:, jj].ravel()
         out_a.append(np.minimum(di, dj))
         out_b.append(np.maximum(di, dj))
+    if recover_hot_runs and over_mask.any():
+        T = max(2, int(hot_run_group))
+        for g, r0 in zip(groups_in_run[over_mask], run_rep_start[over_mask]):
+            reps = rep_docs[r0 : r0 + g]
+            anchor = reps.min()
+            for s in range(0, int(g), T):
+                sub = np.unique(np.append(reps[s : s + T], anchor))
+                if sub.shape[0] < 2:
+                    continue
+                ii, jj = np.triu_indices(sub.shape[0], k=1)
+                out_a.append(sub[ii])
+                out_b.append(sub[jj])
     if not out_a:
         return pa.table(
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
@@ -254,10 +282,13 @@ def candidate_pair_refs(
             out = out.filter(pa.compute.greater_equal(out["n_collisions"], thr))
         return out
 
+    recover, hot_group = cfg.recover_hot_runs, cfg.hot_run_group
     split1 = split_dataset(postings, "band_key", num_buckets)
     wave = reduce_apply_resplit(
         split1,
-        lambda t: emit_pairs_partition(t, max_postings),
+        lambda t: emit_pairs_partition(
+            t, max_postings, recover_hot_runs=recover, hot_run_group=hot_group
+        ),
         "a",
         num_buckets,
         num_buckets,

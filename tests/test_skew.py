@@ -158,3 +158,37 @@ def test_simhash_secondary_matcher_catches_reordered_dups(ray_session):
     assert on.metrics.get("simhash_accepted", 0) >= 1
     # unrelated docs stay singletons under the secondary matcher
     assert cl_on[range(2, 32)].nunique() == 30
+
+
+def test_recover_hot_runs_restores_dropped_recall(ray_session):
+    """VERDICT r3 #7 (SURVEY §4 salting): a genuine near-dup family
+    whose band runs exceed the distinct-signature cap is DROPPED by the
+    default policy (recall 0 on those pairs) but RECOVERED with
+    cfg.recover_hot_runs — sub-group cliques + a replicated anchor rep
+    keep the pair fan-out O(reps x hot_run_group) while the family
+    co-clusters after verification."""
+    import ray.data as rd
+
+    base = " ".join(f"w{i}" for i in range(120))
+    # 24 distinct variants, pairwise jaccard well above tau (one token
+    # appended out of ~116 5-gram shingles)
+    texts = [base + f" v{i}" for i in range(24)]
+    uniq = [" ".join(f"u{i}_{j}" for j in range(40)) for i in range(20)]
+    docs = _docs_ds(rd, texts + uniq)
+
+    dropped_cfg = DedupConfig(batch_size=64, max_band_postings=8)
+    res_off = run_dedup(docs, dropped_cfg)
+    cl_off = res_off.clusters.to_pandas().set_index("doc_id").cluster_id
+    # default policy: the hot runs are dropped, family stays split
+    assert cl_off[range(24)].nunique() > 1
+
+    rec_cfg = DedupConfig(
+        batch_size=64, max_band_postings=8, recover_hot_runs=True, hot_run_group=4
+    )
+    res_on = run_dedup(docs, rec_cfg)
+    cl_on = res_on.clusters.to_pandas().set_index("doc_id").cluster_id
+    assert cl_on[range(24)].nunique() == 1  # full family recovered
+    # bounded fan-out: nowhere near the 24^2/2 all-pairs volume per run
+    assert res_on.metrics["candidate_pairs"] < 24 * 16
+    # unrelated docs unaffected
+    assert cl_on[range(24, 44)].nunique() == 20
