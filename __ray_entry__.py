@@ -178,6 +178,24 @@ def _q_media_thumbs(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def _q_media_thumbs_png(sf_dir: str):
+    """REAL-codec image resize: the same actor-pool thumbnail stage
+    over genuine baseline-PNG payloads decoded by the vendored
+    pure-Python codec (stages/png.py — stdlib zlib, no external image
+    library), closing ST5's stub gap. No SQL oracle (DuckDB cannot
+    PNG-decode); pixel correctness is pinned by content hash in
+    tests/test_png.py (round-trips, all five scanline filters, palette,
+    and the kernel-output digests)."""
+    import ray.data as rd
+
+    from raydedup.stages.multimodal import resize_media, synthetic_png_media_table
+
+    ds = rd.from_arrow(synthetic_png_media_table(64))
+    out = resize_media(ds, size=8, decoder="png", concurrency=2, batch_size=16).to_pandas()
+    out["thumb"] = out["thumb"].map(lambda v: bytes(v))
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def _q_dedup_agreement(sf_dir: str):
     """Exact Rand-index components between the flagship assignment and
     the exact-duplicate-only assignment (stages/agreement.py): how much
@@ -2931,6 +2949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "largest_clusters": _q_largest_clusters,
         "dedup_weights": _q_dedup_weights,
         "media_thumbs": _q_media_thumbs,
+        "media_thumbs_png": _q_media_thumbs_png,
         "dedup_increment": _q_dedup_increment,
         "exact_dup_pairs": _q_exact_dup_pairs,
         "doc_stats_by_lang": _q_doc_stats_by_lang,

@@ -2,12 +2,14 @@
 
 Training-data-pipeline extension (BASELINE.md): images/audio/video are
 ``binary`` columns + metadata columns; decode / feature-extract /
-resize / frame-sample run as actor-pool ``map_batches`` stages. The
-image/audio codec libraries are NOT in this container, so the decode
-step is STUBBED: ``decoder="fake"`` produces a deterministic pixel
-tensor from the payload bytes (so every downstream stage — schema,
-batching, actor signature, output layout — is real and tested), and
-``decoder="pil"`` raises NotImplementedError until a codec is present.
+resize / frame-sample run as actor-pool ``map_batches`` stages. Image
+decode has a REAL path: ``decoder="png"`` runs the vendored
+pure-Python baseline PNG codec (``stages/png.py`` — stdlib zlib, no
+external library needed), so pixel values come from actual payloads;
+``decoder="pil"`` auto-activates when PIL is importable (absent from
+this container, loud NotImplementedError otherwise); ``decoder="fake"``
+remains the deterministic stub for arbitrary binary payloads and the
+audio/video paths whose codecs genuinely don't exist here.
 
 The actor-pool shape mirrors the reference's one genuinely external
 stage (the GPU event-point socket server,
@@ -48,6 +50,50 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
+def _png_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """REAL decode: baseline-PNG payload bytes -> (h, w, 3) uint8 via
+    the vendored pure-Python codec (stages/png.py — stdlib zlib, no
+    external image library). Closes ST5's stub gap: pixel values come
+    from the actual payload, pinned by tests/test_png.py. The width/
+    height metadata columns are advisory; the decoded dimensions win."""
+    from raydedup.stages.png import decode_png_rgb
+
+    return decode_png_rgb(payload)
+
+
+def _resolve_image_decoder(decoder: str):
+    """Shared decoder dispatch for the image kernels: 'fake' (stub),
+    'png' (vendored pure-Python baseline codec — always available),
+    'pil' (auto-activates when PIL is importable, loud otherwise),
+    'ffmpeg' (never available in this container)."""
+    if decoder == "fake":
+        return _fake_decode
+    if decoder == "png":
+        return _png_decode
+    if decoder == "pil":
+        try:
+            import io
+
+            from PIL import Image  # noqa: F401
+        except ImportError:
+            raise NotImplementedError(
+                "decoder 'pil': PIL is not importable in this environment; "
+                "use decoder='png' (vendored baseline codec) or 'fake'"
+            )
+
+        def _pil_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+            img = Image.open(io.BytesIO(payload)).convert("RGB")
+            return np.asarray(img, dtype=np.uint8)
+
+        return _pil_decode
+    if decoder == "ffmpeg":
+        raise NotImplementedError(
+            "decoder 'ffmpeg': codec libraries are not available in this "
+            "environment; use decoder='png' or 'fake'"
+        )
+    raise ValueError(f"unknown decoder {decoder!r}")
+
+
 class MediaDecodeKernel:
     """Actor-pool decode + feature extraction over binary media columns.
 
@@ -60,15 +106,7 @@ class MediaDecodeKernel:
     """
 
     def __init__(self, decoder: str = "fake", thumb: int = 8):
-        if decoder == "fake":
-            self.decode = _fake_decode
-        elif decoder in ("pil", "ffmpeg"):
-            raise NotImplementedError(
-                f"decoder {decoder!r}: codec libraries are not available in "
-                "this environment; use decoder='fake' (deterministic stub)"
-            )
-        else:
-            raise ValueError(f"unknown decoder {decoder!r}")
+        self.decode = _resolve_image_decoder(decoder)
         self.thumb = thumb
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -284,6 +322,39 @@ def synthetic_media_table(n: int = 64, seed: int = 7) -> pa.Table:
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
+def synthetic_png_media_table(n: int = 64, seed: int = 7) -> pa.Table:
+    """Media fixture whose payloads are REAL baseline-PNG images
+    (deterministic gradient + seeded noise, encoded by stages/png.py):
+    the real-codec counterpart of synthetic_media_table, feedable to
+    any image kernel with decoder='png'. All rows are kind='image';
+    width/height metadata match the encoded dimensions."""
+    from raydedup.stages.png import encode_png
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    rows: dict[str, list[Any]] = {k.name: [] for k in MEDIA_SCHEMA}
+    for i in range(n):
+        h = int(rng.integers(16, 64))
+        w = int(rng.integers(16, 64))
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = ((yy * 255) // max(h - 1, 1)).astype(np.uint8)
+        img = np.stack(
+            [
+                base,
+                ((xx * 255) // max(w - 1, 1)).astype(np.uint8),
+                rng.integers(0, 256, size=(h, w), dtype=np.uint8),
+            ],
+            axis=2,
+        )
+        rows["media_id"].append(i)
+        rows["kind"].append("image")
+        rows["payload"].append(encode_png(img))
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["n_frames"].append(1)
+        rows["sample_rate"].append(0)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
 class MediaResizeKernel:
     """Actor-pool image resize: decode (stub codec, loaded once per
     actor in __init__) then block-mean (area) downsample to a fixed
@@ -294,15 +365,7 @@ class MediaResizeKernel:
     once. Real codec path gated exactly like MediaDecodeKernel."""
 
     def __init__(self, decoder: str = "fake", size: int = 16):
-        if decoder == "fake":
-            self.decode = _fake_decode
-        elif decoder in ("pil", "ffmpeg"):
-            raise NotImplementedError(
-                f"decoder {decoder!r}: codec libraries are not available in "
-                "this environment; use decoder='fake' (deterministic stub)"
-            )
-        else:
-            raise ValueError(f"unknown decoder {decoder!r}")
+        self.decode = _resolve_image_decoder(decoder)
         if size < 1:
             raise ValueError("size must be >= 1")
         self.size = size
