@@ -7,6 +7,7 @@ Verb map (Panako ``cli/*`` -> here):
   same       direct two-text similarity check      (cli/Same.java)
   dedup      full self-join dedup + clustering     (cli/Deduplication.java)
   increment  fold new pages into a frozen index    (cli/Store.java + Query.java)
+  watch      continuous watch-folder fold loop     (cli/Monitor.java:90-106)
   config     print the configuration in use        (cli/Configuration.java)
   print      fingerprints of text files to stdout  (cli/Print.java)
   metadata   stored metadata for urls              (cli/Metadata.java)
@@ -158,6 +159,27 @@ def cmd_increment(args: argparse.Namespace) -> int:
     from raydedup.pipelines.increment import dedup_increment
 
     out = dedup_increment(args.index, args.clusters, args.pages, _cfg_from_args(args))
+    print(json.dumps(out, default=str))
+    return 0
+
+
+def cmd_watch(args: argparse.Namespace) -> int:
+    """Long-running watch-folder fold loop (pipelines/increment.py
+    monitor_increments): per-wave fold info lines, totals at exit."""
+    _init_ray()
+    from raydedup.pipelines.increment import monitor_increments
+
+    out = monitor_increments(
+        args.watch_dir,
+        args.index,
+        args.clusters,
+        _cfg_from_args(args),
+        poll_interval=args.poll_interval,
+        max_waves=args.max_waves,
+        max_idle_polls=args.max_idle_polls,
+        stop_file=args.stop_file,
+        on_wave=lambda info: print(json.dumps(info, default=str), flush=True),
+    )
     print(json.dumps(out, default=str))
     return 0
 
@@ -974,6 +996,23 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--set", action="append", metavar="KEY=VALUE",
                    help="override a DedupConfig key (repeatable)")
     s.set_defaults(fn=cmd_increment)
+
+    s = sub.add_parser(
+        "watch",
+        help="watch a folder and fold arriving pages shards continuously "
+             "(the reference's long-running monitor loop, frozen-base folds)",
+    )
+    s.add_argument("watch_dir")
+    s.add_argument("index")
+    s.add_argument("clusters")
+    s.add_argument("--poll-interval", type=float, default=2.0)
+    s.add_argument("--max-waves", type=int, default=None)
+    s.add_argument("--max-idle-polls", type=int, default=None)
+    s.add_argument("--stop-file", default=None,
+                   help="exit when this path appears")
+    s.add_argument("--set", action="append", metavar="KEY=VALUE",
+                   help="override a DedupConfig key (repeatable)")
+    s.set_defaults(fn=cmd_watch)
 
     s = sub.add_parser("curate", help="quality/decontaminate/dedup/sample funnel")
     s.add_argument("pages")

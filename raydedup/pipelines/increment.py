@@ -228,6 +228,89 @@ def increment_assignments(
     )
 
 
+def monitor_increments(
+    watch_dir: str,
+    index_dir: str,
+    clusters_path: str,
+    cfg: DedupConfig | None = None,
+    *,
+    poll_interval: float = 2.0,
+    max_waves: int | None = None,
+    max_idle_polls: int | None = None,
+    stop_file: str | None = None,
+    on_wave=None,
+) -> dict[str, Any]:
+    """Continuous increment: the reference's long-running ``monitor``
+    lifecycle (``cli/Monitor.java:90-106`` — an endless loop folding
+    arriving input windows into the live store) transplanted to crawl
+    deliveries. Polls ``watch_dir`` for parquet shards and folds each
+    arriving WAVE through ``dedup_increment`` with frozen-base
+    semantics: previously assigned ids never change, each wave's new
+    docs attach by best verified match exactly as a manual
+    ``increment`` verb invocation would.
+
+    File-stability contract: a shard is folded only once its
+    (size, mtime) is unchanged between two consecutive polls, so a
+    file still being copied in is never half-read. Stable files are
+    SYMLINKED into ``<index_dir>/monitor_staging`` (basenames
+    preserved, so the store's shard keys match) and the staging dir is
+    what ``build_index`` scans — already-stored shards are skipped by
+    the store manifest, making every fold idempotent and the whole
+    loop crash-resumable (state lives in the index manifest, not the
+    monitor process).
+
+    Stop conditions (any): ``max_waves`` folded; ``max_idle_polls``
+    consecutive empty polls; ``stop_file`` exists. ``on_wave(info)``
+    is called after each fold (tests/metrics hook). Returns totals.
+    """
+    import time as _time
+
+    cfg = cfg or DedupConfig()
+    staging = os.path.join(index_dir, "monitor_staging")
+    os.makedirs(staging, exist_ok=True)
+    prev_stat: dict[str, tuple[int, float]] = {}
+    linked: set[str] = {
+        os.path.basename(p) for p in glob.glob(os.path.join(staging, "*.parquet"))
+    }
+    totals: dict[str, Any] = {"waves": 0, "new_docs": 0, "polls": 0}
+    idle = 0
+    while True:
+        totals["polls"] += 1
+        if stop_file and os.path.exists(stop_file):
+            totals["stopped_by"] = "stop_file"
+            break
+        fresh = []
+        cur_stat: dict[str, tuple[int, float]] = {}
+        for p in sorted(glob.glob(os.path.join(watch_dir, "*.parquet"))):
+            name = os.path.basename(p)
+            st = os.stat(p)
+            cur_stat[name] = (st.st_size, st.st_mtime)
+            if name in linked:
+                continue
+            if prev_stat.get(name) == cur_stat[name]:  # stable across polls
+                os.symlink(os.path.abspath(p), os.path.join(staging, name))
+                linked.add(name)
+                fresh.append(name)
+        prev_stat = cur_stat
+        if fresh:
+            info = dedup_increment(index_dir, clusters_path, staging, cfg)
+            totals["waves"] += 1
+            totals["new_docs"] += info.get("new_docs", 0)
+            idle = 0
+            if on_wave is not None:
+                on_wave(info)
+            if max_waves is not None and totals["waves"] >= max_waves:
+                totals["stopped_by"] = "max_waves"
+                break
+        else:
+            idle += 1
+            if max_idle_polls is not None and idle >= max_idle_polls:
+                totals["stopped_by"] = "max_idle_polls"
+                break
+        _time.sleep(poll_interval)
+    return totals
+
+
 def dedup_increment(
     index_dir: str,
     clusters_path: str,

@@ -29,7 +29,9 @@ def _read_blocks(path: str) -> int:
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    if os.path.isdir(path):
+    if isinstance(path, (list, tuple)):
+        n_files = len(path) or 1
+    elif os.path.isdir(path):
         n_files = len(_glob.glob(os.path.join(path, "*.parquet"))) or 1
     else:
         n_files = 1
