@@ -377,3 +377,59 @@ def test_pack_b1_roundtrip_bits(vals):
     word = int(lo[0]) | (int(hi[0]) << 64)
     for i in range(128):
         assert ((word >> i) & 1) == int(sig[0, i] & 1)
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_recovered_hot_runs_stay_connected(data):
+    """emit_pairs_partition with recover_hot_runs=True: for every
+    over-cap band run, the emitted pairs must CONNECT all of that run's
+    distinct-signature reps (sub-group cliques + the replicated anchor
+    guarantee a spanning structure), and pair volume stays O(reps x T)."""
+    import pyarrow as pa
+
+    from raydedup.stages.candidates import emit_pairs_partition
+
+    n_runs = data.draw(st.integers(1, 3))
+    cap = data.draw(st.integers(2, 6))
+    T = data.draw(st.integers(2, 5))
+    keys, docs, sigs = [], [], []
+    run_reps: list[set] = []
+    for r in range(n_runs):
+        n_sigs = data.draw(st.integers(2, 3 * cap))
+        reps = set()
+        for s_i in range(n_sigs):
+            # one or two postings (docs) per signature group; doc ids
+            # disjoint across groups and runs (a doc posts once per band)
+            group = data.draw(st.lists(
+                st.integers(0, 99), min_size=1, max_size=2, unique=True))
+            for d in group:
+                keys.append(r)
+                docs.append(r * 10**7 + s_i * 100 + d)
+                sigs.append(r * 10**4 + s_i)
+            reps.add(r * 10**7 + s_i * 100 + min(group))
+        run_reps.append(reps)
+    t = pa.table({
+        "band_key": pa.array(keys, pa.int64()),
+        "doc_id": pa.array(docs, pa.int64()),
+        "sig": pa.array(sigs, pa.int64()),
+    })
+    out = emit_pairs_partition(t, cap, recover_hot_runs=True, hot_run_group=T)
+    a = out.column("a").to_pylist()
+    b = out.column("b").to_pylist()
+    assert all(x < y for x, y in zip(a, b))
+    # per-run connectivity over reps via union-find on the emitted pairs
+    from raydedup.stages.cluster import UnionFind
+
+    uf = UnionFind()
+    for x, y in zip(a, b):
+        uf.union(x, y)
+    for reps in run_reps:
+        if len(reps) < 2:
+            continue
+        reps = sorted(reps)
+        roots = {uf.find(r) for r in reps}
+        assert len(roots) == 1, f"run reps not connected: {reps}"
+    # bounded fan-out: <= sum over runs of reps * (T+1) + star edges
+    budget = sum(len(r) * (T + 1) for r in run_reps) + len(docs)
+    assert len(a) <= budget
