@@ -289,7 +289,12 @@ def materialize_corpus(
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "corpus_manifest.json")
-    want = {"spec": asdict(spec), "n_files": n_files, "version": _CORPUS_VERSION}
+    # json round-trip normalizes tuples -> lists; without it the spec's
+    # tuple fields (near_high_p/near_low_p) never compare equal to the
+    # reloaded manifest and the cache silently regenerates every time
+    want = json.loads(
+        json.dumps({"spec": asdict(spec), "n_files": n_files, "version": _CORPUS_VERSION})
+    )
     if not force and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             if json.load(f) == want:
