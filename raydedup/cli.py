@@ -93,6 +93,24 @@ def _cfg_from_args(args: argparse.Namespace):
     return DedupConfig().with_overrides(**overrides)
 
 
+
+def _write_parquet_counted(ds, out_dir: str) -> int:
+    """write_parquet + row count of exactly the files THIS call wrote.
+
+    Counts from parquet footers (no pipeline re-execution) and
+    snapshots the dir first: Ray's write_parquet never truncates an
+    existing directory, so counting the whole dir would include stale
+    files from earlier runs (review r4)."""
+    import pyarrow.parquet as pq
+
+    before = set(glob.glob(os.path.join(out_dir, "*.parquet")))
+    ds.write_parquet(out_dir)
+    return sum(
+        pq.read_metadata(f).num_rows
+        for f in set(glob.glob(os.path.join(out_dir, "*.parquet"))) - before
+    )
+
+
 def cmd_store(args: argparse.Namespace) -> int:
     _init_ray()
     from raydedup.pipelines.query import build_index
@@ -328,11 +346,7 @@ def cmd_lines(args: argparse.Namespace) -> int:
     if args.out:
         import pyarrow.parquet as pq
 
-        dedup_lines(docs, min_docs=args.min_docs).write_parquet(args.out)
-        n = sum(
-            pq.read_metadata(f).num_rows
-            for f in glob.glob(os.path.join(args.out, "*.parquet"))
-        )
+        n = _write_parquet_counted(dedup_lines(docs, min_docs=args.min_docs), args.out)
         print(json.dumps({"docs": n, "out": args.out}))
         return 0
     tbl = hot_lines(docs, min_docs=args.min_docs, limit=args.top)
@@ -463,11 +477,7 @@ def cmd_chunk(args: argparse.Namespace) -> int:
     files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
     docs = pages_to_docs(read_pages(files))
     chunks = chunk_documents(docs, chunk_tokens=args.tokens, overlap=args.overlap)
-    chunks.write_parquet(args.out)
-    n = sum(
-        pq.read_metadata(f).num_rows
-        for f in glob.glob(os.path.join(args.out, "*.parquet"))
-    )
+    n = _write_parquet_counted(chunks, args.out)
     print(json.dumps({"chunks": n, "out": args.out}))
     return 0
 
@@ -487,11 +497,7 @@ def cmd_scrub(args: argparse.Namespace) -> int:
     out = scrub_passages(
         docs, DedupConfig(), chunk_tokens=args.tokens, containment=not args.no_containment
     )
-    out.write_parquet(args.out)
-    n = sum(
-        pq.read_metadata(f).num_rows
-        for f in glob.glob(os.path.join(args.out, "*.parquet"))
-    )
+    n = _write_parquet_counted(out, args.out)
     print(json.dumps({"docs_kept": n, "out": args.out}))
     return 0
 
@@ -509,11 +515,7 @@ def cmd_shuffle(args: argparse.Namespace) -> int:
     docs = pages_to_docs(read_pages(files))
     seed = args.seed if args.seed is not None else DEFAULT_SHUFFLE_SEED
     out = shuffle_positions(docs, seed=seed, n_shards=args.shards)
-    out.write_parquet(args.out)
-    n = sum(
-        pq.read_metadata(f).num_rows
-        for f in glob.glob(os.path.join(args.out, "*.parquet"))
-    )
+    n = _write_parquet_counted(out, args.out)
     print(json.dumps({"docs": n, "shards": args.shards, "out": args.out}))
     return 0
 
@@ -839,11 +841,7 @@ def cmd_hostlines(args: argparse.Namespace) -> int:
     if args.out:
         import pyarrow.parquet as pq
 
-        trim_host_lines(docs, **kw).write_parquet(args.out)
-        n = sum(
-            pq.read_metadata(f).num_rows
-            for f in glob.glob(os.path.join(args.out, "*.parquet"))
-        )
+        n = _write_parquet_counted(trim_host_lines(docs, **kw), args.out)
         print(json.dumps({"docs": n, "out": args.out}))
         return 0
     t = host_hot_lines(docs, **kw)
@@ -865,13 +863,9 @@ def cmd_mix(args: argparse.Namespace) -> int:
     if args.out:
         import pyarrow.parquet as pq
 
-        samp.write_parquet(args.out)
         # count from the written files' metadata — a .count() on the
         # Dataset would re-execute the whole sampling pass
-        n = sum(
-            pq.read_metadata(f).num_rows
-            for f in glob.glob(os.path.join(args.out, "*.parquet"))
-        )
+        n = _write_parquet_counted(samp, args.out)
         print(json.dumps({"docs": n, "out": args.out}))
         return 0
     df = samp.select_columns(["host"]).to_pandas()

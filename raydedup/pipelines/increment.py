@@ -269,12 +269,36 @@ def monitor_increments(
     staging = os.path.join(index_dir, "monitor_staging")
     os.makedirs(staging, exist_ok=True)
     prev_stat: dict[str, tuple[int, float]] = {}
-    linked: set[str] = {
-        os.path.basename(p) for p in glob.glob(os.path.join(staging, "*.parquet"))
-    }
+    linked: set[str] = set()
+    for p in glob.glob(os.path.join(staging, "*.parquet")):
+        if os.path.exists(p):  # follows the link; prune dangling entries
+            linked.add(os.path.basename(p))
+        else:
+            os.unlink(p)
     totals: dict[str, Any] = {"waves": 0, "new_docs": 0, "polls": 0}
+
+    def fold() -> dict[str, Any]:
+        info = dedup_increment(index_dir, clusters_path, staging, cfg)
+        totals["new_docs"] += info.get("new_docs", 0)
+        if on_wave is not None:
+            on_wave(info)
+        return info
+
+    # catch-up fold: shards symlinked by a PREVIOUS invocation that died
+    # before (or during) their fold are re-folded now — the store
+    # manifest + frozen-row skip make this a no-op when everything was
+    # already folded, so restartability really does live in the index
+    # manifest, not in this process's memory
+    if linked:
+        info = fold()
+        if info.get("new_docs", 0) or info.get("stored_shards", 0):
+            totals["waves"] += 1
+
     idle = 0
     while True:
+        if max_waves is not None and totals["waves"] >= max_waves:
+            totals["stopped_by"] = "max_waves"
+            break
         totals["polls"] += 1
         if stop_file and os.path.exists(stop_file):
             totals["stopped_by"] = "stop_file"
@@ -283,22 +307,33 @@ def monitor_increments(
         cur_stat: dict[str, tuple[int, float]] = {}
         for p in sorted(glob.glob(os.path.join(watch_dir, "*.parquet"))):
             name = os.path.basename(p)
-            st = os.stat(p)
+            try:
+                st = os.stat(p)
+            except FileNotFoundError:
+                continue  # deleted/renamed between glob and stat
             cur_stat[name] = (st.st_size, st.st_mtime)
             if name in linked:
                 continue
             if prev_stat.get(name) == cur_stat[name]:  # stable across polls
-                os.symlink(os.path.abspath(p), os.path.join(staging, name))
-                linked.add(name)
-                fresh.append(name)
+                dst = os.path.join(staging, name)
+                if not os.path.lexists(dst):
+                    os.symlink(os.path.abspath(p), dst)
+                if os.path.exists(dst):  # source may have vanished post-stat
+                    linked.add(name)
+                    fresh.append(name)
+                else:
+                    os.unlink(dst)
         prev_stat = cur_stat
+        # prune staging links whose watch file was deleted AFTER linking —
+        # a dangling symlink would crash every subsequent fold's store scan
+        for sp in glob.glob(os.path.join(staging, "*.parquet")):
+            if not os.path.exists(sp):
+                os.unlink(sp)
+                linked.discard(os.path.basename(sp))
         if fresh:
-            info = dedup_increment(index_dir, clusters_path, staging, cfg)
+            fold()
             totals["waves"] += 1
-            totals["new_docs"] += info.get("new_docs", 0)
             idle = 0
-            if on_wave is not None:
-                on_wave(info)
             if max_waves is not None and totals["waves"] >= max_waves:
                 totals["stopped_by"] = "max_waves"
                 break

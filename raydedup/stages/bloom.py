@@ -229,7 +229,12 @@ def unseen_docs(
         # vectorized byte-equality over the (left row, matching-key seen
         # row) candidate pairs: run expansion + one Arrow equal kernel —
         # pair volume is bounded by design (true dups + ~per-mille bloom
-        # false positives), and no per-row Python remains (ADVICE r3)
+        # false positives), and no per-row Python remains (ADVICE r3).
+        # Null-text contract: nulls normalize to "" on BOTH sides
+        # (matching _text_keys' hashing, which already keys a null as
+        # the empty span), so a null-text new row IS a duplicate of a
+        # seen empty/null text — the pre-r4 per-row loop kept such rows
+        # (None != ""), inconsistently with its own key function
         import pyarrow.compute as pc
 
         keep = np.ones(left.num_rows, dtype=bool)

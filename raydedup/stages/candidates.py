@@ -330,13 +330,17 @@ def band_size_stats(postings: Dataset, cfg: DedupConfig) -> dict:
 
     Uses the custom hash exchange (NOT Ray's sort-based groupby — the
     measured ~2.5k rows/s/task cliff at high key cardinality) and the
-    same dropped-run criterion as emit_pairs_partition: a run is dropped
-    when its DISTINCT-SIGNATURE count exceeds cfg.max_band_postings.
-    ``max_group``/``hot_groups`` stay raw-posting-count metrics (they
-    describe index skew, not the drop policy)."""
+    same over-cap criterion as emit_pairs_partition: a run exceeds the
+    cap when its DISTINCT-SIGNATURE count passes cfg.max_band_postings.
+    With ``cfg.recover_hot_runs`` those runs are RECOVERED by emission
+    (sub-group salting), so they are reported as ``recovered_*`` and
+    ``dropped_*`` reads 0 — the stats always describe what emission
+    actually did. ``max_group``/``hot_groups`` stay raw-posting-count
+    metrics (they describe index skew, not the policy)."""
     from raydedup.stages.exchange import hash_exchange_apply
 
     salt, cap = cfg.salt_band_postings, cfg.max_band_postings
+    recover = cfg.recover_hot_runs
 
     def summarize(t: pa.Table) -> pa.Table:
         keys = t.column("band_key").to_numpy(zero_copy_only=False)
@@ -346,7 +350,8 @@ def band_size_stats(postings: Dataset, cfg: DedupConfig) -> dict:
             z = pa.array([0], type=pa.int64())
             return pa.table(
                 {"groups": z, "postings": z, "max_group": z,
-                 "hot_groups": z, "dropped_groups": z, "dropped_postings": z}
+                 "hot_groups": z, "dropped_groups": z, "dropped_postings": z,
+                 "recovered_groups": z, "recovered_postings": z}
             )
         order = np.lexsort((sigs, keys))
         keys, sigs = keys[order], sigs[order]
@@ -359,7 +364,9 @@ def band_size_stats(postings: Dataset, cfg: DedupConfig) -> dict:
         sizes = np.diff(np.append(starts, n))
         cum_groups = np.cumsum(gb)
         groups_in_run = np.diff(np.append(cum_groups[starts] - 1, cum_groups[-1]))
-        dropped = groups_in_run > cap
+        over = groups_in_run > cap
+        dropped = over & (not recover)
+        recovered = over & recover
         return pa.table(
             {
                 "groups": pa.array([int(starts.shape[0])], type=pa.int64()),
@@ -368,6 +375,8 @@ def band_size_stats(postings: Dataset, cfg: DedupConfig) -> dict:
                 "hot_groups": pa.array([int((sizes > salt).sum())], type=pa.int64()),
                 "dropped_groups": pa.array([int(dropped.sum())], type=pa.int64()),
                 "dropped_postings": pa.array([int(sizes[dropped].sum())], type=pa.int64()),
+                "recovered_groups": pa.array([int(recovered.sum())], type=pa.int64()),
+                "recovered_postings": pa.array([int(sizes[recovered].sum())], type=pa.int64()),
             }
         )
 
@@ -379,4 +388,6 @@ def band_size_stats(postings: Dataset, cfg: DedupConfig) -> dict:
         "hot_groups": int(parts["hot_groups"].sum()),
         "dropped_groups": int(parts["dropped_groups"].sum()),
         "dropped_postings": int(parts["dropped_postings"].sum()),
+        "recovered_groups": int(parts["recovered_groups"].sum()) if "recovered_groups" in parts else 0,
+        "recovered_postings": int(parts["recovered_postings"].sum()) if "recovered_postings" in parts else 0,
     }

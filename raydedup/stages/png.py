@@ -128,15 +128,19 @@ def decode_png(data: bytes) -> np.ndarray:
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        if len(body) != length:
+        if pos + 12 + length > len(data):  # body or CRC cut off
             raise PngError("truncated chunk")
+        body = data[pos + 8 : pos + 8 + length]
         crc = struct.unpack_from(">I", data, pos + 8 + length)[0]
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise PngError(f"bad CRC in {tag!r}")
         if tag == b"IHDR":
+            if length != 13:
+                raise PngError("malformed IHDR")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"PLTE":
+            if length == 0 or length % 3:
+                raise PngError("malformed PLTE (length not a multiple of 3)")
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(body)
@@ -157,7 +161,10 @@ def decode_png(data: bytes) -> np.ndarray:
     if w < 1 or h < 1:
         raise PngError("empty image")
     c = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise PngError(f"corrupt IDAT stream: {e}") from e
     stride = w * c
     if len(raw) != h * (1 + stride):
         raise PngError("IDAT size mismatch")

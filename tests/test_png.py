@@ -184,3 +184,36 @@ def test_media_kernels_real_codec_pinned(ray_session):
 
 _PINNED_THUMBS = "07a1de3205fac505f59e328d5c7ec369a27d470a2edc0cf980f44340aa26f551"
 _PINNED_PHASH = "98c97405a51f066eee84fa2861db95ce479c13e4cfc9bfee651698015144ef25"
+
+
+def test_all_malformed_paths_raise_pngerror():
+    """Error contract (review r4): every malformed input raises
+    PngError, never struct.error / zlib.error / numpy ValueError —
+    callers classify bad media rows by catching PngError."""
+    img = _rng(2).integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    good = encode_png(img)
+    # chunk truncated before its CRC (cut through IEND into IDAT's CRC)
+    with pytest.raises(PngError, match="truncated"):
+        decode_png(good[:-14])
+    # PLTE not a multiple of 3
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    bad = (
+        sig
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", b"\x01\x02\x03\x04")
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="PLTE"):
+        decode_png(bad)
+    # corrupt deflate stream (valid CRC, garbage IDAT bytes)
+    ihdr2 = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bad2 = (
+        sig
+        + _chunk(b"IHDR", ihdr2)
+        + _chunk(b"IDAT", b"\x99not-deflate")
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="IDAT"):
+        decode_png(bad2)

@@ -162,3 +162,37 @@ def test_watch_continuous_with_midrun_arrivals(corpus_files, tmp_path):
     new_rows = got[~got.doc_id.isin(set(base_cl.doc_id))]
     expect = sum(pq.read_metadata(f).num_rows for f in waves)
     assert len(new_rows) == expect == out["new_docs"]
+
+
+def test_watch_restart_folds_staged_but_unfolded_shard(corpus_files, tmp_path):
+    """Crash-restartability (review r4): a shard symlinked into staging
+    by a previous invocation that died BEFORE folding it must be folded
+    by the catch-up pass on restart — even when no new file ever
+    arrives — and a dangling staging symlink (watch file deleted) must
+    be pruned, not crash the fold."""
+    paths, files = corpus_files
+    cfg = DedupConfig(batch_size=256)
+    index_dir, clusters_dir = _fresh_base(str(tmp_path / "r"), files[0], cfg)
+    base_n = len(_clusters_df(clusters_dir))
+
+    watch = str(tmp_path / "incoming3")
+    os.makedirs(watch)
+    staging = os.path.join(index_dir, "monitor_staging")
+    os.makedirs(staging, exist_ok=True)
+    # simulate: previous run linked the shard, then died pre-fold
+    shutil.copy(files[1], watch)
+    name = os.path.basename(files[1])
+    os.symlink(os.path.join(watch, name), os.path.join(staging, name))
+    # plus a dangling link from a watch file deleted after linking
+    os.symlink(os.path.join(watch, "gone.parquet"),
+               os.path.join(staging, "gone.parquet"))
+
+    out = monitor_increments(
+        watch, index_dir, clusters_dir, cfg,
+        poll_interval=0.05, max_idle_polls=3,
+    )
+    assert out["waves"] == 1  # the catch-up fold
+    assert not os.path.lexists(os.path.join(staging, "gone.parquet"))
+    got = _clusters_df(clusters_dir)
+    expect = pq.read_metadata(files[1]).num_rows
+    assert len(got) == base_n + expect == base_n + out["new_docs"]
