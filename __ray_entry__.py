@@ -2101,6 +2101,21 @@ def _q_token_freq_spectrum(sf_dir: str):
     return token_freq_spectrum(_read(sf_dir, "documents")).to_pandas()
 
 
+def _q_lsh_plan(sf_dir: str):
+    """LSH banding planner (stages/lshplan.py): the full S-curve table
+    over every bands x rows == 128 layout at tau = 0.8 — closed-form
+    probability arithmetic, so the SQL oracle covers the ENTIRE
+    semantics with zero sampling error."""
+    from raydedup.stages.lshplan import lsh_plan
+
+    return (
+        lsh_plan(128, 0.8)
+        .to_pandas()
+        .sort_values("bands")
+        .reset_index(drop=True)
+    )
+
+
 def _q_vocab_growth(sf_dir: str):
     """Heaps-law curve: distinct vocab within doc-id prefixes at
     power-of-2 thresholds (per-token min-doc exchange, O(#thresholds)
@@ -3022,6 +3037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "token_freq_spectrum": _q_token_freq_spectrum,
         "vocab_growth": _q_vocab_growth,
+        "lsh_plan": _q_lsh_plan,
         "unigram_surprisal": _q_unigram_surprisal,
         "top_terms": _q_top_terms,
         "curate_pipeline": _q_curate_pipeline,
@@ -5159,6 +5175,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # bit_length(m) via exact shift comparison (k=0 OR 2^(k-1)<=m),
         # never float log2
+        # LSH S-curve planning table: pure closed-form POWER arithmetic
+        # over the divisors of 128 — the oracle covers the operator's
+        # whole semantics exactly (no data, no sampling)
+        "lsh_plan": """
+            WITH layouts AS (
+              SELECT b AS bands, 128 // b AS rows_per_band
+              FROM generate_series(1, 128) t(b) WHERE 128 % b = 0
+            ), scored AS (
+              SELECT bands, rows_per_band,
+                POWER(1.0/bands, 1.0/rows_per_band) AS threshold,
+                1 - POWER(1 - POWER(0.8, rows_per_band), bands) AS p_at_tau,
+                1 - POWER(1 - POWER(0.8 - 0.1, rows_per_band), bands) AS p_at_tau_minus,
+                1 - POWER(1 - POWER(0.8 + 0.1, rows_per_band), bands) AS p_at_tau_plus
+              FROM layouts
+            ), pick AS (
+              SELECT bands FROM scored
+              WHERE threshold <= 0.8 AND p_at_tau >= 0.99
+              ORDER BY (0.8 - threshold) ASC, bands ASC LIMIT 1
+            ), chosen AS (
+              SELECT COALESCE(
+                (SELECT bands FROM pick),
+                (SELECT bands FROM scored ORDER BY p_at_tau DESC, bands ASC LIMIT 1)
+              ) AS b
+            )
+            SELECT s.bands, s.rows_per_band, s.threshold, s.p_at_tau,
+                   s.p_at_tau_minus, s.p_at_tau_plus,
+                   s.bands = (SELECT b FROM chosen) AS is_recommended
+            FROM scored s ORDER BY s.bands
+        """,
         "vocab_growth": r"""
             WITH toks AS (
               SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
