@@ -257,3 +257,52 @@ def test_scale_resume_skips_finished_exchanges(
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[direct.columns], direct)
+
+
+def test_scale_resume_after_late_stage_kill(
+    ray_session, small_corpus, tmp_path, cfg, monkeypatch
+):
+    """Kill AFTER the containment exchange commits (late phase-2): the
+    resume must load exact/candidates/verified/forest1/containment from
+    their bucket files — only the merge round + assignment re-run —
+    and the clusters must match an uninterrupted checkpointed run."""
+    from raydedup.state.checkpoint import CheckpointKilled
+
+    spec, paths = small_corpus
+    files = _pages_files(paths)
+    d = str(tmp_path / "late")
+
+    with pytest.raises(CheckpointKilled):
+        run_dedup_checkpointed(
+            files, d, cfg, mode="scale", fail_after_stage="containment"
+        )
+    ex = json.load(open(os.path.join(d, "manifest.json")))["exchanges"]
+    for stage in ("exact", "candidates", "verified", "forest1", "containment"):
+        assert ex[stage]["status"] == "done", stage
+
+    # poison every finished exchange's kernel family during the resume
+    import raydedup.pipelines.dedup as D
+    import raydedup.pipelines.dedup_scale as DS
+    import raydedup.stages.candidates as C
+    import raydedup.stages.containment as CT
+
+    def _boom(*a, **k):
+        raise AssertionError("finished exchange was re-run on resume")
+
+    monkeypatch.setattr(C, "candidate_pair_refs", _boom)
+    monkeypatch.setattr(DS, "band_postings", _boom)
+    monkeypatch.setattr(D, "compute_signatures", _boom)
+    monkeypatch.setattr(D, "sha_key_table", _boom)
+    monkeypatch.setattr(DS, "make_filter_and_shingle", _boom)
+    monkeypatch.setattr(DS, "make_drop_exact_then_explode", _boom)
+    monkeypatch.setattr(CT, "fingerprint_postings_table", _boom)
+
+    resumed = run_dedup_checkpointed(files, d, cfg, mode="scale")
+    assert resumed is not None
+    assert set(resumed["metrics"]["resumed_exchanges"]) == {
+        "exact", "candidates", "verified", "forest1", "containment"
+    }
+    monkeypatch.undo()
+
+    ref = run_dedup_checkpointed(files, str(tmp_path / "ref"), cfg, mode="scale")
+    pd.testing.assert_frame_equal(_clusters_df(resumed), _clusters_df(ref))
