@@ -202,6 +202,18 @@ def cmd_watch(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_warc2parquet(args: argparse.Namespace) -> int:
+    """Convert WARC shard(s) (plain / .gz, Common-Crawl layouts) into
+    the canonical pages parquet — after which every verb and pipeline
+    consumes them natively (sources/warc.py)."""
+    _init_ray()
+    from raydedup.sources.warc import read_warc_pages
+
+    n = _write_parquet_counted(read_warc_pages(args.warc, lang=args.lang), args.out)
+    print(json.dumps({"pages": n, "out": args.out}))
+    return 0
+
+
 def cmd_curate(args: argparse.Namespace) -> int:
     """Full curation funnel over a pages dir: quality -> optional
     decontamination (--eval-pages) -> exact/near dedup -> deterministic
@@ -1007,6 +1019,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--set", action="append", metavar="KEY=VALUE",
                    help="override a DedupConfig key (repeatable)")
     s.set_defaults(fn=cmd_watch)
+
+    s = sub.add_parser(
+        "warc2parquet",
+        help="convert WARC shards (plain/.gz) into canonical pages parquet",
+    )
+    s.add_argument("warc", help="WARC file or dir of *.warc / *.warc.gz")
+    s.add_argument("out")
+    s.add_argument("--lang", default="", help="lang column value (default empty)")
+    s.set_defaults(fn=cmd_warc2parquet)
 
     s = sub.add_parser("curate", help="quality/decontaminate/dedup/sample funnel")
     s.add_argument("pages")
