@@ -129,8 +129,12 @@ def test_parity_with_parquet_pages_path(ray_session, small_corpus, tmp_path):
     assert via_warc[cols].equals(via_parquet[cols])
 
 
-def test_warc2parquet_cli(ray_session, tmp_path):
+def test_warc2parquet_cli(ray_session, tmp_path, monkeypatch):
+    import raydedup.cli as cli
     from raydedup.cli import main
+
+    # keep the session-scoped Ray fixture alive through main()'s finally
+    monkeypatch.setattr(cli, "_shutdown_ray", lambda: None)
 
     wdir = tmp_path / "w"
     wdir.mkdir()
