@@ -1931,6 +1931,47 @@ ORDER BY a, b
     )
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): deterministic
+    sign-projection bucket clustering + within-cluster cosine pruning
+    (stages/semdedup.py). Bucket = low 2 bits of the oracle-mirrored
+    64-bit embedding sketch (4 semantic clusters at this corpus size);
+    tau = 0.4 (the proven cosine-predicate regime). min-id
+    representative convention; all-integer output columns."""
+    from raydedup.stages.semdedup import semdedup
+
+    return semdedup(_read(sf_dir, "embeddings"), threshold=0.4, n_bucket_bits=2)
+
+
+def q_semdedup_sql():
+    """Mirror: sketch CTE -> low-2-bit bucket -> within-bucket earlier-
+    neighbor test via list_cosine_similarity (the embedding_neardup
+    predicate) -> keep/dup_of."""
+    return (
+        _emb_sketch_sql(_EMB_COMP_CTE + ", base AS (SELECT * FROM comp)")
+        + """,
+buck AS (
+  SELECT vec_id, CAST(sk_u & 3::UBIGINT AS BIGINT) AS bucket FROM sk
+),
+cand AS (
+  SELECT y.vec_id AS v, min(x.vec_id) AS dup_of
+  FROM buck x
+  JOIN buck y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  JOIN embeddings ey ON ey.vec_id = y.vec_id
+  WHERE list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+                               CAST(ey.embedding AS DOUBLE[])) >= 0.4
+  GROUP BY y.vec_id
+)
+SELECT b.vec_id, b.bucket,
+       CAST(CASE WHEN c.v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       CAST(coalesce(c.dup_of, -1) AS BIGINT) AS dup_of
+FROM buck b LEFT JOIN cand c ON c.v = b.vec_id
+ORDER BY b.vec_id
+"""
+    )
+
+
 def _q_webtext_funnel(sf_dir: str):
     """Composed curation chain: C4 line clean -> drop flagged docs ->
     Gopher gates on the CLEANED text -> survivors. Both operators are
@@ -3058,6 +3099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _q_knn_cosine,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_simhash": _q_embedding_simhash,
+        "semdedup": _q_semdedup,
         "embedding_neardup_hamming": _q_embedding_neardup_hamming,
         "embedding_cluster": _q_embedding_cluster,
         "events_hourly": _q_events_hourly,
@@ -5965,6 +6007,7 @@ FROM s ORDER BY shard, pos
             ORDER BY a, b
         """,
         "embedding_simhash": q_embedding_simhash_sql(),
+        "semdedup": q_semdedup_sql(),
         "embedding_neardup_hamming": q_embedding_neardup_hamming_sql(),
         # connected components over the cosine edge set: min-label
         # reachability == union-by-min (the flagship convention)
