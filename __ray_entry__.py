@@ -2190,6 +2190,25 @@ def _q_unigram_surprisal(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance-resampling weights (Xie et al. 2023,
+    arXiv:2302.03169; stages/dsir.py): per-doc whole-bit log-likelihood
+    ratio of its tokens under the TARGET distribution (lang='en' docs)
+    vs the RAW corpus distribution, add-one smoothed; keep =
+    weight_bits > 0. Both distributions from ONE token scan + ONE
+    exchange; scoring is a broadcast searchsorted lookup. NOTE: the
+    synthetic tables draw every lang/source from ONE shared ~31-token
+    template vocabulary, so the keep gate is conservative here by
+    construction; discriminative selection on a separable corpus is
+    pinned in tests/test_dsir.py (planted target-vs-raw vocab)."""
+    from raydedup.stages.dsir import dsir_weights
+
+    df = dsir_weights(
+        _read(sf_dir, "documents"), target_col="lang", target_value="en"
+    ).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_top_terms(sf_dir: str):
     """Top-3 most distinctive tokens per doc by score = tf/df (raw IEEE
     division for cross-engine parity), ties broken by token ASC."""
@@ -3080,6 +3099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": _q_vocab_growth,
         "lsh_plan": _q_lsh_plan,
         "unigram_surprisal": _q_unigram_surprisal,
+        "dsir_weights": _q_dsir_weights,
         "top_terms": _q_top_terms,
         "curate_pipeline": _q_curate_pipeline,
         "corpus_splits": _q_corpus_splits,
@@ -5694,6 +5714,52 @@ def oracle_sql() -> dict[str, str]:
         # floor(log2(x)) mirrored EXACTLY as the binary digit count
         # (format('{:b}')) - 1; numpy side uses the frexp exponent.
         # bits_sum is pure integer; mean_bits is the single division.
+        # DSIR whole-bit log-ratio: both distributions from the same
+        # token CTE; floor(log2) = binary digit count - 1 (exact)
+        "dsir_weights": """
+        WITH tok AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+            FROM documents
+          ) WHERE w != ''
+        ),
+        cnt AS (
+          SELECT t.w,
+                 CAST(count(*) AS BIGINT) AS cr,
+                 CAST(count(*) FILTER (WHERE d.lang = 'en') AS BIGINT) AS ct
+          FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+          GROUP BY t.w
+        ),
+        tots AS (
+          SELECT CAST(sum(cr) + 1 AS BIGINT) AS nr,
+                 CAST(sum(ct) + 1 AS BIGINT) AS nt
+          FROM cnt
+        ),
+        occ AS (
+          SELECT t.doc_id,
+                 ((length(format('{:b}', c.ct + 1)) - 1)
+                  - (SELECT length(format('{:b}', nt)) - 1 FROM tots))
+               - ((length(format('{:b}', c.cr + 1)) - 1)
+                  - (SELECT length(format('{:b}', nr)) - 1 FROM tots)) AS s
+          FROM tok t JOIN cnt c ON t.w = c.w
+        ),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(s) AS BIGINT) AS weight_bits
+          FROM occ GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_tokens, 0) AS n_tokens,
+               coalesce(a.weight_bits, 0) AS weight_bits,
+               CAST(CASE WHEN coalesce(a.weight_bits, 0) > 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS keep,
+               CASE WHEN a.n_tokens IS NULL OR a.n_tokens = 0 THEN 0.0
+                    ELSE CAST(a.weight_bits AS DOUBLE) / a.n_tokens
+               END AS avg_bits
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id
+        """,
         "unigram_surprisal": """
         WITH tok AS (
           SELECT doc_id, w FROM (
