@@ -2209,6 +2209,26 @@ def _q_dsir_weights(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_nb_classify(sf_dir: str):
+    """Multinomial Naive Bayes source classifier (stages/nbayes.py):
+    TRAIN on doc_id % 5 != 0, score the held-out fifth — the CCNet-style
+    classifier routing pass as a data pipeline. Whole-bit log-probs
+    (floor(log2), exact on both engines), deterministic min-class-name
+    tie break; per-(class, token) counts via ONE token exchange, model
+    broadcast as a dense vocab x class count matrix. NOTE: the
+    synthetic tables draw every source from ONE shared template
+    vocabulary, so held-out accuracy here is chance-level by
+    construction (the oracle checks the exact scores either way);
+    learned separation on a separable corpus is pinned in
+    tests/test_nbayes.py."""
+    from raydedup.stages.nbayes import nb_classify
+
+    df = nb_classify(
+        _read(sf_dir, "documents"), class_col="source", test_mod=5
+    ).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_top_terms(sf_dir: str):
     """Top-3 most distinctive tokens per doc by score = tf/df (raw IEEE
     division for cross-engine parity), ties broken by token ASC."""
@@ -3100,6 +3120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_plan": _q_lsh_plan,
         "unigram_surprisal": _q_unigram_surprisal,
         "dsir_weights": _q_dsir_weights,
+        "nb_classify": _q_nb_classify,
         "top_terms": _q_top_terms,
         "curate_pipeline": _q_curate_pipeline,
         "corpus_splits": _q_corpus_splits,
@@ -5714,6 +5735,71 @@ def oracle_sql() -> dict[str, str]:
         # floor(log2(x)) mirrored EXACTLY as the binary digit count
         # (format('{:b}')) - 1; numpy side uses the frexp exponent.
         # bits_sum is pure integer; mean_bits is the single division.
+        # NB: whole-bit priors + add-one-smoothed likelihoods; argmax
+        # tie broken by smallest class name (row_number DESC, c ASC)
+        "nb_classify": """
+        WITH train AS (SELECT * FROM documents WHERE doc_id % 5 != 0),
+        test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+        tok_tr AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+            FROM train
+          ) WHERE w != ''
+        ),
+        tok_te AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+            FROM test
+          ) WHERE w != ''
+        ),
+        cls AS (SELECT source AS c, CAST(count(*) AS BIGINT) AS nd
+                FROM train GROUP BY source),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM train),
+        cnt AS (
+          SELECT d.source AS c, t.w, CAST(count(*) AS BIGINT) AS cnt
+          FROM tok_tr t JOIN train d ON d.doc_id = t.doc_id
+          GROUP BY 1, 2
+        ),
+        ncls AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS n FROM cnt GROUP BY c),
+        tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+               FROM tok_te GROUP BY 1, 2),
+        sc AS (
+          SELECT f.doc_id, k.c,
+                 CAST(sum(f.tf * (
+                   (length(format('{:b}', coalesce(ct.cnt, 0) + 1)) - 1)
+                   - (length(format('{:b}', coalesce(n.n, 0) + 1)) - 1)
+                 )) AS BIGINT) AS like_bits
+          FROM tf f
+          CROSS JOIN cls k
+          LEFT JOIN cnt ct ON ct.c = k.c AND ct.w = f.w
+          LEFT JOIN ncls n ON n.c = k.c
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT te.doc_id, k.c,
+                 (length(format('{:b}', k.nd + 1)) - 1)
+                 - (SELECT length(format('{:b}', nt + 1)) - 1 FROM tot)
+                 + coalesce(s.like_bits, 0) AS score
+          FROM test te
+          CROSS JOIN cls k
+          LEFT JOIN sc s ON s.doc_id = te.doc_id AND s.c = k.c
+        ),
+        best AS (
+          SELECT doc_id, c, score,
+                 row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, c ASC
+                 ) AS rn
+          FROM scored
+        )
+        SELECT b.doc_id, d.source AS actual, b.c AS predicted,
+               CAST(b.score AS BIGINT) AS score_bits,
+               CAST(CASE WHEN b.c = d.source THEN 1 ELSE 0 END AS BIGINT)
+                 AS correct
+        FROM best b JOIN test d ON d.doc_id = b.doc_id
+        WHERE b.rn = 1 ORDER BY b.doc_id
+        """,
         # DSIR whole-bit log-ratio: both distributions from the same
         # token CTE; floor(log2) = binary digit count - 1 (exact)
         "dsir_weights": """
