@@ -113,6 +113,23 @@ class DedupConfig:
     # the only variant whose driver memory is corpus-independent.
     scale_min_docs: int = 10_000
 
+    # --- exact-dup-aware signature skip (scale path only, opt-in):
+    # barrier the (cheap) sha exchange, broadcast the sorted member-id
+    # array, and drop exact-dup MEMBERS inside the signature kernel —
+    # signature + posting + pair work then scales with UNIQUE texts
+    # (members reattach via the sha edges; clusters are identical by
+    # the same representative-mirror argument as the demand-side drop).
+    # Measured (500k docs, 32 CPUs, min-of-3 interleaved, BASELINE.md):
+    # at the bench corpus's 12.6% member share the effect is within
+    # host noise (12.8 vs 12.3 s); at a recrawl-heavy 35% share the
+    # flag is 1.17x end-to-end (12.26 -> 10.52 s) with candidate
+    # volume down 56%. Default OFF: the win only appears above the
+    # bench mix's dup rate, and the conservative default keeps the
+    # candidate-volume metrics comparable across rounds. The broadcast
+    # is 8 B/member — beyond ~10^9 members route the drop through the
+    # existing co-partitioned demand-side filter instead.
+    sig_skip_exact_members: bool = False
+
     # --- execution
     batch_size: int = 4096
     target_block_rows: int = 65536

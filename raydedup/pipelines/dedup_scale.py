@@ -55,6 +55,20 @@ class DedupScaleResult:
 
 
 @ray.remote
+def _sorted_member_array(*edge_tables: pa.Table) -> np.ndarray:
+    """sha edge tables -> sorted unique exact-dup MEMBER ids (the ``b``
+    side), packed in a task for broadcast (8 B/member)."""
+    arrs = [
+        t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        for t in edge_tables
+        if t.num_rows
+    ]
+    if not arrs:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(arrs))
+
+
+@ray.remote
 def _count_rows(t: pa.Table) -> int:
     return t.num_rows
 
@@ -281,7 +295,20 @@ def run_dedup_scale(
     from raydedup.pipelines.dedup import compute_signatures
     from raydedup.stages.candidates import candidate_pair_refs
 
-    signatures = compute_signatures(docs, cfg, keep_shingles=False)
+    # opt-in (cfg.sig_skip_exact_members): signature/posting/pair work
+    # scales with UNIQUE texts — each signature task waits on the sha
+    # exchange via its broadcast ref (pipelined, no driver barrier) and
+    # drops exact-dup members in-kernel; members reattach through the
+    # sha edges so clusters are identical (measured crossover vs the
+    # lost overlap in BASELINE.md).
+    sig_exclude_ref = (
+        _sorted_member_array.remote(*exact_refs)
+        if cfg.sig_skip_exact_members
+        else None
+    )
+    signatures = compute_signatures(
+        docs, cfg, keep_shingles=False, exclude_ids_ref=sig_exclude_ref
+    )
     postings = band_postings(signatures, cfg)
     cand_refs = candidate_pair_refs(postings, cfg, num_buckets)
     _mark("sig_candidates", cand_refs)

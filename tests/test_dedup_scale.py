@@ -93,3 +93,24 @@ def test_run_dedup_auto_routes_by_doc_count(both_runs, small_corpus):
     smap = dict(zip(s.doc_id, s.cluster_id))
     vp = std.verified_pairs.to_pandas()
     assert all(smap[a] == smap[b] for a, b in zip(vp.a, vp.b))
+
+
+def test_sig_skip_exact_members_is_cluster_identical(ray_session, small_corpus):
+    """cfg.sig_skip_exact_members: exact-dup members get no signature
+    (they reattach via sha edges), so clusters must be frame-identical
+    to the default path while the raw LSH candidate volume drops."""
+    spec, paths = small_corpus
+    cfg = DedupConfig(batch_size=256)
+    docs = pages_to_docs(read_pages(paths["pages"])).materialize()
+
+    off = run_dedup_scale(docs, cfg, num_buckets=16, n_shards=3)
+    on = run_dedup_scale(
+        docs, cfg.with_overrides(sig_skip_exact_members=True),
+        num_buckets=16, n_shards=3,
+    )
+    a = off.clusters.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = on.clusters.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # members produce no postings -> strictly fewer raw candidates
+    # (the small_corpus plants exact-dup groups, so the drop is real)
+    assert on.metrics["candidate_pairs"] < off.metrics["candidate_pairs"]
