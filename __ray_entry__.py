@@ -1972,6 +1972,48 @@ ORDER BY b.vec_id
     )
 
 
+def _q_prototype_prune(sf_dir: str):
+    """Prototypicality pruning (Sorscher et al. 2022, arXiv:2206.14486;
+    stages/embsketch.py prototype_prune): cosine of each vector to its
+    own label centroid (the exact quantize-once mean of
+    label_centroids), keep = cos < 0.2 — drop the most prototypical
+    quarter, retain the hard/diverse examples. Centroids broadcast
+    once; scoring is row-local."""
+    from raydedup.stages.embsketch import prototype_prune
+
+    df = prototype_prune(_read(sf_dir, "embeddings"), threshold=0.2).to_pandas()
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
+def q_prototype_prune_sql():
+    """Mirror: the label_centroids CTE -> per-label centroid list ->
+    list_cosine_similarity against each member vector."""
+    return """
+WITH comp AS (
+  SELECT label, vec_id, pos - 1 AS j, CAST(v AS DOUBLE) AS v FROM (
+    SELECT label, vec_id, unnest(embedding) AS v,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings)
+),
+cent AS (
+  SELECT label, j,
+         SUM(CAST(floor(v * 1048576.0) AS BIGINT)) / (COUNT(*) * 1048576.0)
+           AS c
+  FROM comp GROUP BY label, j
+),
+cl AS (SELECT label, list(c ORDER BY j) AS cvec FROM cent GROUP BY label)
+SELECT e.vec_id,
+       CAST(e.label AS BIGINT) AS label,
+       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec)
+         AS proto_cos,
+       CAST(CASE WHEN list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]), c.cvec) < 0.2
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM embeddings e JOIN cl c ON c.label = e.label
+ORDER BY e.vec_id
+"""
+
+
 def _q_webtext_funnel(sf_dir: str):
     """Composed curation chain: C4 line clean -> drop flagged docs ->
     Gopher gates on the CLEANED text -> survivors. Both operators are
@@ -3141,6 +3183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_simhash": _q_embedding_simhash,
         "semdedup": _q_semdedup,
+        "prototype_prune": _q_prototype_prune,
         "embedding_neardup_hamming": _q_embedding_neardup_hamming,
         "embedding_cluster": _q_embedding_cluster,
         "events_hourly": _q_events_hourly,
@@ -6160,6 +6203,7 @@ FROM s ORDER BY shard, pos
         """,
         "embedding_simhash": q_embedding_simhash_sql(),
         "semdedup": q_semdedup_sql(),
+        "prototype_prune": q_prototype_prune_sql(),
         "embedding_neardup_hamming": q_embedding_neardup_hamming_sql(),
         # connected components over the cosine edge set: min-label
         # reachability == union-by-min (the flagship convention)

@@ -256,6 +256,74 @@ def embedding_neardup_simhash(
     return df.sort_values(["a", "b"], kind="stable").reset_index(drop=True)
 
 
+def prototype_prune(
+    embeddings: Dataset,
+    *,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> Dataset:
+    """Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws", arXiv:2206.14486): score each vector by cosine to
+    its OWN cluster centroid and prune the most prototypical — the
+    easy/redundant examples a data-pruned training run drops first.
+
+    Cluster assignment is the given ``label`` column; the centroid is
+    the exact order-invariant mean from :func:`label_centroids`
+    (quantize-once integer sums, ONE IEEE division — the SQL mirror is
+    textual). ``keep`` = cosine < threshold, i.e. the retained
+    hard/diverse examples; output (vec_id, label, proto_cos, keep).
+
+    Scale shape: the centroid table is labels x dim (the small side) —
+    broadcast once via ``ray.put``; scoring is a stateless row-local
+    ``map_batches`` (one gathered-row dot product per batch), zero
+    shuffle beyond the centroid combiner."""
+    import ray
+
+    cent = label_centroids(embeddings, label_col=label_col, vec_col=vec_col)
+    lab = cent.column("label").to_numpy(zero_copy_only=False).astype(I64)
+    j = cent.column("j").to_numpy(zero_copy_only=False).astype(I64)
+    cv = cent.column("centroid").to_numpy(zero_copy_only=False)
+    labels = np.unique(lab)
+    dim = int(j.max()) + 1 if j.shape[0] else 0
+    cmat = np.zeros((labels.shape[0], dim), dtype=np.float64)
+    cmat[np.searchsorted(labels, lab), j] = cv
+    cnorm = np.linalg.norm(cmat, axis=1)
+    bc = ray.put((labels, cmat, cnorm))
+
+    out_schema = pa.schema(
+        [("vec_id", pa.int64()), ("label", pa.int64()),
+         ("proto_cos", pa.float64()), ("keep", pa.int64())]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return out_schema.empty_table()
+        labs_b, cm, cn = _ray.get(bc)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(I64)
+        bl = batch.column(label_col).to_numpy(zero_copy_only=False).astype(I64)
+        m = _batch_matrix(batch, vec_col).astype(np.float64)
+        rows = np.searchsorted(labs_b, bl)
+        dots = np.einsum("ij,ij->i", m, cm[rows])
+        denom = np.linalg.norm(m, axis=1) * cn[rows]
+        cos = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), 0.0)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "label": pa.array(bl),
+                "proto_cos": pa.array(cos, pa.float64()),
+                "keep": pa.array((cos < threshold).astype(I64)),
+            }
+        )
+
+    return embeddings.select_columns([id_col, vec_col, label_col]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
 def label_centroids(
     embeddings, *, label_col: str = "label", vec_col: str = "embedding"
 ) -> "pa.Table":
