@@ -240,6 +240,10 @@ def run_bench() -> dict:
     timed("host_line_trim_sf", lambda: q["host_line_trim"](SF_DIR))
     timed("temperature_sample_sf", lambda: q["temperature_sample"](SF_DIR))
     timed("stitch_pairs_sf", lambda: q["stitch_pairs"](SF_DIR))
+    timed("semdedup_sf", lambda: q["semdedup"](SF_DIR))
+    timed("dsir_weights_sf", lambda: q["dsir_weights"](SF_DIR))
+    timed("nb_classify_sf", lambda: q["nb_classify"](SF_DIR))
+    timed("prototype_prune_sf", lambda: q["prototype_prune"](SF_DIR))
 
     out = {
         "metric": "dedup pipeline wall time (synthetic pages corpus, containment on)",
