@@ -2232,6 +2232,20 @@ def _q_unigram_surprisal(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_bigram_surprisal(sf_dir: str):
+    """Per-doc conditional surprisal under the corpus BIGRAM model in
+    exact whole-bit arithmetic (stages/lm.py bigram_surprisal) — the
+    n-gram step toward CCNet's KenLM scorer. First token scores
+    bl(N)-bl(cnt1); token i scores bl(cnt1(prev))-bl(cnt2(prev,w)).
+    Unigram + bigram counts ride ONE shared exchange (grams are
+    self-distinguishing strings); scoring is a broadcast ordered-token
+    pass."""
+    from raydedup.stages.lm import bigram_surprisal
+
+    df = bigram_surprisal(_read(sf_dir, "documents")).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR importance-resampling weights (Xie et al. 2023,
     arXiv:2302.03169; stages/dsir.py): per-doc whole-bit log-likelihood
@@ -3161,6 +3175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": _q_vocab_growth,
         "lsh_plan": _q_lsh_plan,
         "unigram_surprisal": _q_unigram_surprisal,
+        "bigram_surprisal": _q_bigram_surprisal,
         "dsir_weights": _q_dsir_weights,
         "nb_classify": _q_nb_classify,
         "top_terms": _q_top_terms,
@@ -5886,6 +5901,64 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN a.n_tokens IS NULL OR a.n_tokens = 0 THEN 0.0
                     ELSE CAST(a.weight_bits AS DOUBLE) / a.n_tokens
                END AS avg_bits
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id
+        """,
+        # bigram whole-bit conditional surprisal: empty tokens removed
+        # BEFORE adjacency (row_number over the kept sequence), first
+        # token unigram-scored, the rest bl(cnt1(prev)) - bl(cnt2)
+        "bigram_surprisal": """
+        WITH tokl AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents
+        ),
+        raw AS (
+          SELECT doc_id, w, i FROM (
+            SELECT doc_id, unnest(toks) AS w,
+                   unnest(range(1, len(toks) + 1)) AS i
+            FROM tokl
+          ) WHERE w != ''
+        ),
+        seq AS (
+          SELECT doc_id, w,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+          FROM raw
+        ),
+        big AS (
+          SELECT a.doc_id, a.w AS w1, b.w AS w2
+          FROM seq a JOIN seq b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+        ),
+        c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM seq GROUP BY w),
+        n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seq),
+        c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+               FROM big GROUP BY w1, w2),
+        firsts AS (
+          SELECT t.doc_id,
+                 (SELECT length(format('{:b}', n)) - 1 FROM n1)
+                 - (length(format('{:b}', c.c)) - 1) AS s
+          FROM seq t JOIN c1 c ON c.w = t.w WHERE t.j = 1
+        ),
+        rest AS (
+          SELECT b.doc_id,
+                 (length(format('{:b}', u.c)) - 1)
+                 - (length(format('{:b}', p.c)) - 1) AS s
+          FROM big b
+          JOIN c1 u ON u.w = b.w1
+          JOIN c2 p ON p.w1 = b.w1 AND p.w2 = b.w2
+        ),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(s) AS BIGINT) AS bits_sum
+          FROM (SELECT doc_id, s FROM firsts
+                UNION ALL SELECT doc_id, s FROM rest)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_tokens, 0) AS n_tokens,
+               coalesce(a.bits_sum, 0) AS bits_sum,
+               CASE WHEN a.n_tokens IS NULL OR a.n_tokens = 0 THEN 0.0
+                    ELSE CAST(a.bits_sum AS DOUBLE) / a.n_tokens
+               END AS mean_bits
         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         ORDER BY d.doc_id
         """,

@@ -110,6 +110,171 @@ def _pack_counts(*blocks: pa.Table):
     return int(cnt.sum()), keys[order], cnt[order]
 
 
+_BIGRAM_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("bits_sum", pa.int64()),
+        ("mean_bits", pa.float64()),
+    ]
+)
+
+
+def _doc_bigram_arrays(t: pa.Table):
+    """(doc_id, text) batch -> (ids, doc-ordered token array, bigram
+    string array aligned to tokens[1:] per doc, per-token doc index,
+    per-bigram doc index). Bigram strings are ``"w1 w2"``; tokens are
+    whitespace-split so the space-joined form is collision-free against
+    unigrams."""
+    import pyarrow.compute as pc
+
+    from raydedup.stages.tfidf import batch_doc_tokens_ordered
+
+    flat = batch_doc_tokens_ordered(t)
+    d = flat.column("doc_id").to_numpy(zero_copy_only=False).astype(I64)
+    tok = flat.column("token")
+    if isinstance(tok, pa.ChunkedArray):
+        tok = tok.combine_chunks()
+    n = d.shape[0]
+    if n == 0:
+        return d, tok, tok.slice(0, 0), d, d
+    adj = np.flatnonzero(d[1:] == d[:-1])  # consecutive same-doc rows
+    w1 = tok.take(pa.array(adj))
+    w2 = tok.take(pa.array(adj + 1))
+    big = pc.binary_join_element_wise(
+        w1, w2, pa.scalar(" ", type=pa.large_string())
+    )
+    return d, tok, big, d, d[adj]
+
+
+def bigram_surprisal(docs: Dataset) -> Dataset:
+    """docs(doc_id, text) -> (doc_id, n_tokens, bits_sum, mean_bits):
+    per-doc conditional surprisal under the corpus BIGRAM model, in the
+    same exact whole-bit arithmetic as :func:`unigram_surprisal` —
+    one step toward the KenLM n-gram scorer of a real CCNet pass.
+
+      first token:  s = floor(log2 N)        - floor(log2 cnt1(w_1))
+      token i >= 2: s = floor(log2 cnt1(w_{i-1}))
+                      - floor(log2 cnt2(w_{i-1} w_i))
+
+    (cnt2 <= cnt1 so every conditional term is >= 0; the model is
+    trained on the scored corpus itself so every bigram is observed).
+    bits_sum is the exact int64 sum, mean_bits ONE IEEE division.
+
+    Scale shape: unigram and bigram counts ride ONE shared exchange —
+    grams are self-distinguishing strings ("w" vs "w1 w2"), so the
+    per-batch combiner emits both kinds into the same keyed partial
+    table; counts pack to sorted hash arrays in a task and broadcast;
+    scoring is a stateless ordered-token pass with two searchsorted
+    lookups. Two linear scans total, no second shuffle."""
+    from raydedup.stages.exchange import hash_exchange_apply
+    from raydedup.stages.tfidf import _with_token_key
+
+    docs = docs.select_columns(["doc_id", "text"]).materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("token", pa.large_string()), ("cnt_partial", pa.int64()),
+             ("key", pa.int64())]
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        _, tok, big, _, _ = _doc_bigram_arrays(t)
+        grams = pa.concat_arrays([tok.cast(pa.large_string()),
+                                  big.cast(pa.large_string())])
+        if len(grams) == 0:
+            return schema.empty_table()
+        g = pa.table({"token": grams}).group_by("token").aggregate(
+            [([], "count_all")]
+        )
+        g = g.rename_columns(["token", "cnt_partial"]).cast(
+            pa.schema([("token", pa.large_string()), ("cnt_partial", pa.int64())])
+        )
+        return _with_token_key(g)
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"token": pa.array([], pa.large_string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        g = t.group_by("token").aggregate([("cnt_partial", "sum")])
+        return g.rename_columns(["token", "cnt"]).cast(
+            pa.schema([("token", pa.large_string()), ("cnt", pa.int64())])
+        )
+
+    refs = hash_exchange_apply(partials, "key", reduce_bucket, collect=False)
+    tot_ref, keys_ref, cnt_ref = _pack_bigram_counts.remote(*refs)
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _BIGRAM_SCHEMA.empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(I64)
+        d, tok, big, tok_doc, big_doc = _doc_bigram_arrays(t)
+        n_tok = np.zeros(ids.shape[0], dtype=I64)
+        bits = np.zeros(ids.shape[0], dtype=I64)
+        if d.shape[0]:
+            total = ray.get(tot_ref)
+            keys = ray.get(keys_ref)
+            cntv = ray.get(cnt_ref)
+            bn = np.int64(int(total).bit_length() - 1)
+            c_tok = cntv[
+                np.searchsorted(keys, hash_strings_u64(
+                    tok.to_numpy(zero_copy_only=False)))
+            ]
+            order = np.argsort(ids)
+            at_tok = order[np.searchsorted(ids[order], tok_doc)]
+            np.add.at(n_tok, at_tok, 1)
+            # first token of each doc run: unigram surprisal
+            first = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            np.add.at(bits, at_tok[first], bn - _bitlen_minus1(c_tok[first]))
+            if len(big):
+                c_big = cntv[
+                    np.searchsorted(keys, hash_strings_u64(
+                        big.to_numpy(zero_copy_only=False)))
+                ]
+                adj = np.flatnonzero(d[1:] == d[:-1])
+                s = _bitlen_minus1(c_tok[adj]) - _bitlen_minus1(c_big)
+                at_big = order[np.searchsorted(ids[order], big_doc)]
+                np.add.at(bits, at_big, s)
+        mean = np.where(n_tok > 0, bits / np.maximum(n_tok, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "bits_sum": pa.array(bits, pa.int64()),
+                "mean_bits": pa.array(mean, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score_batch, batch_format="pyarrow")
+
+
+@ray.remote(num_returns=3)
+def _pack_bigram_counts(*blocks: pa.Table):
+    """(total UNIGRAM occurrences, sorted gram-hash keys, counts):
+    unigrams and bigrams share one sorted key array (strings are
+    self-distinguishing); N counts only the space-free grams."""
+    import pyarrow.compute as pc
+
+    parts = [b for b in blocks if b.num_rows]
+    if not parts:
+        return 0, np.empty(0, dtype=np.uint64), np.empty(0, dtype=I64)
+    tbl = pa.concat_tables(parts)
+    grams = tbl.column("token")
+    if isinstance(grams, pa.ChunkedArray):
+        grams = grams.combine_chunks()
+    cnt = tbl.column("cnt").to_numpy(zero_copy_only=False).astype(I64)
+    is_uni = np.invert(
+        pc.match_substring(grams, " ").to_numpy(zero_copy_only=False)
+    )
+    keys = hash_strings_u64(grams.to_numpy(zero_copy_only=False))
+    order = np.argsort(keys)
+    return int(cnt[is_uni].sum()), keys[order], cnt[order]
+
+
 def unigram_surprisal(docs: Dataset) -> Dataset:
     """docs(doc_id, text) -> (doc_id, n_tokens, bits_sum, mean_bits):
     one row per input doc (empty docs get 0 / 0 / 0.0). bits_sum is the

@@ -52,9 +52,32 @@ _TOP_TERMS_SCHEMA = pa.schema(
 
 def _batch_doc_token_counts(t: pa.Table) -> pa.Table:
     """(doc_id, text) batch -> (doc_id, token, tf): per-doc lowered
-    token counts. ASCII rows take the vectorized Arrow split/lower
-    path; non-ASCII rows the per-doc ``tokenize`` path (same routing
-    as the signature stage, so tokens never depend on batch layout)."""
+    token counts (order-free aggregate of
+    :func:`batch_doc_tokens_ordered`)."""
+    flat = batch_doc_tokens_ordered(t)
+    if flat.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "token": pa.array([], pa.large_string()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+    counts = flat.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+    return counts.rename_columns(["doc_id", "token", "tf"]).cast(
+        pa.schema(
+            [("doc_id", pa.int64()), ("token", pa.large_string()), ("tf", pa.int64())]
+        )
+    )
+
+
+def batch_doc_tokens_ordered(t: pa.Table) -> pa.Table:
+    """(doc_id, text) batch -> (doc_id, token) in DOCUMENT ORDER, one
+    row per token occurrence (each doc's rows contiguous and ordered —
+    the n-gram stages read consecutive rows as adjacent tokens).
+    ASCII rows take the vectorized Arrow split/lower path; non-ASCII
+    rows the per-doc ``tokenize`` path (same routing as the signature
+    stage, so tokens never depend on batch layout)."""
     import pyarrow.compute as pc
 
     from raydedup.stages.signatures import tokenize
@@ -109,16 +132,9 @@ def _batch_doc_token_counts(t: pa.Table) -> pa.Table:
             {
                 "doc_id": pa.array([], pa.int64()),
                 "token": pa.array([], pa.large_string()),
-                "tf": pa.array([], pa.int64()),
             }
         )
-    flat = pa.concat_tables(parts)
-    counts = flat.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
-    return counts.rename_columns(["doc_id", "token", "tf"]).cast(
-        pa.schema(
-            [("doc_id", pa.int64()), ("token", pa.large_string()), ("tf", pa.int64())]
-        )
-    )
+    return pa.concat_tables(parts)
 
 
 def _with_token_key(t: pa.Table) -> pa.Table:
