@@ -2246,6 +2246,19 @@ def _q_bigram_surprisal(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet perplexity partition (Wenzek et al. arXiv:1911.00359;
+    stages/lm.py perplexity_buckets): rank docs WITHIN their language
+    by the whole-bit bigram LM score and split head/middle/tail via
+    exact NTILE(3) (mean ASC, doc_id ASC — bucket 1 = head). lang rides
+    through the scoring pass, so the only shuffle beyond the shared
+    gram-count exchange is one lang-keyed NTILE exchange."""
+    from raydedup.stages.lm import perplexity_buckets
+
+    df = perplexity_buckets(_read(sf_dir, "documents"), n_buckets=3).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR importance-resampling weights (Xie et al. 2023,
     arXiv:2302.03169; stages/dsir.py): per-doc whole-bit log-likelihood
@@ -3176,6 +3189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_plan": _q_lsh_plan,
         "unigram_surprisal": _q_unigram_surprisal,
         "bigram_surprisal": _q_bigram_surprisal,
+        "ccnet_buckets": _q_ccnet_buckets,
         "dsir_weights": _q_dsir_weights,
         "nb_classify": _q_nb_classify,
         "top_terms": _q_top_terms,
@@ -5903,6 +5917,66 @@ def oracle_sql() -> dict[str, str]:
                END AS avg_bits
         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         ORDER BY d.doc_id
+        """,
+        # CCNet partition: the bigram stats CTE + NTILE(3) per lang
+        "ccnet_buckets": """
+        WITH tokl AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents
+        ),
+        raw AS (
+          SELECT doc_id, w, i FROM (
+            SELECT doc_id, unnest(toks) AS w,
+                   unnest(range(1, len(toks) + 1)) AS i
+            FROM tokl
+          ) WHERE w != ''
+        ),
+        seq AS (
+          SELECT doc_id, w,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+          FROM raw
+        ),
+        big AS (
+          SELECT a.doc_id, a.w AS w1, b.w AS w2
+          FROM seq a JOIN seq b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+        ),
+        c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM seq GROUP BY w),
+        n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seq),
+        c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+               FROM big GROUP BY w1, w2),
+        firsts AS (
+          SELECT t.doc_id,
+                 (SELECT length(format('{:b}', n)) - 1 FROM n1)
+                 - (length(format('{:b}', c.c)) - 1) AS s
+          FROM seq t JOIN c1 c ON c.w = t.w WHERE t.j = 1
+        ),
+        rest AS (
+          SELECT b.doc_id,
+                 (length(format('{:b}', u.c)) - 1)
+                 - (length(format('{:b}', p.c)) - 1) AS s
+          FROM big b
+          JOIN c1 u ON u.w = b.w1
+          JOIN c2 p ON p.w1 = b.w1 AND p.w2 = b.w2
+        ),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(s) AS BIGINT) AS bits_sum
+          FROM (SELECT doc_id, s FROM firsts
+                UNION ALL SELECT doc_id, s FROM rest)
+          GROUP BY doc_id
+        ),
+        stats AS (
+          SELECT d.doc_id, d.lang,
+                 CASE WHEN a.n_tokens IS NULL OR a.n_tokens = 0 THEN 0.0
+                      ELSE CAST(a.bits_sum AS DOUBLE) / a.n_tokens
+                 END AS mean_bits
+          FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        )
+        SELECT doc_id, lang, mean_bits,
+               CAST(NTILE(3) OVER (
+                 PARTITION BY lang ORDER BY mean_bits, doc_id
+               ) AS BIGINT) AS ppl_bucket
+        FROM stats ORDER BY doc_id
         """,
         # bigram whole-bit conditional surprisal: empty tokens removed
         # BEFORE adjacency (row_number over the kept sequence), first

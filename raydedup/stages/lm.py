@@ -147,7 +147,7 @@ def _doc_bigram_arrays(t: pa.Table):
     return d, tok, big, d, d[adj]
 
 
-def bigram_surprisal(docs: Dataset) -> Dataset:
+def bigram_surprisal(docs: Dataset, *, carry_cols: tuple = ()) -> Dataset:
     """docs(doc_id, text) -> (doc_id, n_tokens, bits_sum, mean_bits):
     per-doc conditional surprisal under the corpus BIGRAM model, in the
     same exact whole-bit arithmetic as :func:`unigram_surprisal` —
@@ -170,7 +170,9 @@ def bigram_surprisal(docs: Dataset) -> Dataset:
     from raydedup.stages.exchange import hash_exchange_apply
     from raydedup.stages.tfidf import _with_token_key
 
-    docs = docs.select_columns(["doc_id", "text"]).materialize()
+    docs = docs.select_columns(
+        ["doc_id", "text", *carry_cols]
+    ).materialize()
 
     def partial(t: pa.Table) -> pa.Table:
         schema = pa.schema(
@@ -210,7 +212,11 @@ def bigram_surprisal(docs: Dataset) -> Dataset:
 
     def score_batch(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or t.num_columns == 0:
-            return _BIGRAM_SCHEMA.empty_table()
+            empty = _BIGRAM_SCHEMA.empty_table()
+            for c in carry_cols:
+                if t.num_columns and c in t.column_names:
+                    empty = empty.append_column(c, t.column(c))
+            return empty
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(I64)
         d, tok, big, tok_doc, big_doc = _doc_bigram_arrays(t)
         n_tok = np.zeros(ids.shape[0], dtype=I64)
@@ -240,7 +246,7 @@ def bigram_surprisal(docs: Dataset) -> Dataset:
                 at_big = order[np.searchsorted(ids[order], big_doc)]
                 np.add.at(bits, at_big, s)
         mean = np.where(n_tok > 0, bits / np.maximum(n_tok, 1), 0.0)
-        return pa.table(
+        out = pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
                 "n_tokens": pa.array(n_tok, pa.int64()),
@@ -248,8 +254,100 @@ def bigram_surprisal(docs: Dataset) -> Dataset:
                 "mean_bits": pa.array(mean, pa.float64()),
             }
         )
+        for c in carry_cols:  # output rows align 1:1 with batch rows
+            out = out.append_column(c, t.column(c))
+        return out
 
     return docs.map_batches(score_batch, batch_format="pyarrow")
+
+
+def perplexity_buckets(docs: Dataset, *, n_buckets: int = 3) -> Dataset:
+    """CCNet's perplexity partition (Wenzek et al., arXiv:1911.00359):
+    rank each document within its LANGUAGE by LM score and split into
+    head/middle/tail — the curation gate that routes low-perplexity
+    text to training. The LM is the whole-bit bigram surprisal above
+    (the repo's KenLM surrogate); ``ppl_bucket`` = exact NTILE(k) over
+    (mean_bits ASC, doc_id ASC), so bucket 1 is the head. mean_bits is
+    ONE IEEE division on both engines, so the ordering (and therefore
+    the bucket assignment) is bit-deterministic; empty docs score 0.0
+    and land in the head by convention.
+
+    Scale shape: the per-doc stats table (5 ints/doc) rides ONE
+    lang-keyed exchange; in-bucket NTILE is a lexsort + arange. lang is
+    a bounded-cardinality axis (dozens), so per-bucket work is
+    corpus/|langs| — at 10^12 docs swap the exact NTILE for
+    quantile-sketch thresholds; the exact variant IS the oracle."""
+    from raydedup.stages.exchange import hash_exchange_apply
+    from raydedup.hashing import hash_strings_u64 as _h
+
+    import ray.data as _rd
+
+    # lang rides THROUGH the scoring pass (output rows align 1:1 with
+    # batch rows), so no doc_id join is ever needed — the only shuffle
+    # in this operator is the lang-keyed NTILE exchange below.
+    joined = bigram_surprisal(docs, carry_cols=("lang",))
+
+    def bucket_kernel(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("doc_id", pa.int64()), ("lang", pa.large_string()),
+             ("mean_bits", pa.float64()), ("ppl_bucket", pa.int64())]
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        import pyarrow.compute as pc
+
+        lang = t.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        lang = pc.fill_null(lang, "").cast(pa.large_string())
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(I64)
+        mean = t.column("mean_bits").to_numpy(zero_copy_only=False)
+        # group by the REAL lang string (the hash key only routed the
+        # bucket) — same in-bucket exactness rule as the token stages
+        lang_u = np.asarray(lang.to_pylist(), dtype=str)
+        order = np.lexsort((ids, mean, lang_u))
+        ids_s, mean_s, lk_s = ids[order], mean[order], lang_u[order]
+        n = ids_s.shape[0]
+        starts = np.flatnonzero(np.r_[True, lk_s[1:] != lk_s[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        # exact SQL NTILE(k): first (n % k) tiles get ceil(n/k) rows
+        pos = np.arange(n, dtype=I64) - np.repeat(starts, lens)
+        g = np.repeat(lens, lens)
+        base, rem = g // n_buckets, g % n_buckets
+        big_rows = (base + 1) * rem  # rows covered by the larger tiles
+        tile = np.where(
+            pos < big_rows,
+            pos // np.maximum(base + 1, 1),
+            rem + (pos - big_rows) // np.maximum(base, 1),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_s),
+                "lang": lang.take(pa.array(order)),
+                "mean_bits": pa.array(mean_s, pa.float64()),
+                "ppl_bucket": pa.array((tile + 1).astype(I64)),
+            }
+        )
+
+    keyed = joined.map_batches(
+        lambda t: t.append_column(
+            "lang_key",
+            pa.array(
+                _h(
+                    (
+                        t.column("lang").combine_chunks()
+                        if isinstance(t.column("lang"), pa.ChunkedArray)
+                        else t.column("lang")
+                    ).to_numpy(zero_copy_only=False)
+                ).view(I64)
+            ),
+        )
+        if t.num_rows
+        else t,
+        batch_format="pyarrow",
+    )
+    out = hash_exchange_apply(keyed, "lang_key", bucket_kernel, collect=False)
+    return _rd.from_arrow_refs(out)
 
 
 @ray.remote(num_returns=3)

@@ -108,3 +108,62 @@ def test_partition_invariance(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_perplexity_buckets_exact_ntile(ray_session):
+    """NTILE semantics on uneven groups: n rows, k tiles -> the first
+    (n % k) tiles carry ceil(n/k) rows; ordering (mean ASC, doc_id ASC)
+    deterministic; bucket 1 is the lowest-surprisal head."""
+    import ray.data as rd
+
+    from raydedup.stages.lm import perplexity_buckets
+
+    rows = _corpus(seed=12, n=47)  # 47 docs -> uneven terciles
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(
+                ["en" if r[0] % 2 == 0 else "de" for r in rows], pa.string()
+            ),
+        }
+    )
+    df = (
+        perplexity_buckets(rd.from_arrow(t).repartition(5), n_buckets=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(df) == len(rows)
+    for lang, grp in df.groupby("lang"):
+        g = grp.sort_values(["mean_bits", "doc_id"]).reset_index(drop=True)
+        n, k = len(g), 3
+        base, rem = divmod(n, k)
+        want = []
+        for tile in range(k):
+            want += [tile + 1] * (base + (1 if tile < rem else 0))
+        assert g["ppl_bucket"].tolist() == want, lang
+        # monotone: bucket never decreases as mean increases
+        assert (g["ppl_bucket"].diff().fillna(0) >= 0).all()
+
+
+def test_perplexity_buckets_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from raydedup.stages.lm import perplexity_buckets
+
+    rows = _corpus(seed=4, n=30)
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        }
+    )
+    a = (
+        perplexity_buckets(rd.from_arrow(t).repartition(2))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        perplexity_buckets(rd.from_arrow(t).repartition(7))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
