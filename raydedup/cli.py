@@ -16,6 +16,13 @@ Verb map (Panako ``cli/*`` -> here):
   delete     remove docs (by url) from an index    (cli/Delete.java)
   clear      delete an index/checkpoint dir        (cli/Clear.java)
 
+Curation extensions (graft surface, no Panako analog):
+  select     DSIR importance weights / keep verdicts
+  classify   Naive-Bayes train+score (modulo split)
+  pplbucket  CCNet per-lang perplexity head/middle/tail
+  semdedup   semantic dedup over an embeddings parquet
+  protoprune prototypicality pruning over embeddings
+
 Out of scope: cli/Play.java (audio playback); cli/Load.java's bulk
 KV-dump load is subsumed by the resumable store manifest
 (state/checkpoint.py).
@@ -929,6 +936,141 @@ def cmd_normdup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_select(args: argparse.Namespace) -> int:
+    """DSIR importance-resampling weights: per-doc whole-bit target/raw
+    log-ratio over a pages dir; --out writes per-doc verdicts parquet,
+    else a keep-rate summary prints."""
+    _init_ray()
+    from raydedup.sources.pages import pages_to_docs, read_pages
+    from raydedup.stages.dsir import dsir_weights
+
+    files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
+    out = dsir_weights(
+        pages_to_docs(read_pages(files)),
+        target_col=args.target_col,
+        target_value=args.target_value,
+    )
+    if args.out:
+        print(json.dumps({"docs": _write_parquet_counted(out, args.out), "out": args.out}))
+        return 0
+    df = out.to_pandas()
+    print(
+        json.dumps(
+            {
+                "docs": len(df),
+                "kept": int(df["keep"].sum()),
+                "mean_weight_bits": round(float(df["weight_bits"].mean()), 3),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_classify(args: argparse.Namespace) -> int:
+    """Naive-Bayes train+score over a pages dir (deterministic modulo
+    split); --out writes per-doc predictions, else accuracy prints."""
+    _init_ray()
+    from raydedup.sources.pages import pages_to_docs, read_pages
+    from raydedup.stages.nbayes import nb_classify
+
+    files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
+    out = nb_classify(
+        pages_to_docs(read_pages(files)),
+        class_col=args.class_col,
+        test_mod=args.test_mod,
+    )
+    if args.out:
+        print(json.dumps({"docs": _write_parquet_counted(out, args.out), "out": args.out}))
+        return 0
+    df = out.to_pandas()
+    acc = float(df["correct"].mean()) if len(df) else 0.0
+    print(json.dumps({"test_docs": len(df), "accuracy": round(acc, 4)}))
+    return 0
+
+
+def cmd_pplbucket(args: argparse.Namespace) -> int:
+    """CCNet perplexity partition: per-lang head/middle/tail buckets
+    under the whole-bit bigram LM; --out writes per-doc rows, else the
+    per-bucket doc counts print."""
+    _init_ray()
+    from raydedup.sources.pages import pages_to_docs, read_pages
+    from raydedup.stages.lm import perplexity_buckets
+
+    files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
+    out = perplexity_buckets(
+        pages_to_docs(read_pages(files)), n_buckets=args.buckets
+    )
+    if args.out:
+        print(json.dumps({"docs": _write_parquet_counted(out, args.out), "out": args.out}))
+        return 0
+    df = out.to_pandas()
+    sizes = df.groupby("ppl_bucket").size().to_dict()
+    print(json.dumps({"docs": len(df), "buckets": {str(k): int(v) for k, v in sorted(sizes.items())}}))
+    return 0
+
+
+def cmd_semdedup(args: argparse.Namespace) -> int:
+    """SemDeDup over an embeddings parquet (vec_id, embedding):
+    bucketed within-cluster cosine pruning; prints keep stats or
+    writes per-vector verdicts with --out."""
+    _init_ray()
+    import ray.data as rd
+
+    from raydedup.stages.semdedup import semdedup
+
+    files = sorted(glob.glob(os.path.join(args.embeddings, "*.parquet"))) or [
+        args.embeddings
+    ]
+    df = semdedup(
+        rd.read_parquet(files),
+        threshold=args.threshold,
+        n_bucket_bits=args.bits,
+    )
+    if args.out:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), args.out)
+        print(json.dumps({"vectors": len(df), "out": args.out}))
+        return 0
+    print(
+        json.dumps(
+            {
+                "vectors": len(df),
+                "kept": int(df["keep"].sum()),
+                "pruned": int((df["keep"] == 0).sum()),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_protoprune(args: argparse.Namespace) -> int:
+    """Prototypicality pruning over an embeddings parquet (vec_id,
+    embedding, label): drop vectors too close to their own label
+    centroid."""
+    _init_ray()
+    import ray.data as rd
+
+    from raydedup.stages.embsketch import prototype_prune
+
+    files = sorted(glob.glob(os.path.join(args.embeddings, "*.parquet"))) or [
+        args.embeddings
+    ]
+    out = prototype_prune(rd.read_parquet(files), threshold=args.threshold)
+    if args.out:
+        print(json.dumps({"vectors": _write_parquet_counted(out, args.out), "out": args.out}))
+        return 0
+    df = out.to_pandas()
+    print(
+        json.dumps(
+            {"vectors": len(df), "kept": int(df["keep"].sum()),
+             "pruned": int((df["keep"] == 0).sum())}
+        )
+    )
+    return 0
+
+
 def cmd_delete(args: argparse.Namespace) -> int:
     from raydedup.pipelines.query import delete_from_index
 
@@ -1229,6 +1371,39 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--hamming-max", type=int, default=12, dest="hamming_max")
     s.add_argument("--set", action="append", metavar="KEY=VALUE")
     s.set_defaults(fn=cmd_b1dedup)
+
+    s = sub.add_parser("select", help="DSIR importance weights / keep verdicts")
+    s.add_argument("pages")
+    s.add_argument("--target-col", default="lang", dest="target_col")
+    s.add_argument("--target-value", default="en", dest="target_value")
+    s.add_argument("--out", default=None, help="write per-doc parquet here")
+    s.set_defaults(fn=cmd_select)
+
+    s = sub.add_parser("classify", help="Naive-Bayes train+score (modulo split)")
+    s.add_argument("pages")
+    s.add_argument("--class-col", default="lang", dest="class_col")
+    s.add_argument("--test-mod", type=int, default=5, dest="test_mod")
+    s.add_argument("--out", default=None, help="write per-doc predictions here")
+    s.set_defaults(fn=cmd_classify)
+
+    s = sub.add_parser("pplbucket", help="CCNet per-lang perplexity head/middle/tail")
+    s.add_argument("pages")
+    s.add_argument("--buckets", type=int, default=3)
+    s.add_argument("--out", default=None, help="write per-doc buckets here")
+    s.set_defaults(fn=cmd_pplbucket)
+
+    s = sub.add_parser("semdedup", help="semantic dedup over an embeddings parquet")
+    s.add_argument("embeddings")
+    s.add_argument("--threshold", type=float, default=0.4)
+    s.add_argument("--bits", type=int, default=4, help="semantic-bucket bits")
+    s.add_argument("--out", default=None, help="write per-vector verdicts here")
+    s.set_defaults(fn=cmd_semdedup)
+
+    s = sub.add_parser("protoprune", help="prototypicality pruning over embeddings")
+    s.add_argument("embeddings")
+    s.add_argument("--threshold", type=float, default=0.2)
+    s.add_argument("--out", default=None, help="write per-vector verdicts here")
+    s.set_defaults(fn=cmd_protoprune)
 
     s = sub.add_parser("delete", help="remove docs (by url) from an index")
     s.add_argument("index")

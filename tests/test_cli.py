@@ -551,3 +551,67 @@ def test_b1dedup_verb(ray_session, small_corpus, capsys, monkeypatch):
     assert out, "planted dups must surface through the b1 store"
     a, b, h = out[0].split("\t")
     assert int(a) < int(b) and 0 <= int(h) <= 16
+
+
+def test_curation_verbs(ray_session, small_corpus, tmp_path, capsys, monkeypatch):
+    """select / classify / pplbucket over a pages dir: JSON summaries
+    with coherent totals; select --out writes per-doc parquet."""
+    import raydedup.cli as cli
+
+    monkeypatch.setattr(cli, "_shutdown_ray", lambda: None)
+    _, paths = small_corpus
+
+    assert cli.main(["select", paths["pages"]]) == 0
+    sel = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sel["docs"] == 600 and 0 <= sel["kept"] <= 600
+
+    out_dir = str(tmp_path / "sel")
+    assert cli.main(["select", paths["pages"], "--out", out_dir]) == 0
+    wrote = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert wrote["docs"] == 600
+    import glob as g
+
+    assert g.glob(os.path.join(out_dir, "*.parquet"))
+
+    assert cli.main(["classify", paths["pages"], "--test-mod", "4"]) == 0
+    clf = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert clf["test_docs"] > 0 and 0.0 <= clf["accuracy"] <= 1.0
+
+    assert cli.main(["pplbucket", paths["pages"], "--buckets", "4"]) == 0
+    ppl = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ppl["docs"] == 600
+    assert sum(ppl["buckets"].values()) == 600
+    assert set(ppl["buckets"]) <= {"1", "2", "3", "4"}
+
+
+def test_embedding_verbs(ray_session, tmp_path, capsys, monkeypatch):
+    """semdedup / protoprune over an embeddings parquet."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import raydedup.cli as cli
+
+    monkeypatch.setattr(cli, "_shutdown_ray", lambda: None)
+    rng = np.random.Generator(np.random.PCG64(2))
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    vecs[40:] = vecs[:10]  # planted exact semantic copies
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(50)), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([i % 3 for i in range(50)], pa.int32()),
+        }
+    )
+    emb = str(tmp_path / "emb.parquet")
+    pq.write_table(t, emb)
+
+    assert cli.main(["semdedup", emb, "--threshold", "0.99"]) == 0
+    sd = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sd["vectors"] == 50 and sd["pruned"] >= 10  # the planted copies
+
+    assert cli.main(["protoprune", emb]) == 0
+    pp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert pp["vectors"] == 50 and pp["kept"] + pp["pruned"] == 50
