@@ -1940,7 +1940,10 @@ def _q_semdedup(sf_dir: str):
     representative convention; all-integer output columns."""
     from raydedup.stages.semdedup import semdedup
 
-    return semdedup(_read(sf_dir, "embeddings"), threshold=0.4, n_bucket_bits=2)
+    df = semdedup(
+        _read(sf_dir, "embeddings"), threshold=0.4, n_bucket_bits=2
+    ).to_pandas()
+    return df.sort_values("vec_id").reset_index(drop=True)
 
 
 def q_semdedup_sql():

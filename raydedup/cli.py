@@ -1021,18 +1021,15 @@ def cmd_semdedup(args: argparse.Namespace) -> int:
     files = sorted(glob.glob(os.path.join(args.embeddings, "*.parquet"))) or [
         args.embeddings
     ]
-    df = semdedup(
+    out = semdedup(
         rd.read_parquet(files),
         threshold=args.threshold,
         n_bucket_bits=args.bits,
     )
     if args.out:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), args.out)
-        print(json.dumps({"vectors": len(df), "out": args.out}))
+        print(json.dumps({"vectors": _write_parquet_counted(out, args.out), "out": args.out}))
         return 0
+    df = out.to_pandas()
     print(
         json.dumps(
             {

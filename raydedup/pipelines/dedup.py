@@ -144,6 +144,24 @@ def exact_dedup_edges(docs: Dataset, num_buckets: int | None = None) -> Dataset:
 _KERNELS: dict[Any, SignatureKernel] = {}
 
 
+def _filter_excluded(batch: pa.Table, exclude_ref) -> pa.Table:
+    """Drop exact-dup MEMBER rows (cfg.sig_skip_exact_members): their
+    representative has a byte-identical text, so skipping them in the
+    signature kernel changes no downstream result — the local ray.get
+    resolves from plasma (zero-copy) and pipelines each task behind the
+    sha exchange without a driver barrier."""
+    if batch.num_rows == 0:
+        return batch
+    import ray
+
+    em = ray.get(exclude_ref)
+    if em.shape[0] == 0:
+        return batch
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    pos = np.minimum(np.searchsorted(em, ids), em.shape[0] - 1)
+    return batch.filter(pa.array(em[pos] != ids))
+
+
 def _signature_fn(
     batch: pa.Table,
     cfg: DedupConfig,
@@ -153,19 +171,8 @@ def _signature_fn(
     # per-worker-process kernel cache: permutation tables + word-hash cache
     # built once per process, reused across task invocations (stateless-task
     # variant of the actor-pool pattern)
-    if exclude_ref is not None and batch.num_rows:
-        # exact-dup members (cfg.sig_skip_exact_members): their
-        # representative has a byte-identical text, so skipping them in
-        # the kernel changes no downstream result — the local ray.get
-        # resolves from plasma (zero-copy) and pipelines each task
-        # behind the sha exchange without a driver barrier.
-        import ray
-
-        em = ray.get(exclude_ref)
-        if em.shape[0]:
-            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            pos = np.minimum(np.searchsorted(em, ids), em.shape[0] - 1)
-            batch = batch.filter(pa.array(em[pos] != ids))
+    if exclude_ref is not None:
+        batch = _filter_excluded(batch, exclude_ref)
     key = (cfg, keep_shingles)
     kernel = _KERNELS.get(key)
     if kernel is None:
@@ -181,18 +188,26 @@ def compute_signatures(
 ) -> Dataset:
     src = docs.select_columns(["doc_id", "text"])
     if exclude_ids_ref is not None:
-        # the exclusion rides fn_kwargs into the stateless-task path (the
-        # actor path would rebuild its pool per exclusion set)
-        return src.map_batches(
-            _signature_fn,
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            fn_kwargs={
-                "cfg": cfg,
-                "keep_shingles": keep_shingles,
-                "exclude_ref": exclude_ids_ref,
-            },
-        )
+        if cfg.signature_concurrency:
+            # actor-pool path: apply the member drop as a separate
+            # (cheap, row-filter-only) stage so the configured actor
+            # pool and its once-per-actor state are preserved
+            def _drop(t: pa.Table) -> pa.Table:
+                return _filter_excluded(t, exclude_ids_ref)
+
+            src = src.map_batches(_drop, batch_format="pyarrow")
+        else:
+            # stateless-task path: fuse the drop into the kernel call
+            return src.map_batches(
+                _signature_fn,
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                fn_kwargs={
+                    "cfg": cfg,
+                    "keep_shingles": keep_shingles,
+                    "exclude_ref": exclude_ids_ref,
+                },
+            )
     if cfg.signature_concurrency:
         # explicit actor pool (ST1 analog: state loaded once per actor)
         return src.map_batches(

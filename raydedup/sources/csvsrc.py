@@ -115,7 +115,18 @@ def write_csv_docs(
         data = sio.getvalue().encode("utf-8")
         if gzip_output:
             data = gzip.compress(data, 6, mtime=0)
-        key = min(r["doc_id"] for r in rows) if "doc_id" in names else len(rows)
+        # shard name from block CONTENT: min doc id when present, else a
+        # digest of the serialized bytes — never the row count alone
+        # (equal-sized blocks would collide and os.replace would silently
+        # drop all but one; review finding). Byte-identical blocks still
+        # coalesce by construction — that is the deterministic-name
+        # contract, not a loss.
+        import hashlib
+
+        if "doc_id" in names:
+            key = min(r["doc_id"] for r in rows)
+        else:
+            key = int.from_bytes(hashlib.sha256(data).digest()[:8], "big")
         path = os.path.join(
             out_dir, f"part-{int(key) & 0xFFFFFFFFFFFFFFFF:016x}-{len(rows)}{ext}"
         )

@@ -152,7 +152,15 @@ def write_jsonl_docs(
         data = ("\n".join(buf) + "\n").encode("utf-8")
         if gzip_output:
             data = gzip.compress(data, 6, mtime=0)
-        key = min(r["doc_id"] for r in rows) if "doc_id" in t.column_names else hash(buf[0])
+        # content-derived fallback (NOT builtins.hash: PYTHONHASHSEED
+        # makes str hash per-process random -> non-deterministic names,
+        # and equal first lines would collide; review finding)
+        if "doc_id" in t.column_names:
+            key = min(r["doc_id"] for r in rows)
+        else:
+            import hashlib
+
+            key = int.from_bytes(hashlib.sha256(data).digest()[:8], "big")
         path = os.path.join(
             out_dir, f"part-{int(key) & 0xFFFFFFFFFFFFFFFF:016x}-{len(rows)}{ext}"
         )

@@ -121,11 +121,13 @@ _BIGRAM_SCHEMA = pa.schema(
 
 
 def _doc_bigram_arrays(t: pa.Table):
-    """(doc_id, text) batch -> (ids, doc-ordered token array, bigram
-    string array aligned to tokens[1:] per doc, per-token doc index,
-    per-bigram doc index). Bigram strings are ``"w1 w2"``; tokens are
-    whitespace-split so the space-joined form is collision-free against
-    unigrams."""
+    """(doc_id, text) batch -> (per-token doc ids, doc-ordered token
+    array, bigram string array, adjacency index). ``adj`` marks the
+    FIRST row of each consecutive same-doc pair, so ``d[adj]`` is the
+    per-bigram doc id and ``tok[adj]`` the bigram's first word — one
+    computation shared by the count and score passes. Bigram strings
+    are ``"w1 w2"``; tokens are whitespace-split so the space-joined
+    form is collision-free against unigrams."""
     import pyarrow.compute as pc
 
     from raydedup.stages.tfidf import batch_doc_tokens_ordered
@@ -135,16 +137,15 @@ def _doc_bigram_arrays(t: pa.Table):
     tok = flat.column("token")
     if isinstance(tok, pa.ChunkedArray):
         tok = tok.combine_chunks()
-    n = d.shape[0]
-    if n == 0:
-        return d, tok, tok.slice(0, 0), d, d
+    if d.shape[0] == 0:
+        return d, tok, tok.slice(0, 0), np.empty(0, dtype=I64)
     adj = np.flatnonzero(d[1:] == d[:-1])  # consecutive same-doc rows
     w1 = tok.take(pa.array(adj))
     w2 = tok.take(pa.array(adj + 1))
     big = pc.binary_join_element_wise(
         w1, w2, pa.scalar(" ", type=pa.large_string())
     )
-    return d, tok, big, d, d[adj]
+    return d, tok, big, adj
 
 
 def bigram_surprisal(docs: Dataset, *, carry_cols: tuple = ()) -> Dataset:
@@ -181,7 +182,7 @@ def bigram_surprisal(docs: Dataset, *, carry_cols: tuple = ()) -> Dataset:
         )
         if t.num_rows == 0 or t.num_columns == 0:
             return schema.empty_table()
-        _, tok, big, _, _ = _doc_bigram_arrays(t)
+        _, tok, big, _ = _doc_bigram_arrays(t)
         grams = pa.concat_arrays([tok.cast(pa.large_string()),
                                   big.cast(pa.large_string())])
         if len(grams) == 0:
@@ -218,7 +219,7 @@ def bigram_surprisal(docs: Dataset, *, carry_cols: tuple = ()) -> Dataset:
                     empty = empty.append_column(c, t.column(c))
             return empty
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(I64)
-        d, tok, big, tok_doc, big_doc = _doc_bigram_arrays(t)
+        d, tok, big, adj = _doc_bigram_arrays(t)
         n_tok = np.zeros(ids.shape[0], dtype=I64)
         bits = np.zeros(ids.shape[0], dtype=I64)
         if d.shape[0]:
@@ -231,7 +232,7 @@ def bigram_surprisal(docs: Dataset, *, carry_cols: tuple = ()) -> Dataset:
                     tok.to_numpy(zero_copy_only=False)))
             ]
             order = np.argsort(ids)
-            at_tok = order[np.searchsorted(ids[order], tok_doc)]
+            at_tok = order[np.searchsorted(ids[order], d)]
             np.add.at(n_tok, at_tok, 1)
             # first token of each doc run: unigram surprisal
             first = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
@@ -241,10 +242,8 @@ def bigram_surprisal(docs: Dataset, *, carry_cols: tuple = ()) -> Dataset:
                     np.searchsorted(keys, hash_strings_u64(
                         big.to_numpy(zero_copy_only=False)))
                 ]
-                adj = np.flatnonzero(d[1:] == d[:-1])
                 s = _bitlen_minus1(c_tok[adj]) - _bitlen_minus1(c_big)
-                at_big = order[np.searchsorted(ids[order], big_doc)]
-                np.add.at(bits, at_big, s)
+                np.add.at(bits, at_tok[adj], s)
         mean = np.where(n_tok > 0, bits / np.maximum(n_tok, 1), 0.0)
         out = pa.table(
             {
@@ -303,10 +302,17 @@ def perplexity_buckets(docs: Dataset, *, n_buckets: int = 3) -> Dataset:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(I64)
         mean = t.column("mean_bits").to_numpy(zero_copy_only=False)
         # group by the REAL lang string (the hash key only routed the
-        # bucket) — same in-bucket exactness rule as the token stages
-        lang_u = np.asarray(lang.to_pylist(), dtype=str)
-        order = np.lexsort((ids, mean, lang_u))
-        ids_s, mean_s, lk_s = ids[order], mean[order], lang_u[order]
+        # bucket) — dictionary codes give integer group identity without
+        # materializing Python strings (review finding); code order is
+        # first-appearance, which is fine: NTILE only needs group
+        # identity, inter-group order is irrelevant
+        codes = (
+            pc.dictionary_encode(lang)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(I64)
+        )
+        order = np.lexsort((ids, mean, codes))
+        ids_s, mean_s, lk_s = ids[order], mean[order], codes[order]
         n = ids_s.shape[0]
         starts = np.flatnonzero(np.r_[True, lk_s[1:] != lk_s[:-1]])
         lens = np.diff(np.r_[starts, n])

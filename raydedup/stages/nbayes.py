@@ -58,7 +58,8 @@ _OUT_SCHEMA = pa.schema(
 
 def _train_counts_partial(t: pa.Table, class_col: str, test_mod: int) -> pa.Table:
     """One batch -> per-(class, token) training-count partials (train
-    rows only) + the token exchange key."""
+    rows only) + the token exchange key (the shared ``_with_token_key``
+    convention, so partials co-locate with every other token stage)."""
     from raydedup.stages.tfidf import _batch_doc_token_counts, _with_token_key
 
     schema = pa.schema(
@@ -92,9 +93,7 @@ def _train_counts_partial(t: pa.Table, class_col: str, test_mod: int) -> pa.Tabl
              ("cnt_partial", pa.int64())]
         )
     )
-    tok = g.column("token").to_numpy(zero_copy_only=False)
-    key = hash_strings_u64(tok).view(I64)
-    return g.append_column("key", pa.array(key, type=pa.int64()))
+    return _with_token_key(g)
 
 
 def _class_doc_counts(docs: Dataset, class_col: str, test_mod: int) -> dict[str, int]:

@@ -85,9 +85,9 @@ def _bucket_kernel(
         mn = _normalize(m[lo:hi])
         sims = mn @ mn.T
         # earlier = strictly-lower vec_id == strictly-lower row index
-        # (rows are id-sorted within the bucket group)
-        hit = sims >= threshold
-        hit[np.triu_indices(g)] = False  # keep only j < i (earlier rows)
+        # (rows are id-sorted within the bucket group); tril keeps only
+        # j < i without materializing O(g^2) int64 index arrays
+        hit = np.tril(sims >= threshold, k=-1)
         has = hit.any(axis=1)
         if not has.any():
             continue
@@ -115,13 +115,17 @@ def semdedup(
     vec_col: str = "embedding",
     seed: int = DEFAULT_SEED,
     num_buckets: int | None = None,
-) -> pd.DataFrame:
-    """Per-vector SemDeDup verdicts: (vec_id, bucket, keep, dup_of).
+) -> Dataset:
+    """Per-vector SemDeDup verdicts as a DATASET of refs (never
+    collected on the driver — the 10^12-row contract): columns
+    (vec_id, bucket, keep, dup_of).
 
     ``n_bucket_bits=0`` degenerates to ONE global cluster — the exact
     (unbucketed) rule, used by tests as the recall baseline. All output
     columns are integers, so the result hash-matches the SQL mirror
     with no float-boundary hazard beyond the proven cosine predicate.
+    On fully-empty input the blocks may carry no schema (the exchange
+    empty-collect contract shared with ``stages/lm.py term_counts``).
     """
     if not 0 <= n_bucket_bits <= 32:
         raise ValueError(f"n_bucket_bits must be in [0, 32], got {n_bucket_bits}")
@@ -145,15 +149,15 @@ def semdedup(
     bucketed = embeddings.select_columns([id_col, vec_col]).map_batches(
         bucketize, batch_format="pyarrow"
     )
-    out = hash_exchange_apply(
+    refs = hash_exchange_apply(
         bucketed,
         "bucket",
         lambda t: _bucket_kernel(
             t, threshold=threshold, id_col=id_col, vec_col=vec_col
         ),
         num_buckets=num_buckets,
+        collect=False,
     )
-    df = out.to_pandas() if hasattr(out, "to_pandas") else out
-    if "vec_id" not in df.columns:  # fully-empty input loses the schema
-        df = _OUT_SCHEMA.empty_table().to_pandas()
-    return df.sort_values("vec_id").reset_index(drop=True)
+    import ray.data as rd
+
+    return rd.from_arrow_refs(refs)

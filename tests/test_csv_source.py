@@ -137,3 +137,23 @@ def test_missing_text_column_is_loud(ray_session, tmp_path):
         f.write("doc_id,lang\n1,en\n")
     with pytest.raises(Exception, match="text"):
         read_csv_docs(p).materialize()
+
+
+def test_write_without_doc_id_keeps_all_blocks(ray_session, tmp_path):
+    """Shard names must derive from block CONTENT, not row count:
+    equal-sized doc_id-less blocks previously collided and os.replace
+    silently dropped all but one (review finding)."""
+    src = rd.from_arrow(
+        pa.table(
+            {
+                "text": pa.array([f"body {i}" for i in range(40)]),
+                "lang": pa.array(["en"] * 40),
+            }
+        )
+    ).repartition(4).materialize()
+    out = str(tmp_path / "noid")
+    n = write_csv_docs(src, out)
+    files = glob.glob(os.path.join(out, "*.csv"))
+    rows_on_disk = sum(len(open(p).read().splitlines()) - 1 for p in files)
+    assert n == 40
+    assert rows_on_disk == 40, f"{len(files)} files, {rows_on_disk} rows"

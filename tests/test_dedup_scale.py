@@ -114,3 +114,26 @@ def test_sig_skip_exact_members_is_cluster_identical(ray_session, small_corpus):
     # members produce no postings -> strictly fewer raw candidates
     # (the small_corpus plants exact-dup groups, so the drop is real)
     assert on.metrics["candidate_pairs"] < off.metrics["candidate_pairs"]
+
+
+def test_sig_skip_honors_actor_pool_concurrency(ray_session, small_corpus):
+    """signature_concurrency + sig_skip_exact_members must not silently
+    fall back to stateless tasks (review finding): the actor-pool path
+    applies the member drop as a separate filter stage and the clusters
+    stay frame-identical."""
+    spec, paths = small_corpus
+    docs = pages_to_docs(read_pages(paths["pages"])).materialize()
+    base = run_dedup_scale(
+        docs, DedupConfig(batch_size=256), num_buckets=16, n_shards=3
+    )
+    pooled = run_dedup_scale(
+        docs,
+        DedupConfig(
+            batch_size=256, sig_skip_exact_members=True, signature_concurrency=2
+        ),
+        num_buckets=16,
+        n_shards=3,
+    )
+    a = base.clusters.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = pooled.clusters.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -7,7 +7,20 @@ import numpy as np
 import pyarrow as pa
 
 from raydedup.stages.ann import _normalize
-from raydedup.stages.semdedup import semdedup
+from raydedup.stages.semdedup import semdedup as _semdedup_ds
+
+
+def semdedup(ds, **kw):
+    """Test shim: collect the Dataset result into the sorted frame the
+    assertions below consume."""
+    df = _semdedup_ds(ds, **kw).to_pandas()
+    if "vec_id" not in df.columns:  # fully-empty input loses the schema
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("vec_id", "bucket", "keep", "dup_of")}
+        )
+    return df.sort_values("vec_id").reset_index(drop=True)
 
 
 def _emb_ds(rd, vecs: np.ndarray, ids=None, parts: int = 4):
