@@ -2330,6 +2330,30 @@ def _q_knn_cosine(sf_dir: str):
     return df[["vec_id", "cosine"]]
 
 
+def _q_emb_index_query(sf_dir: str):
+    """Persisted embedding ANN index (pipelines/embindex.py): the
+    store/query lifecycle on the embedding modality — deterministic
+    k-means centroids + IVF-partitioned Parquet (one dir per centroid
+    bucket, manifest written last), then a pruned-partition top-k scan.
+    Full probe here (exact search == the SQL cross-join oracle);
+    approximate-probe recall is gated in tests/test_embindex.py."""
+    import shutil
+    import tempfile
+
+    from raydedup.pipelines.embindex import build_emb_index, query_emb_index
+
+    emb = _read(sf_dir, "embeddings")
+    qdf = emb.to_pandas().sort_values("vec_id").head(20)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    qids = qdf["vec_id"].to_numpy()
+    d = tempfile.mkdtemp(prefix="raydedup_embidx_")
+    try:
+        build_emb_index(emb, d)
+        return query_emb_index(d, Q, query_ids=qids, k=5, n_probe=None)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs >= 0.4 (exact all-pairs baseline)."""
     from raydedup.stages.ann import embedding_neardup_bruteforce
@@ -3216,6 +3240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_simhash": _q_embedding_simhash,
         "semdedup": _q_semdedup,
         "prototype_prune": _q_prototype_prune,
+        "emb_index_query": _q_emb_index_query,
         "embedding_neardup_hamming": _q_embedding_neardup_hamming,
         "embedding_cluster": _q_embedding_cluster,
         "events_hourly": _q_events_hourly,
@@ -6354,6 +6379,30 @@ FROM s ORDER BY shard, pos
         "embedding_simhash": q_embedding_simhash_sql(),
         "semdedup": q_semdedup_sql(),
         "prototype_prune": q_prototype_prune_sql(),
+        # full-probe IVF == exact: the oracle is the plain cross join
+        # with the engine's (cosine DESC, vec_id ASC) rank convention
+        "emb_index_query": """
+        WITH q AS (
+          SELECT vec_id AS q, embedding FROM embeddings
+          ORDER BY vec_id LIMIT 20
+        ),
+        s AS (
+          SELECT q.q, b.vec_id,
+                 list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))
+                   AS cosine
+          FROM q CROSS JOIN embeddings b
+        ),
+        r AS (
+          SELECT q, vec_id, cosine,
+                 row_number() OVER (
+                   PARTITION BY q ORDER BY cosine DESC, vec_id ASC
+                 ) AS rn
+          FROM s
+        )
+        SELECT q, vec_id, cosine, CAST(rn AS BIGINT) AS rank
+        FROM r WHERE rn <= 5 ORDER BY q, rn
+        """,
         "embedding_neardup_hamming": q_embedding_neardup_hamming_sql(),
         # connected components over the cosine edge set: min-label
         # reachability == union-by-min (the flagship convention)

@@ -1068,6 +1068,54 @@ def cmd_protoprune(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_embstore(args: argparse.Namespace) -> int:
+    """Build a persisted IVF embedding index (centroid-partitioned
+    parquet + manifest) from an embeddings parquet."""
+    _init_ray()
+    import ray.data as rd
+
+    from raydedup.pipelines.embindex import build_emb_index
+
+    files = sorted(glob.glob(os.path.join(args.embeddings, "*.parquet"))) or [
+        args.embeddings
+    ]
+    man = build_emb_index(
+        rd.read_parquet(files), args.index, n_centroids=args.centroids
+    )
+    print(json.dumps({k: man[k] for k in ("n_vectors", "dim", "n_centroids")}))
+    return 0
+
+
+def cmd_embquery(args: argparse.Namespace) -> int:
+    """Top-k cosine matches from a persisted embedding index; query
+    vectors come from an embeddings parquet (all rows, or --limit)."""
+    _init_ray()
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.embindex import query_emb_index
+
+    files = sorted(glob.glob(os.path.join(args.queries, "*.parquet"))) or [
+        args.queries
+    ]
+    import pyarrow as pa
+
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    df = t.to_pandas().sort_values("vec_id")
+    if args.limit:
+        df = df.head(args.limit)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    out = query_emb_index(
+        args.index,
+        Q,
+        query_ids=df["vec_id"].to_numpy(),
+        k=args.top_k,
+        n_probe=None if args.probe <= 0 else args.probe,
+    )
+    print(out.to_csv(index=False))
+    return 0
+
+
 def cmd_delete(args: argparse.Namespace) -> int:
     from raydedup.pipelines.query import delete_from_index
 
@@ -1401,6 +1449,20 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--threshold", type=float, default=0.2)
     s.add_argument("--out", default=None, help="write per-vector verdicts here")
     s.set_defaults(fn=cmd_protoprune)
+
+    s = sub.add_parser("embstore", help="build a persisted IVF embedding index")
+    s.add_argument("embeddings")
+    s.add_argument("index")
+    s.add_argument("--centroids", type=int, default=None)
+    s.set_defaults(fn=cmd_embstore)
+
+    s = sub.add_parser("embquery", help="top-k cosine matches from an embedding index")
+    s.add_argument("index")
+    s.add_argument("queries", help="embeddings parquet holding the query vectors")
+    s.add_argument("--top-k", type=int, default=10, dest="top_k")
+    s.add_argument("--probe", type=int, default=4, help="<=0 for exact full probe")
+    s.add_argument("--limit", type=int, default=None, help="first N query vectors")
+    s.set_defaults(fn=cmd_embquery)
 
     s = sub.add_parser("delete", help="remove docs (by url) from an index")
     s.add_argument("index")

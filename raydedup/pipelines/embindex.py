@@ -1,0 +1,240 @@
+"""Persisted embedding ANN index: the reference's store/query lifecycle
+(`cli/Store.java` -> `cli/Query.java`, LMDB range-scan postings)
+transplanted to the embedding modality as IVF-partitioned Parquet.
+
+Build: deterministic distributed k-means centroids
+(``stages/ann.py train_centroids``) + one assignment pass that writes
+each vector into its centroid's partition directory
+(``vectors/bucket=K/part-*.parquet``) from inside the map task —
+content-derived shard names, atomic renames, no exchange (the
+assignment IS the partitioning). The manifest is written LAST, so a
+crashed build is detectable and simply re-run; a finished index is
+immutable. Bucket ids are also stored as a row column, so a probe scan
+needs no path parsing.
+
+Query: centroids + manifest are the SMALL side (driver-loaded,
+``ray.put`` broadcast); each query probes its ``n_probe`` nearest
+centroids and the scan reads ONLY the probed partition directories —
+at 10^12 vectors with ~10^6 centroids a 4-probe query touches ~4/10^6
+of the store. Per-batch partial top-k (k rows per query per batch)
+merges on the driver, the ``knn_cosine_batch`` pattern.
+``n_probe=None`` reads every partition: exact search, which is the SQL
+oracle's parity mode; approximate-probe recall is gated in
+``tests/test_embindex.py``.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+from raydedup.stages.ann import _batch_matrix, _normalize, train_centroids
+
+I64 = np.int64
+
+MANIFEST = "manifest.json"
+
+
+def build_emb_index(
+    embeddings: Dataset,
+    index_dir: str,
+    *,
+    n_centroids: int | None = None,
+    rounds: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build (or rebuild) the index; returns the manifest dict. An
+    existing COMPLETE index (manifest present) is left untouched unless
+    the requested config differs — delete the dir to force a rebuild."""
+    man_path = os.path.join(index_dir, MANIFEST)
+    cents = train_centroids(
+        embeddings, n_centroids=n_centroids, rounds=rounds,
+        id_col=id_col, vec_col=vec_col,
+    )
+    k, dim = cents.shape
+    if os.path.exists(man_path):
+        old = json.load(open(man_path))
+        if old.get("n_centroids") == k and old.get("rounds") == rounds:
+            return old
+        raise FileExistsError(
+            f"{index_dir} holds a complete index with different config "
+            f"({old.get('n_centroids')} centroids); delete it to rebuild"
+        )
+    os.makedirs(os.path.join(index_dir, "vectors"), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "cid": pa.array(np.arange(k, dtype=I64)),
+                "centroid": pa.array(list(cents), type=pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(index_dir, "centroids.parquet"),
+    )
+
+    cents_ref = ray.put(cents)
+    vec_root = os.path.join(index_dir, "vectors")
+
+    def assign_and_write(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        c = ray.get(cents_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        assign = np.argmax(m @ c.T, axis=1).astype(I64)
+        order = np.argsort(assign, kind="stable")
+        taken = batch.select([id_col, vec_col]).take(pa.array(order))
+        taken = taken.append_column("bucket", pa.array(assign[order]))
+        bsorted = assign[order]
+        starts = np.flatnonzero(np.r_[True, bsorted[1:] != bsorted[:-1]])
+        ends = np.r_[starts[1:], bsorted.shape[0]]
+        out_b, out_n = [], []
+        for lo, hi in zip(starts, ends):
+            sub = taken.slice(lo, hi - lo)
+            b = int(bsorted[lo])
+            d = os.path.join(vec_root, f"bucket={b}")
+            os.makedirs(d, exist_ok=True)
+            ids = sub.column(id_col).to_numpy(zero_copy_only=False)
+            key = hashlib.sha256(ids.tobytes()).hexdigest()[:16]
+            path = os.path.join(d, f"part-{key}-{hi - lo}.parquet")
+            tmp = path + f".tmp{os.getpid()}"
+            pq.write_table(sub, tmp)
+            os.replace(tmp, path)
+            out_b.append(b)
+            out_n.append(int(hi - lo))
+        return pa.table(
+            {"bucket": pa.array(out_b, pa.int64()), "n": pa.array(out_n, pa.int64())}
+        )
+
+    counts = (
+        embeddings.select_columns([id_col, vec_col])
+        .map_batches(assign_and_write, batch_format="pyarrow")
+        .to_pandas()
+    )
+    bucket_counts = (
+        counts.groupby("bucket")["n"].sum().astype(int).to_dict() if len(counts) else {}
+    )
+    manifest = {
+        "version": 1,
+        "n_vectors": int(sum(bucket_counts.values())),
+        "dim": int(dim),
+        "n_centroids": int(k),
+        "rounds": int(rounds),
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "bucket_counts": {str(b): int(n) for b, n in sorted(bucket_counts.items())},
+    }
+    tmp = man_path + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True, indent=1)
+    os.replace(tmp, man_path)
+    return manifest
+
+
+def _load_centroids(index_dir: str) -> tuple[dict, np.ndarray]:
+    man = json.load(open(os.path.join(index_dir, MANIFEST)))
+    ct = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    cents = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in ct.column("centroid").to_pylist()]
+    )
+    return man, cents
+
+
+def query_emb_index(
+    index_dir: str,
+    queries: np.ndarray,
+    *,
+    query_ids: np.ndarray | None = None,
+    k: int = 10,
+    n_probe: int | None = 4,
+) -> pd.DataFrame:
+    """(q, vec_id, cosine, rank) for each query row: rank by
+    (cosine DESC, vec_id ASC), exactly ``knn_cosine_batch``'s
+    convention. Reads ONLY the probed bucket partitions."""
+    man, cents = _load_centroids(index_dir)
+    id_col, vec_col = man["id_col"], man["vec_col"]
+    qn = _normalize(np.asarray(queries, dtype=np.float64).reshape(len(queries), -1))
+    nq = qn.shape[0]
+    qids = (
+        np.arange(nq, dtype=I64)
+        if query_ids is None
+        else np.asarray(query_ids, dtype=I64)
+    )
+    kc = cents.shape[0]
+    sims_qc = qn @ cents.T  # (nq, kc): the small side
+    if n_probe is None or n_probe >= kc:
+        allowed = np.ones((nq, kc), dtype=bool)
+    else:
+        allowed = np.zeros((nq, kc), dtype=bool)
+        probe = np.argpartition(-sims_qc, n_probe - 1, axis=1)[:, :n_probe]
+        allowed[np.arange(nq)[:, None], probe] = True
+    probed_buckets = np.flatnonzero(allowed.any(axis=0))
+    files: list[str] = []
+    for b in probed_buckets.tolist():
+        files.extend(
+            sorted(glob.glob(os.path.join(index_dir, "vectors", f"bucket={b}", "*.parquet")))
+        )
+    empty = pd.DataFrame(
+        {
+            "q": pd.Series(dtype="int64"),
+            "vec_id": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+            "rank": pd.Series(dtype="int64"),
+        }
+    )
+    if not files:
+        return empty
+    bc = ray.put((qn, allowed))
+
+    def topk_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table(
+                {"qi": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        q, allow = ray.get(bc)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(I64)
+        bkt = batch.column("bucket").to_numpy(zero_copy_only=False).astype(I64)
+        sims = m @ q.T  # (rows, nq)
+        sims = np.where(allow[:, bkt].T, sims, -np.inf)
+        take = min(k, sims.shape[0])
+        idx = np.argpartition(-sims, take - 1, axis=0)[:take]  # (take, nq)
+        qi = np.repeat(np.arange(q.shape[0], dtype=I64)[None, :], take, axis=0)
+        svals = sims[idx, np.arange(q.shape[0])[None, :]]
+        keep = np.isfinite(svals.ravel())
+        return pa.table(
+            {
+                "qi": pa.array(qi.ravel()[keep]),
+                "vec_id": pa.array(ids[idx.ravel()][keep]),
+                "cosine": pa.array(svals.ravel()[keep], pa.float64()),
+            }
+        )
+
+    local = (
+        rd.read_parquet(files, columns=[id_col, vec_col, "bucket"])
+        .map_batches(topk_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if "qi" not in local.columns or not len(local):
+        return empty
+    local = local.sort_values(
+        ["qi", "cosine", "vec_id"], ascending=[True, False, True], kind="mergesort"
+    )
+    top = local.groupby("qi", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("qi").cumcount().astype("int64") + 1
+    top["q"] = qids[top["qi"].to_numpy()]
+    return top[["q", "vec_id", "cosine", "rank"]].reset_index(drop=True)

@@ -1,0 +1,133 @@
+"""Persisted embedding ANN index (pipelines/embindex.py): build
+manifest integrity, exact full-probe parity with the in-memory
+reference, approximate-probe recall on clustered data, probe-pruned
+reads (unprobed partitions are never opened), config guard, and
+crash-rebuild idempotence."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from raydedup.pipelines.embindex import (
+    MANIFEST,
+    build_emb_index,
+    query_emb_index,
+)
+
+
+def _clustered(n_clusters=8, per=30, dim=24, seed=5):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    centers = rng.normal(size=(n_clusters, dim)) * 6.0
+    vecs, labels = [], []
+    for c in range(n_clusters):
+        vecs.append(centers[c] + rng.normal(scale=0.3, size=(per, dim)))
+        labels += [c] * per
+    m = np.vstack(vecs).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+            "embedding": pa.array([v.tolist() for v in m], pa.list_(pa.float32())),
+        }
+    )
+    return t, m, np.array(labels)
+
+
+def _build(tmp_path, t, **kw):
+    d = str(tmp_path / "idx")
+    man = build_emb_index(rd.from_arrow(t).repartition(4), d, **kw)
+    return d, man
+
+
+def test_build_manifest_and_layout(ray_session, tmp_path):
+    t, m, _ = _clustered()
+    d, man = _build(tmp_path, t, n_centroids=8)
+    assert man["n_vectors"] == len(m)
+    assert man["n_centroids"] == 8
+    assert sum(man["bucket_counts"].values()) == len(m)
+    assert os.path.exists(os.path.join(d, MANIFEST))
+    assert os.path.exists(os.path.join(d, "centroids.parquet"))
+    dirs = glob.glob(os.path.join(d, "vectors", "bucket=*"))
+    assert len(dirs) == len(man["bucket_counts"])
+
+
+def test_exact_full_probe_matches_reference(ray_session, tmp_path):
+    from raydedup.stages.ann import knn_cosine_batch
+
+    t, m, _ = _clustered(seed=9)
+    d, _ = _build(tmp_path, t, n_centroids=8)
+    Q = m[:15].astype(np.float64)
+    qids = np.arange(15, dtype=np.int64)
+    got = query_emb_index(d, Q, query_ids=qids, k=4, n_probe=None)
+    ref = knn_cosine_batch(rd.from_arrow(t), Q, query_ids=qids, k=4).rename(
+        columns={"query_id": "q"}
+    )
+    a = got.sort_values(["q", "rank"]).reset_index(drop=True)
+    b = ref.sort_values(["q", "rank"]).reset_index(drop=True)
+    assert a[["q", "vec_id", "rank"]].equals(b[["q", "vec_id", "rank"]])
+    assert np.allclose(a["cosine"], b["cosine"], atol=1e-12)
+
+
+def test_approx_probe_recall_on_clustered_data(ray_session, tmp_path):
+    t, m, _ = _clustered(n_clusters=8, per=40, seed=3)
+    d, _ = _build(tmp_path, t, n_centroids=8)
+    Q = m[::16].astype(np.float64)
+    qids = np.arange(0, len(m), 16, dtype=np.int64)
+    exact = query_emb_index(d, Q, query_ids=qids, k=5, n_probe=None)
+    approx = query_emb_index(d, Q, query_ids=qids, k=5, n_probe=2)
+    want = set(map(tuple, exact[["q", "vec_id"]].values))
+    got = set(map(tuple, approx[["q", "vec_id"]].values))
+    assert len(got & want) / len(want) >= 0.9
+
+
+def test_unprobed_partitions_never_read(ray_session, tmp_path):
+    """Corrupt every partition OUTSIDE the probe set: the query must
+    still succeed, proving the scan prunes at the partition level."""
+    t, m, _ = _clustered(seed=11)
+    d, man = _build(tmp_path, t, n_centroids=8)
+    Q = m[:1].astype(np.float64)
+    ok = query_emb_index(d, Q, k=3, n_probe=1)
+    assert len(ok) == 3
+    # find the single probed bucket, corrupt all others
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.embindex import _load_centroids
+    from raydedup.stages.ann import _normalize
+
+    _, cents = _load_centroids(d)
+    qn = _normalize(Q)
+    probed = int(np.argmax(qn @ cents.T))
+    for b in man["bucket_counts"]:
+        if int(b) == probed:
+            continue
+        for f in glob.glob(os.path.join(d, "vectors", f"bucket={b}", "*.parquet")):
+            with open(f, "wb") as fh:
+                fh.write(b"not parquet at all")
+    again = query_emb_index(d, Q, k=3, n_probe=1)
+    assert again.equals(ok)
+    with pytest.raises(Exception):
+        # full probe MUST now fail: it has to open a corrupted partition
+        query_emb_index(d, Q, k=3, n_probe=None).to_string()
+
+
+def test_config_guard_and_crash_rebuild(ray_session, tmp_path):
+    t, m, _ = _clustered(seed=7)
+    d, man = _build(tmp_path, t, n_centroids=8)
+    # same config: returns the existing manifest untouched
+    man2 = build_emb_index(rd.from_arrow(t), d, n_centroids=8)
+    assert man2 == man
+    # different config: refuses
+    with pytest.raises(FileExistsError):
+        build_emb_index(rd.from_arrow(t), d, n_centroids=4)
+    # crash before manifest: rebuild is idempotent (content-named parts)
+    os.remove(os.path.join(d, MANIFEST))
+    man3 = build_emb_index(rd.from_arrow(t).repartition(4), d, n_centroids=8)
+    assert man3["bucket_counts"] == man["bucket_counts"]
+    Q = m[:5].astype(np.float64)
+    got = query_emb_index(d, Q, k=3, n_probe=None)
+    assert len(got) == 15
