@@ -86,45 +86,68 @@ def build_emb_index(
     cents_ref = ray.put(cents)
     vec_root = os.path.join(index_dir, "vectors")
 
-    def assign_and_write(batch: pa.Table) -> pa.Table:
+    def assign(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or batch.num_columns == 0:
-            return pa.table(
-                {"bucket": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
-            )
+            return pa.schema(
+                [("bucket", pa.int64()), (id_col, pa.int64()),
+                 (vec_col, pa.large_list(pa.float32()))]
+            ).empty_table()
         c = ray.get(cents_ref)
         m = _normalize(_batch_matrix(batch, vec_col))
-        assign = np.argmax(m @ c.T, axis=1).astype(I64)
-        order = np.argsort(assign, kind="stable")
-        taken = batch.select([id_col, vec_col]).take(pa.array(order))
-        taken = taken.append_column("bucket", pa.array(assign[order]))
-        bsorted = assign[order]
-        starts = np.flatnonzero(np.r_[True, bsorted[1:] != bsorted[:-1]])
-        ends = np.r_[starts[1:], bsorted.shape[0]]
+        a = np.argmax(m @ c.T, axis=1).astype(I64)
+        return pa.table(
+            {
+                "bucket": pa.array(a),
+                id_col: batch.column(id_col),
+                vec_col: batch.column(vec_col),
+            }
+        )
+
+    def write_bucket_group(t: pa.Table) -> pa.Table:
+        """One exchange bucket (several centroid buckets) -> ONE parquet
+        file per centroid bucket: at 10^6 centroids this writes exactly
+        one file each, never a per-batch spray of KB-sized parts (the
+        per-(batch, bucket) variant measured 32,000 files at 1M x 1000
+        — query reads became task-bound)."""
+        schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        b = t.column("bucket").to_numpy(zero_copy_only=False).astype(I64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(I64)
+        order = np.lexsort((ids, b))
+        taken = t.take(pa.array(order))
+        bs = b[order]
+        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        ends = np.r_[starts[1:], bs.shape[0]]
         out_b, out_n = [], []
         for lo, hi in zip(starts, ends):
             sub = taken.slice(lo, hi - lo)
-            b = int(bsorted[lo])
-            d = os.path.join(vec_root, f"bucket={b}")
+            bk = int(bs[lo])
+            d = os.path.join(vec_root, f"bucket={bk}")
             os.makedirs(d, exist_ok=True)
-            ids = sub.column(id_col).to_numpy(zero_copy_only=False)
-            key = hashlib.sha256(ids.tobytes()).hexdigest()[:16]
+            sids = sub.column(id_col).to_numpy(zero_copy_only=False)
+            key = hashlib.sha256(sids.tobytes()).hexdigest()[:16]
             path = os.path.join(d, f"part-{key}-{hi - lo}.parquet")
             tmp = path + f".tmp{os.getpid()}"
             pq.write_table(sub, tmp)
             os.replace(tmp, path)
-            out_b.append(b)
+            out_b.append(bk)
             out_n.append(int(hi - lo))
         return pa.table(
             {"bucket": pa.array(out_b, pa.int64()), "n": pa.array(out_n, pa.int64())}
         )
 
-    counts = (
-        embeddings.select_columns([id_col, vec_col])
-        .map_batches(assign_and_write, batch_format="pyarrow")
-        .to_pandas()
+    from raydedup.stages.exchange import hash_exchange_apply
+
+    assigned = embeddings.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow"
     )
+    counts = hash_exchange_apply(assigned, "bucket", write_bucket_group)
+    counts = counts.to_pandas() if hasattr(counts, "to_pandas") else counts
     bucket_counts = (
-        counts.groupby("bucket")["n"].sum().astype(int).to_dict() if len(counts) else {}
+        counts.groupby("bucket")["n"].sum().astype(int).to_dict()
+        if len(counts) and "bucket" in counts.columns
+        else {}
     )
     manifest = {
         "version": 1,
