@@ -1086,6 +1086,21 @@ def cmd_embstore(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_embadd(args: argparse.Namespace) -> int:
+    """Fold a new embeddings shard into an existing index (frozen
+    centroids; already-present vec_ids are skipped)."""
+    _init_ray()
+    import ray.data as rd
+
+    from raydedup.pipelines.embindex import add_to_emb_index
+
+    files = sorted(glob.glob(os.path.join(args.embeddings, "*.parquet"))) or [
+        args.embeddings
+    ]
+    print(json.dumps(add_to_emb_index(args.index, rd.read_parquet(files))))
+    return 0
+
+
 def cmd_embquery(args: argparse.Namespace) -> int:
     """Top-k cosine matches from a persisted embedding index; query
     vectors come from an embeddings parquet (all rows, or --limit)."""
@@ -1455,6 +1470,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("index")
     s.add_argument("--centroids", type=int, default=None)
     s.set_defaults(fn=cmd_embstore)
+
+    s = sub.add_parser("embadd", help="fold a new shard into an embedding index")
+    s.add_argument("index")
+    s.add_argument("embeddings")
+    s.set_defaults(fn=cmd_embadd)
 
     s = sub.add_parser("embquery", help="top-k cosine matches from an embedding index")
     s.add_argument("index")

@@ -166,6 +166,126 @@ def build_emb_index(
     return manifest
 
 
+def add_to_emb_index(
+    index_dir: str,
+    new_embeddings: Dataset,
+) -> dict:
+    """Fold a new vector shard into a COMPLETE index with FROZEN
+    centroids — the reference's frozen-base ``increment``/``load``
+    lifecycle (`cli/Store.java` + the round-3 `load` verb) on the
+    embedding modality. Assignment uses the stored centroids (no
+    retrain, so existing partitions stay valid); already-present
+    vec_ids are anti-joined away by reading the ID COLUMN of only the
+    partitions the new vectors map to (pruned, column-projected — the
+    id set of untouched buckets is never read); new parts are
+    content-named and atomically renamed, so a crashed fold re-runs
+    idempotently; the manifest update is the LAST write."""
+    man, cents = _load_centroids(index_dir)
+    id_col, vec_col = man["id_col"], man["vec_col"]
+    cents_ref = ray.put(cents)
+    vec_root = os.path.join(index_dir, "vectors")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.schema(
+                [("bucket", pa.int64()), (id_col, pa.int64()),
+                 (vec_col, pa.large_list(pa.float32()))]
+            ).empty_table()
+        c = ray.get(cents_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        a = np.argmax(m @ c.T, axis=1).astype(I64)
+        return pa.table(
+            {
+                "bucket": pa.array(a),
+                id_col: batch.column(id_col),
+                vec_col: batch.column(vec_col),
+            }
+        )
+
+    def fold_bucket_group(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("bucket", pa.int64()), ("n", pa.int64()), ("skipped", pa.int64())]
+        )
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        b = t.column("bucket").to_numpy(zero_copy_only=False).astype(I64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(I64)
+        order = np.lexsort((ids, b))
+        taken = t.take(pa.array(order))
+        bs, iss = b[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        ends = np.r_[starts[1:], bs.shape[0]]
+        out = []
+        for lo, hi in zip(starts, ends):
+            bk = int(bs[lo])
+            d = os.path.join(vec_root, f"bucket={bk}")
+            present = np.empty(0, dtype=I64)
+            have = sorted(glob.glob(os.path.join(d, "*.parquet")))
+            if have:
+                present = np.sort(
+                    np.concatenate(
+                        [
+                            pq.read_table(f, columns=[id_col])
+                            .column(id_col)
+                            .to_numpy(zero_copy_only=False)
+                            .astype(I64)
+                            for f in have
+                        ]
+                    )
+                )
+            sub = taken.slice(lo, hi - lo)
+            sids = iss[lo:hi]
+            if present.shape[0]:
+                pos = np.minimum(
+                    np.searchsorted(present, sids), present.shape[0] - 1
+                )
+                keep = present[pos] != sids
+                skipped = int((~keep).sum())
+                if skipped:
+                    sub = sub.filter(pa.array(keep))
+                    sids = sids[keep]
+            else:
+                skipped = 0
+            if sub.num_rows:
+                os.makedirs(d, exist_ok=True)
+                key = hashlib.sha256(sids.tobytes()).hexdigest()[:16]
+                path = os.path.join(d, f"part-{key}-{sub.num_rows}.parquet")
+                tmp = path + f".tmp{os.getpid()}"
+                pq.write_table(sub, tmp)
+                os.replace(tmp, path)
+            out.append((bk, int(sub.num_rows), skipped))
+        return pa.table(
+            {
+                "bucket": pa.array([o[0] for o in out], pa.int64()),
+                "n": pa.array([o[1] for o in out], pa.int64()),
+                "skipped": pa.array([o[2] for o in out], pa.int64()),
+            }
+        )
+
+    from raydedup.stages.exchange import hash_exchange_apply
+
+    assigned = new_embeddings.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+    counts = hash_exchange_apply(assigned, "bucket", fold_bucket_group)
+    counts = counts.to_pandas() if hasattr(counts, "to_pandas") else counts
+    added = skipped = 0
+    if len(counts) and "bucket" in counts.columns:
+        added = int(counts["n"].sum())
+        skipped = int(counts["skipped"].sum())
+        bc = dict(man["bucket_counts"])
+        for b, n in counts.groupby("bucket")["n"].sum().items():
+            bc[str(int(b))] = bc.get(str(int(b)), 0) + int(n)
+        man["bucket_counts"] = {k: v for k, v in sorted(bc.items())}
+        man["n_vectors"] = int(sum(bc.values()))
+    man_path = os.path.join(index_dir, MANIFEST)
+    tmp = man_path + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(man, f, sort_keys=True, indent=1)
+    os.replace(tmp, man_path)
+    return {"added": added, "skipped": skipped, "n_vectors": man["n_vectors"]}
+
+
 def _load_centroids(index_dir: str) -> tuple[dict, np.ndarray]:
     man = json.load(open(os.path.join(index_dir, MANIFEST)))
     ct = pq.read_table(os.path.join(index_dir, "centroids.parquet"))

@@ -131,3 +131,46 @@ def test_config_guard_and_crash_rebuild(ray_session, tmp_path):
     Q = m[:5].astype(np.float64)
     got = query_emb_index(d, Q, k=3, n_probe=None)
     assert len(got) == 15
+
+
+def test_add_shard_frozen_centroids(ray_session, tmp_path):
+    """add_to_emb_index: frozen-centroid fold — the folded index's
+    exact search equals brute force over the UNION; re-folding the same
+    shard is a no-op (anti-join on present ids); manifest counts stay
+    exact."""
+    from raydedup.pipelines.embindex import add_to_emb_index
+    from raydedup.stages.ann import knn_cosine_batch
+
+    t, m, _ = _clustered(n_clusters=6, per=20, seed=21)
+    d, man0 = _build(tmp_path, t, n_centroids=6)
+
+    rng = np.random.Generator(np.random.PCG64(77))
+    new = rng.normal(size=(50, m.shape[1])).astype(np.float32)
+    nt = pa.table(
+        {
+            "vec_id": pa.array(np.arange(5000, 5050, dtype=np.int64)),
+            "embedding": pa.array([v.tolist() for v in new], pa.list_(pa.float32())),
+        }
+    )
+    info = add_to_emb_index(d, rd.from_arrow(nt).repartition(3))
+    assert info["added"] == 50 and info["skipped"] == 0
+    assert info["n_vectors"] == man0["n_vectors"] + 50
+
+    # exact search over the folded index == brute force over the union
+    union = pa.concat_tables([t, nt])
+    Q = np.vstack([m[:5], new[:5]]).astype(np.float64)
+    qids = np.arange(10, dtype=np.int64)
+    got = query_emb_index(d, Q, query_ids=qids, k=4, n_probe=None)
+    ref = knn_cosine_batch(rd.from_arrow(union), Q, query_ids=qids, k=4).rename(
+        columns={"query_id": "q"}
+    )
+    a = got.sort_values(["q", "rank"]).reset_index(drop=True)
+    b = ref.sort_values(["q", "rank"]).reset_index(drop=True)
+    assert a[["q", "vec_id", "rank"]].equals(b[["q", "vec_id", "rank"]])
+
+    # idempotent re-fold: every id already present
+    again = add_to_emb_index(d, rd.from_arrow(nt))
+    assert again["added"] == 0 and again["skipped"] == 50
+    assert again["n_vectors"] == info["n_vectors"]
+    man = json.load(open(os.path.join(d, MANIFEST)))
+    assert sum(man["bucket_counts"].values()) == info["n_vectors"]
