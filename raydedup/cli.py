@@ -1101,6 +1101,16 @@ def cmd_embadd(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_embcompact(args: argparse.Namespace) -> int:
+    """Merge each embedding-index partition's accumulated fold parts
+    back to one file (index maintenance)."""
+    _init_ray()
+    from raydedup.pipelines.embindex import compact_emb_index
+
+    print(json.dumps(compact_emb_index(args.index)))
+    return 0
+
+
 def cmd_embquery(args: argparse.Namespace) -> int:
     """Top-k cosine matches from a persisted embedding index; query
     vectors come from an embeddings parquet (all rows, or --limit)."""
@@ -1475,6 +1485,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("index")
     s.add_argument("embeddings")
     s.set_defaults(fn=cmd_embadd)
+
+    s = sub.add_parser("embcompact", help="merge an embedding index's fold parts")
+    s.add_argument("index")
+    s.set_defaults(fn=cmd_embcompact)
 
     s = sub.add_parser("embquery", help="top-k cosine matches from an embedding index")
     s.add_argument("index")

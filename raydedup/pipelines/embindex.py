@@ -286,6 +286,55 @@ def add_to_emb_index(
     return {"added": added, "skipped": skipped, "n_vectors": man["n_vectors"]}
 
 
+def compact_emb_index(index_dir: str) -> dict:
+    """Merge each bucket's accumulated parts (from repeated
+    ``add_to_emb_index`` folds) back to ONE file per partition — the
+    index-maintenance pass (reference analog: the KV store's periodic
+    compaction). Runs as one Ray task per multi-part bucket; each task
+    writes the merged file THEN removes the parts it merged (a crash in
+    between leaves the merged file plus originals — the id-sorted merge
+    is deterministic and the anti-join in ``add_to_emb_index`` keeps
+    duplicates from ever re-entering, so re-running compaction
+    converges). Single-part buckets are untouched."""
+    man, _ = _load_centroids(index_dir)
+    id_col = man["id_col"]
+    vec_root = os.path.join(index_dir, "vectors")
+
+    @ray.remote
+    def compact_bucket(d: str) -> tuple[int, int]:
+        parts = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        if len(parts) < 2:
+            return 0, 0
+        t = pa.concat_tables([pq.read_table(f) for f in parts])
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(I64)
+        # dedup by id (belt: a crash between merge and unlink can leave
+        # a merged file alongside its sources) then sort for determinism
+        order = np.argsort(ids, kind="stable")
+        ids_s = ids[order]
+        keep = np.r_[True, ids_s[1:] != ids_s[:-1]]
+        t = t.take(pa.array(order[keep]))
+        sids = t.column(id_col).to_numpy(zero_copy_only=False)
+        key = hashlib.sha256(sids.tobytes()).hexdigest()[:16]
+        path = os.path.join(d, f"part-{key}-{t.num_rows}.parquet")
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        for f in parts:
+            if f != path:
+                os.remove(f)
+        return len(parts), 1
+
+    dirs = sorted(glob.glob(os.path.join(vec_root, "bucket=*")))
+    results = ray.get([compact_bucket.remote(d) for d in dirs])
+    merged_parts = sum(r[0] for r in results)
+    compacted = sum(r[1] for r in results)
+    return {
+        "buckets": len(dirs),
+        "buckets_compacted": compacted,
+        "parts_merged": merged_parts,
+    }
+
+
 def _load_centroids(index_dir: str) -> tuple[dict, np.ndarray]:
     man = json.load(open(os.path.join(index_dir, MANIFEST)))
     ct = pq.read_table(os.path.join(index_dir, "centroids.parquet"))

