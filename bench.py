@@ -240,6 +240,26 @@ def run_bench() -> dict:
     timed("host_line_trim_sf", lambda: q["host_line_trim"](SF_DIR))
     timed("temperature_sample_sf", lambda: q["temperature_sample"](SF_DIR))
     timed("stitch_pairs_sf", lambda: q["stitch_pairs"](SF_DIR))
+    # persisted IVF embedding index: build + probed query over the sf dir
+    def _embindex_bench():
+        import shutil
+
+        import numpy as np
+        import ray.data as _rd
+
+        from raydedup.pipelines.embindex import build_emb_index, query_emb_index
+
+        shutil.rmtree("/tmp/raydedup_bench_embidx", ignore_errors=True)
+        emb = _rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        build_emb_index(emb, "/tmp/raydedup_bench_embidx")
+        qdf = emb.to_pandas().sort_values("vec_id").head(32)
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+        query_emb_index(
+            "/tmp/raydedup_bench_embidx", Q,
+            query_ids=qdf["vec_id"].to_numpy(), k=10, n_probe=4,
+        )
+
+    timed("emb_index_build_query_sf", _embindex_bench)
     timed("semdedup_sf", lambda: q["semdedup"](SF_DIR))
     timed("dsir_weights_sf", lambda: q["dsir_weights"](SF_DIR))
     timed("nb_classify_sf", lambda: q["nb_classify"](SF_DIR))
