@@ -46,45 +46,9 @@ I64 = np.int64
 MANIFEST = "manifest.json"
 
 
-def build_emb_index(
-    embeddings: Dataset,
-    index_dir: str,
-    *,
-    n_centroids: int | None = None,
-    rounds: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> dict:
-    """Build (or rebuild) the index; returns the manifest dict. An
-    existing COMPLETE index (manifest present) is left untouched unless
-    the requested config differs — delete the dir to force a rebuild."""
-    man_path = os.path.join(index_dir, MANIFEST)
-    cents = train_centroids(
-        embeddings, n_centroids=n_centroids, rounds=rounds,
-        id_col=id_col, vec_col=vec_col,
-    )
-    k, dim = cents.shape
-    if os.path.exists(man_path):
-        old = json.load(open(man_path))
-        if old.get("n_centroids") == k and old.get("rounds") == rounds:
-            return old
-        raise FileExistsError(
-            f"{index_dir} holds a complete index with different config "
-            f"({old.get('n_centroids')} centroids); delete it to rebuild"
-        )
-    os.makedirs(os.path.join(index_dir, "vectors"), exist_ok=True)
-    pq.write_table(
-        pa.table(
-            {
-                "cid": pa.array(np.arange(k, dtype=I64)),
-                "centroid": pa.array(list(cents), type=pa.list_(pa.float64())),
-            }
-        ),
-        os.path.join(index_dir, "centroids.parquet"),
-    )
-
-    cents_ref = ray.put(cents)
-    vec_root = os.path.join(index_dir, "vectors")
+def _make_assign(cents_ref, id_col: str, vec_col: str):
+    """Shared centroid-assignment map kernel (build + fold): adds the
+    ``bucket`` column from the broadcast centroid matrix."""
 
     def assign(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or batch.num_columns == 0:
@@ -103,12 +67,67 @@ def build_emb_index(
             }
         )
 
+    return assign
+
+
+def build_emb_index(
+    embeddings: Dataset,
+    index_dir: str,
+    *,
+    n_centroids: int | None = None,
+    rounds: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build (or rebuild) the index; returns the manifest dict. An
+    existing COMPLETE index (manifest present) is left untouched unless
+    the requested config differs — delete the dir to force a rebuild.
+    Input vec_ids must be unique (the canonical identity contract);
+    duplicate ids WITHIN a shard are deduped per bucket as a belt.
+    The no-op/guard check runs BEFORE k-means, so re-invoking on a
+    complete index is metadata-only."""
+    man_path = os.path.join(index_dir, MANIFEST)
+    if os.path.exists(man_path):
+        old = json.load(open(man_path))
+        if (
+            n_centroids in (None, old.get("n_centroids"))
+            and rounds == old.get("rounds")
+        ):
+            return old
+        raise FileExistsError(
+            f"{index_dir} holds a complete index with different config "
+            f"({old.get('n_centroids')} centroids, {old.get('rounds')} "
+            f"rounds); delete it to rebuild"
+        )
+    cents = train_centroids(
+        embeddings, n_centroids=n_centroids, rounds=rounds,
+        id_col=id_col, vec_col=vec_col,
+    )
+    k, dim = cents.shape
+    os.makedirs(os.path.join(index_dir, "vectors"), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "cid": pa.array(np.arange(k, dtype=I64)),
+                "centroid": pa.array(list(cents), type=pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(index_dir, "centroids.parquet"),
+    )
+
+    cents_ref = ray.put(cents)
+    vec_root = os.path.join(index_dir, "vectors")
+
     def write_bucket_group(t: pa.Table) -> pa.Table:
         """One exchange bucket (several centroid buckets) -> ONE parquet
         file per centroid bucket: at 10^6 centroids this writes exactly
         one file each, never a per-batch spray of KB-sized parts (the
         per-(batch, bucket) variant measured 32,000 files at 1M x 1000
-        — query reads became task-bound)."""
+        — query reads became task-bound). Each bucket dir is CLEARED
+        before its write: a crashed earlier build attempt may have left
+        parts under different content names (centroid floats can drift
+        in the last ulp across differently-partitioned retrains), and
+        serving both would duplicate vectors."""
         schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
         if t.num_rows == 0 or t.num_columns == 0:
             return schema.empty_table()
@@ -116,7 +135,13 @@ def build_emb_index(
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(I64)
         order = np.lexsort((ids, b))
         taken = t.take(pa.array(order))
-        bs = b[order]
+        bs, iss = b[order], ids[order]
+        # belt: dedup duplicate ids within the build input (keep first)
+        dup = np.r_[False, (bs[1:] == bs[:-1]) & (iss[1:] == iss[:-1])]
+        if dup.any():
+            keep = ~dup
+            taken = taken.filter(pa.array(keep))
+            bs, iss = bs[keep], iss[keep]
         starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
         ends = np.r_[starts[1:], bs.shape[0]]
         out_b, out_n = [], []
@@ -125,14 +150,16 @@ def build_emb_index(
             bk = int(bs[lo])
             d = os.path.join(vec_root, f"bucket={bk}")
             os.makedirs(d, exist_ok=True)
+            for stale in glob.glob(os.path.join(d, "*.parquet")):
+                os.remove(stale)
             sids = sub.column(id_col).to_numpy(zero_copy_only=False)
             key = hashlib.sha256(sids.tobytes()).hexdigest()[:16]
-            path = os.path.join(d, f"part-{key}-{hi - lo}.parquet")
+            path = os.path.join(d, f"part-{key}-{sub.num_rows}.parquet")
             tmp = path + f".tmp{os.getpid()}"
             pq.write_table(sub, tmp)
             os.replace(tmp, path)
             out_b.append(bk)
-            out_n.append(int(hi - lo))
+            out_n.append(int(sub.num_rows))
         return pa.table(
             {"bucket": pa.array(out_b, pa.int64()), "n": pa.array(out_n, pa.int64())}
         )
@@ -140,7 +167,7 @@ def build_emb_index(
     from raydedup.stages.exchange import hash_exchange_apply
 
     assigned = embeddings.select_columns([id_col, vec_col]).map_batches(
-        assign, batch_format="pyarrow"
+        _make_assign(cents_ref, id_col, vec_col), batch_format="pyarrow"
     )
     counts = hash_exchange_apply(assigned, "bucket", write_bucket_group)
     counts = counts.to_pandas() if hasattr(counts, "to_pandas") else counts
@@ -149,6 +176,17 @@ def build_emb_index(
         if len(counts) and "bucket" in counts.columns
         else {}
     )
+    # prune bucket dirs a crashed earlier attempt created but this build
+    # did not touch (their vectors belong to other buckets now)
+    for d in glob.glob(os.path.join(vec_root, "bucket=*")):
+        try:
+            bk = int(os.path.basename(d).split("=", 1)[1])
+        except ValueError:
+            continue
+        if bk not in bucket_counts:
+            for f in glob.glob(os.path.join(d, "*")):
+                os.remove(f)
+            os.rmdir(d)
     manifest = {
         "version": 1,
         "n_vectors": int(sum(bucket_counts.values())),
@@ -179,32 +217,21 @@ def add_to_emb_index(
     partitions the new vectors map to (pruned, column-projected — the
     id set of untouched buckets is never read); new parts are
     content-named and atomically renamed, so a crashed fold re-runs
-    idempotently; the manifest update is the LAST write."""
+    idempotently; the manifest update is the LAST write, and every
+    TOUCHED bucket's count is re-derived from its on-disk parquet
+    footers — so re-running a fold that crashed before its manifest
+    write heals the counts instead of freezing the undercount in
+    (review finding). Duplicate vec_ids WITHIN the incoming shard are
+    deduped (keep smallest-id row first by sort order)."""
     man, cents = _load_centroids(index_dir)
     id_col, vec_col = man["id_col"], man["vec_col"]
     cents_ref = ray.put(cents)
     vec_root = os.path.join(index_dir, "vectors")
 
-    def assign(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or batch.num_columns == 0:
-            return pa.schema(
-                [("bucket", pa.int64()), (id_col, pa.int64()),
-                 (vec_col, pa.large_list(pa.float32()))]
-            ).empty_table()
-        c = ray.get(cents_ref)
-        m = _normalize(_batch_matrix(batch, vec_col))
-        a = np.argmax(m @ c.T, axis=1).astype(I64)
-        return pa.table(
-            {
-                "bucket": pa.array(a),
-                id_col: batch.column(id_col),
-                vec_col: batch.column(vec_col),
-            }
-        )
-
     def fold_bucket_group(t: pa.Table) -> pa.Table:
         schema = pa.schema(
-            [("bucket", pa.int64()), ("n", pa.int64()), ("skipped", pa.int64())]
+            [("bucket", pa.int64()), ("n_disk", pa.int64()),
+             ("added", pa.int64()), ("skipped", pa.int64())]
         )
         if t.num_rows == 0 or t.num_columns == 0:
             return schema.empty_table()
@@ -213,6 +240,13 @@ def add_to_emb_index(
         order = np.lexsort((ids, b))
         taken = t.take(pa.array(order))
         bs, iss = b[order], ids[order]
+        # in-shard duplicate ids: keep the first of each (bucket, id) run
+        dup = np.r_[False, (bs[1:] == bs[:-1]) & (iss[1:] == iss[:-1])]
+        n_dup_in_shard = int(dup.sum())
+        if n_dup_in_shard:
+            keepm = ~dup
+            taken = taken.filter(pa.array(keepm))
+            bs, iss = bs[keepm], iss[keepm]
         starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
         ends = np.r_[starts[1:], bs.shape[0]]
         out = []
@@ -221,7 +255,9 @@ def add_to_emb_index(
             d = os.path.join(vec_root, f"bucket={bk}")
             present = np.empty(0, dtype=I64)
             have = sorted(glob.glob(os.path.join(d, "*.parquet")))
+            n_disk_before = 0
             if have:
+                n_disk_before = sum(pq.read_metadata(f).num_rows for f in have)
                 present = np.sort(
                     np.concatenate(
                         [
@@ -235,6 +271,7 @@ def add_to_emb_index(
                 )
             sub = taken.slice(lo, hi - lo)
             sids = iss[lo:hi]
+            skipped = 0
             if present.shape[0]:
                 pos = np.minimum(
                     np.searchsorted(present, sids), present.shape[0] - 1
@@ -244,8 +281,6 @@ def add_to_emb_index(
                 if skipped:
                     sub = sub.filter(pa.array(keep))
                     sids = sids[keep]
-            else:
-                skipped = 0
             if sub.num_rows:
                 os.makedirs(d, exist_ok=True)
                 key = hashlib.sha256(sids.tobytes()).hexdigest()[:16]
@@ -253,29 +288,33 @@ def add_to_emb_index(
                 tmp = path + f".tmp{os.getpid()}"
                 pq.write_table(sub, tmp)
                 os.replace(tmp, path)
-            out.append((bk, int(sub.num_rows), skipped))
+            out.append(
+                (bk, n_disk_before + int(sub.num_rows), int(sub.num_rows), skipped)
+            )
         return pa.table(
             {
                 "bucket": pa.array([o[0] for o in out], pa.int64()),
-                "n": pa.array([o[1] for o in out], pa.int64()),
-                "skipped": pa.array([o[2] for o in out], pa.int64()),
+                "n_disk": pa.array([o[1] for o in out], pa.int64()),
+                "added": pa.array([o[2] for o in out], pa.int64()),
+                "skipped": pa.array([o[3] for o in out], pa.int64()),
             }
         )
 
     from raydedup.stages.exchange import hash_exchange_apply
 
     assigned = new_embeddings.select_columns([id_col, vec_col]).map_batches(
-        assign, batch_format="pyarrow"
+        _make_assign(cents_ref, id_col, vec_col), batch_format="pyarrow"
     )
     counts = hash_exchange_apply(assigned, "bucket", fold_bucket_group)
     counts = counts.to_pandas() if hasattr(counts, "to_pandas") else counts
     added = skipped = 0
     if len(counts) and "bucket" in counts.columns:
-        added = int(counts["n"].sum())
+        added = int(counts["added"].sum())
         skipped = int(counts["skipped"].sum())
         bc = dict(man["bucket_counts"])
-        for b, n in counts.groupby("bucket")["n"].sum().items():
-            bc[str(int(b))] = bc.get(str(int(b)), 0) + int(n)
+        # touched buckets: counts come from DISK, not increments
+        for b, n in counts.groupby("bucket")["n_disk"].sum().items():
+            bc[str(int(b))] = int(n)
         man["bucket_counts"] = {k: v for k, v in sorted(bc.items())}
         man["n_vectors"] = int(sum(bc.values()))
     man_path = os.path.join(index_dir, MANIFEST)
@@ -328,10 +367,30 @@ def compact_emb_index(index_dir: str) -> dict:
     results = ray.get([compact_bucket.remote(d) for d in dirs])
     merged_parts = sum(r[0] for r in results)
     compacted = sum(r[1] for r in results)
+    # compaction visits every partition anyway: re-derive the manifest
+    # counts from the on-disk parquet footers, healing any drift a
+    # crashed fold left behind (the full-index repair pass)
+    bc = {}
+    for d in dirs:
+        bk = os.path.basename(d).split("=", 1)[1]
+        n = sum(
+            pq.read_metadata(f).num_rows
+            for f in glob.glob(os.path.join(d, "*.parquet"))
+        )
+        if n:
+            bc[bk] = int(n)
+    man["bucket_counts"] = {k: v for k, v in sorted(bc.items())}
+    man["n_vectors"] = int(sum(bc.values()))
+    man_path = os.path.join(index_dir, MANIFEST)
+    tmp = man_path + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(man, f, sort_keys=True, indent=1)
+    os.replace(tmp, man_path)
     return {
         "buckets": len(dirs),
         "buckets_compacted": compacted,
         "parts_merged": merged_parts,
+        "n_vectors": man["n_vectors"],
     }
 
 
@@ -357,6 +416,16 @@ def query_emb_index(
     convention. Reads ONLY the probed bucket partitions."""
     man, cents = _load_centroids(index_dir)
     id_col, vec_col = man["id_col"], man["vec_col"]
+    empty_q = pd.DataFrame(
+        {
+            "q": pd.Series(dtype="int64"),
+            "vec_id": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+            "rank": pd.Series(dtype="int64"),
+        }
+    )
+    if len(queries) == 0:
+        return empty_q
     qn = _normalize(np.asarray(queries, dtype=np.float64).reshape(len(queries), -1))
     nq = qn.shape[0]
     qids = (
@@ -397,22 +466,24 @@ def query_emb_index(
                  "vec_id": pa.array([], pa.int64()),
                  "cosine": pa.array([], pa.float64())}
             )
+        from raydedup.stages.ann import topk_boundary_mask
+
         q, allow = ray.get(bc)
         m = _normalize(_batch_matrix(batch, vec_col))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(I64)
         bkt = batch.column("bucket").to_numpy(zero_copy_only=False).astype(I64)
         sims = m @ q.T  # (rows, nq)
         sims = np.where(allow[:, bkt].T, sims, -np.inf)
-        take = min(k, sims.shape[0])
-        idx = np.argpartition(-sims, take - 1, axis=0)[:take]  # (take, nq)
-        qi = np.repeat(np.arange(q.shape[0], dtype=I64)[None, :], take, axis=0)
-        svals = sims[idx, np.arange(q.shape[0])[None, :]]
-        keep = np.isfinite(svals.ravel())
+        # tie-safe local cut: boundary ties ALL survive to the driver
+        # merge (argpartition alone kept an arbitrary tied subset —
+        # review finding); -inf rows (probe-masked) never pass
+        mask = topk_boundary_mask(sims, k, axis=0) & np.isfinite(sims)
+        rows, qcols = np.nonzero(mask)
         return pa.table(
             {
-                "qi": pa.array(qi.ravel()[keep]),
-                "vec_id": pa.array(ids[idx.ravel()][keep]),
-                "cosine": pa.array(svals.ravel()[keep], pa.float64()),
+                "qi": pa.array(qcols.astype(I64)),
+                "vec_id": pa.array(ids[rows]),
+                "cosine": pa.array(sims[rows, qcols], pa.float64()),
             }
         )
 

@@ -39,6 +39,23 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(norms, 1e-12)
 
 
+def topk_boundary_mask(sims: np.ndarray, k: int, axis: int = 0) -> np.ndarray:
+    """Boolean mask keeping every element that TIES OR BEATS the k-th
+    largest along ``axis`` — the tie-safe local top-k cut. A bare
+    argpartition keeps an arbitrary subset of boundary ties, so with
+    exact-duplicate embeddings (the norm in a dedup corpus) the driver
+    merge's documented (cosine DESC, id ASC) tie-break would act on a
+    partition-layout-dependent candidate set (review finding). The mask
+    admits k + boundary-tie elements; the driver merge applies the
+    final deterministic order and head(k)."""
+    n = sims.shape[axis]
+    take = min(k, n)
+    if take == 0:
+        return np.zeros_like(sims, dtype=bool)
+    kth = np.partition(sims, n - take, axis=axis).take(n - take, axis=axis)
+    return sims >= (np.expand_dims(kth, axis) if sims.ndim == 2 else kth)
+
+
 def knn_cosine_bruteforce(
     embeddings: Dataset,
     query: np.ndarray,
@@ -57,8 +74,7 @@ def knn_cosine_bruteforce(
         m = _normalize(_batch_matrix(batch, vec_col))
         sims = (m @ q.T).ravel()
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        take = min(k, sims.shape[0])
-        idx = np.argpartition(-sims, take - 1)[:take]
+        idx = np.flatnonzero(topk_boundary_mask(sims, k))
         return pa.table(
             {
                 id_col: pa.array(ids[idx]),
@@ -103,13 +119,10 @@ def knn_cosine_batch(
         m = _normalize(_batch_matrix(batch, vec_col))
         sims = qq @ m.T  # (Q, batch)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        take = min(k, sims.shape[1])
-        part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
-        rowq = np.repeat(np.arange(qq.shape[0], dtype=np.int64), take)
-        cols = part.ravel()
+        rowq, cols = np.nonzero(topk_boundary_mask(sims, k, axis=1))
         return pa.table(
             {
-                "qi": pa.array(rowq, type=pa.int64()),
+                "qi": pa.array(rowq.astype(np.int64), type=pa.int64()),
                 id_col: pa.array(ids[cols]),
                 "cosine": pa.array(
                     sims[rowq, cols].astype(np.float64), type=pa.float64()
@@ -255,10 +268,9 @@ def knn_cosine_ivf(
         mask = np.isin(assign, pr)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)[mask]
         sims = (m[mask] @ q.T).ravel()
-        take = min(k, sims.shape[0])
-        if take == 0:
+        if sims.shape[0] == 0:
             return pa.table({id_col: pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
-        idx = np.argpartition(-sims, take - 1)[:take]
+        idx = np.flatnonzero(topk_boundary_mask(sims, k))
         return pa.table(
             {
                 id_col: pa.array(ids[idx]),
@@ -465,10 +477,9 @@ def knn_cosine_lsh(
                 mask |= hamming64(codes, np.full_like(codes, qc[t])) <= probe_radius
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)[mask]
         sims = (m[mask] @ q.T).ravel()
-        take = min(k, sims.shape[0])
-        if take == 0:
+        if sims.shape[0] == 0:
             return pa.table({id_col: pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
-        idx = np.argpartition(-sims, take - 1)[:take]
+        idx = np.flatnonzero(topk_boundary_mask(sims, k))
         return pa.table(
             {
                 id_col: pa.array(ids[idx]),

@@ -214,3 +214,97 @@ def test_compact_merges_parts_and_preserves_results(ray_session, tmp_path):
     # idempotent: second compaction is a no-op
     again = compact_emb_index(d)
     assert again["buckets_compacted"] == 0
+
+
+def test_tie_break_at_k_boundary_is_exact(ray_session, tmp_path):
+    """Exact-duplicate vectors tied at the k-boundary must resolve by
+    smallest vec_id regardless of partition layout (tie-safe local
+    top-k, review finding)."""
+    from raydedup.stages.ann import knn_cosine_batch
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    base = rng.normal(size=(10, 16)).astype(np.float32)
+    v = rng.normal(size=16).astype(np.float32)
+    # ids 100..105 all hold the IDENTICAL vector v (cosine 1.0 to v)
+    vecs = np.vstack([base, np.tile(v, (6, 1))])
+    ids = np.r_[np.arange(10), np.arange(100, 106)]
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "embedding": pa.array([x.tolist() for x in vecs], pa.list_(pa.float32())),
+        }
+    )
+    d = str(tmp_path / "tieidx")
+    build_emb_index(rd.from_arrow(t).repartition(6), d, n_centroids=4)
+    for parts in (1, 3, 7):
+        build = rd.from_arrow(t).repartition(parts)
+        got = query_emb_index(d, v.reshape(1, -1).astype(np.float64), k=3, n_probe=None)
+        # the three smallest tied ids win, in id order
+        assert got["vec_id"].tolist() == [100, 101, 102], got
+        ref = knn_cosine_batch(build, v.reshape(1, -1).astype(np.float64), k=3)
+        assert ref["vec_id"].tolist() == [100, 101, 102], ref
+
+
+def test_empty_query_array(ray_session, tmp_path):
+    t, m, _ = _clustered(seed=2)
+    d, _ = _build(tmp_path, t, n_centroids=4)
+    out = query_emb_index(d, np.empty((0, m.shape[1])), k=3)
+    assert len(out) == 0
+    assert list(out.columns) == ["q", "vec_id", "cosine", "rank"]
+
+
+def test_fold_crash_heals_manifest_counts(ray_session, tmp_path):
+    """A fold that crashed before its manifest write leaves live parts;
+    re-running the SAME fold re-derives touched-bucket counts from disk
+    (no permanent undercount), and compaction repairs the whole index."""
+    from raydedup.pipelines.embindex import add_to_emb_index, compact_emb_index
+
+    t, m, _ = _clustered(n_clusters=4, per=10, seed=41)
+    d, man0 = _build(tmp_path, t, n_centroids=4)
+    rng = np.random.Generator(np.random.PCG64(6))
+    new = rng.normal(size=(12, m.shape[1])).astype(np.float32)
+    nt = pa.table(
+        {
+            "vec_id": pa.array(np.arange(7000, 7012, dtype=np.int64)),
+            "embedding": pa.array([v.tolist() for v in new], pa.list_(pa.float32())),
+        }
+    )
+    # simulate the crash: run the fold, then restore the OLD manifest
+    # (parts live, counts stale)
+    man_path = os.path.join(d, MANIFEST)
+    old_manifest = open(man_path).read()
+    add_to_emb_index(d, rd.from_arrow(nt))
+    with open(man_path, "w") as f:
+        f.write(old_manifest)
+    # re-running the same fold: adds nothing, but heals the counts
+    info = add_to_emb_index(d, rd.from_arrow(nt))
+    assert info["added"] == 0 and info["skipped"] == 12
+    assert info["n_vectors"] == man0["n_vectors"] + 12
+    # and compaction independently re-derives the full manifest
+    with open(man_path, "w") as f:
+        f.write(old_manifest)
+    cinfo = compact_emb_index(d)
+    assert cinfo["n_vectors"] == man0["n_vectors"] + 12
+
+
+def test_duplicate_ids_within_shard_deduped(ray_session, tmp_path):
+    from raydedup.pipelines.embindex import add_to_emb_index
+
+    t, m, _ = _clustered(n_clusters=4, per=10, seed=51)
+    d, man0 = _build(tmp_path, t, n_centroids=4)
+    rng = np.random.Generator(np.random.PCG64(4))
+    v = rng.normal(size=(1, m.shape[1])).astype(np.float32)
+    nt = pa.table(
+        {
+            "vec_id": pa.array(np.array([8000, 8000], dtype=np.int64)),
+            "embedding": pa.array(
+                [v[0].tolist(), v[0].tolist()], pa.list_(pa.float32())
+            ),
+        }
+    )
+    info = add_to_emb_index(d, rd.from_arrow(nt))
+    assert info["added"] == 1
+    assert info["n_vectors"] == man0["n_vectors"] + 1
+    got = query_emb_index(d, v.astype(np.float64), k=2, n_probe=None)
+    assert got["vec_id"].tolist()[0] == 8000
+    assert (got["vec_id"] == 8000).sum() == 1  # stored once
