@@ -545,3 +545,36 @@ def test_semdedup_bucket_kernel_matches_naive(data):
         ]
         assert int(out.loc[int(ids[i]), "keep"]) == (0 if hits else 1)
         assert int(out.loc[int(ids[i]), "dup_of"]) == (min(hits) if hits else -1)
+
+
+@given(st.data())
+@settings(max_examples=50, deadline=None)
+def test_topk_boundary_mask_tie_semantics(data):
+    """The tie-safe local top-k cut: admits at least min(k, n) elements,
+    every admitted value >= every rejected value, and every element
+    EQUAL to the k-th largest is admitted (no arbitrary tie subset)."""
+    from raydedup.stages.ann import topk_boundary_mask
+
+    n = data.draw(st.integers(min_value=1, max_value=60))
+    k = data.draw(st.integers(min_value=1, max_value=70))
+    # small value alphabet -> dense ties
+    vals = np.array(
+        data.draw(
+            st.lists(
+                st.sampled_from([-1.0, 0.0, 0.5, 0.5, 1.0]),
+                min_size=n, max_size=n,
+            )
+        )
+    )
+    mask = topk_boundary_mask(vals, k)
+    assert mask.sum() >= min(k, n)
+    if mask.any() and (~mask).any():
+        assert vals[mask].min() >= vals[~mask].max()
+    take = min(k, n)
+    kth = np.sort(vals)[::-1][take - 1]
+    assert mask[vals == kth].all()
+    # 2-D variant agrees column-by-column
+    m2 = np.stack([vals, vals[::-1]], axis=1)
+    mm = topk_boundary_mask(m2, k, axis=0)
+    np.testing.assert_array_equal(mm[:, 0], topk_boundary_mask(vals, k))
+    np.testing.assert_array_equal(mm[:, 1], topk_boundary_mask(vals[::-1], k))
