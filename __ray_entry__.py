@@ -1111,6 +1111,70 @@ def _q_curate_pack(sf_dir: str):
     return pack_sequences(kept_docs, budget=2048, n_buckets=16).to_pandas()
 
 
+def _q_media_audio_frames(sf_dir: str):
+    """REAL audio decode, oracle-verified end-to-end: a PCM16 WAV per
+    doc whose samples derive from the shared splitmix64 mirror
+    (stages/multimodal.py synthetic_wav_media_table), decoded by the
+    vendored RIFF parser (stages/wavcodec.py) and framed into exact
+    integer features (n, sum_sq, peak, zero_crossings). The SQL mirror
+    regenerates the identical samples WITHOUT parsing WAV bytes, so a
+    hash match proves the decoder itself — the audio ST5 gap closed the
+    way stages/png.py closed the image one."""
+    import ray.data as rd
+
+    from raydedup.stages.multimodal import audio_frames, synthetic_wav_media_table
+
+    ids = (
+        _read(sf_dir, "documents")
+        .select_columns(["doc_id"])
+        .to_pandas()["doc_id"]
+        .to_numpy()
+    )
+    media = synthetic_wav_media_table(np.sort(ids))
+    df = audio_frames(
+        rd.from_arrow(media), frame=256, concurrency=2, batch_size=32
+    ).to_pandas()
+    return df.sort_values(["media_id", "frame"]).reset_index(drop=True)
+
+
+def q_media_audio_frames_sql():
+    """Mirror: regenerate s_j = (mix64(658704 + doc_id*2^20 + j) & 0xFFFF)
+    - 32768 for j < doc_id % 769 + 256 and aggregate 256-sample frames;
+    zero crossings via frame-local lag."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % 769 + 256 AS BIGINT) AS ns FROM documents
+),
+idx AS (
+  SELECT doc_id, CAST(unnest(range(ns)) AS BIGINT) AS j FROM base
+),
+raw AS (
+  SELECT doc_id, j,
+         CAST(658704 + doc_id * 1048576 + j AS UBIGINT) AS gx
+  FROM idx
+),
+mixed AS (SELECT doc_id, j, {mix64_cols('gx', 'g')} FROM raw),
+samp AS (
+  SELECT doc_id, j,
+         CAST(g & 65535::UBIGINT AS BIGINT) - 32768 AS s
+  FROM mixed
+),
+fr AS (
+  SELECT doc_id, j // 256 AS frame, s,
+         lag(s) OVER (PARTITION BY doc_id, j // 256 ORDER BY j) AS prev
+  FROM samp
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(frame AS BIGINT) AS frame,
+       CAST(count(*) AS BIGINT) AS n_in_frame,
+       CAST(sum(s * s) AS BIGINT) AS sum_sq,
+       CAST(max(abs(s)) AS BIGINT) AS peak,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND ((prev < 0) != (s < 0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM fr GROUP BY doc_id, frame ORDER BY media_id, frame
+"""
+
+
 def _q_media_frames(sf_dir: str):
     """Multimodal plumbing (ST5 analog): a media table synthesised
     deterministically from documents (media_id = doc_id, n_frames =
@@ -3223,6 +3287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_pipeline": _q_curate_pipeline,
         "corpus_splits": _q_corpus_splits,
         "media_frames": _q_media_frames,
+        "media_audio_frames": _q_media_audio_frames,
         "media_keyframes": _q_media_keyframes,
         "url_snapshots": _q_url_snapshots,
         "graph_components": _q_graph_components,
@@ -6201,6 +6266,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE rk < {int(0.1 * 2.0**64)}::UBIGINT
         ORDER BY doc_id
         """,
+        "media_audio_frames": q_media_audio_frames_sql(),
         "media_frames": """
         SELECT CAST(doc_id AS BIGINT) AS media_id,
                CAST(unnest(range(0, doc_id % 97 + 1, 10)) AS BIGINT) AS frame_index

@@ -250,12 +250,19 @@ class AudioDecodeKernel:
     """
 
     def __init__(self, decoder: str = "fake", max_samples: int = 4096):
+        self.is_wav = decoder == "wav"
         if decoder == "fake":
             self.decode = _fake_decode_audio
+        elif decoder == "wav":
+            # REAL decode: the vendored RIFF/PCM16 parser (stages/wavcodec.py)
+            from raydedup.stages.wavcodec import decode_wav
+
+            self._decode_wav = decode_wav
         elif decoder in ("soundfile", "ffmpeg"):
             raise NotImplementedError(
                 f"decoder {decoder!r}: audio codec libraries are not available "
-                "in this environment; use decoder='fake' (deterministic stub)"
+                "in this environment; use decoder='wav' (vendored PCM parser) "
+                "or decoder='fake' (deterministic stub)"
             )
         else:
             raise ValueError(f"unknown decoder {decoder!r}")
@@ -270,11 +277,18 @@ class AudioDecodeKernel:
         peak = np.empty(n, dtype=np.float32)
         zcr = np.empty(n, dtype=np.float32)
         for i in range(n):
-            sr = max(int(rates[i]), 1)
-            # stub length: one "sample per payload byte", capped — keeps
-            # worker heap bounded however large the binary row is
-            ns = min(len(payloads[i]), self.max_samples)
-            wave = self.decode(payloads[i], sr, max(ns, 1))
+            if self.is_wav:
+                s16, sr = self._decode_wav(payloads[i])
+                wave = (s16[: self.max_samples].astype(np.float32)) / 32768.0
+                if wave.shape[0] == 0:
+                    wave = np.zeros(1, dtype=np.float32)
+                sr = max(sr, 1)
+            else:
+                sr = max(int(rates[i]), 1)
+                # stub length: one "sample per payload byte", capped — keeps
+                # worker heap bounded however large the binary row is
+                ns = min(len(payloads[i]), self.max_samples)
+                wave = self.decode(payloads[i], sr, max(ns, 1))
             duration[i] = wave.shape[0] / sr
             rms[i] = np.sqrt(np.mean(wave * wave))
             peak[i] = np.abs(wave).max()
@@ -288,6 +302,112 @@ class AudioDecodeKernel:
                 "zero_crossing_rate": pa.array(zcr, type=pa.float32()),
             }
         )
+
+
+class AudioFrameKernel:
+    """Actor-pool REAL-decode audio framing in EXACT integer arithmetic:
+    payload WAV bytes -> int16 samples -> per-frame
+    (n_in_frame, sum_sq, peak, zero_crossings), all int64 — the audio
+    analog of the reference's windowed event-point extraction
+    (``OlafEventPointProcessor.java`` frame loop). Integer features
+    exist so the DuckDB oracle can verify the DECODER itself: fixtures
+    derive the waveform from the shared splitmix64 mirror, SQL
+    regenerates the same samples and aggregates the same frames —
+    hash-match proves the WAV parse end-to-end. Zero crossings count
+    sign flips (negative <-> non-negative) between ADJACENT samples of
+    the same frame."""
+
+    def __init__(self, frame: int = 256):
+        from raydedup.stages.wavcodec import decode_wav
+
+        self.decode = decode_wav
+        self.frame = int(frame)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        F = self.frame
+        mids = batch.column("media_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+        out_mid, out_frame, out_n, out_ss, out_pk, out_zc = [], [], [], [], [], []
+        for i in range(len(payloads)):
+            s16, _sr = self.decode(payloads[i])
+            s = s16.astype(np.int64)
+            ln = s.shape[0]
+            if ln == 0:
+                continue
+            nf = (ln + F - 1) // F
+            bounds = np.arange(nf, dtype=np.int64) * F
+            ss = np.add.reduceat(s * s, bounds)
+            pk = np.maximum.reduceat(np.abs(s), bounds)
+            neg = s < 0
+            cross = np.zeros(ln, dtype=np.int64)
+            if ln > 1:
+                cross[1:] = (neg[1:] != neg[:-1]).astype(np.int64)
+                cross[bounds] = 0  # frame-local: no cross-frame pairs
+            zc = np.add.reduceat(cross, bounds)
+            n_in = np.diff(np.r_[bounds, ln])
+            out_mid.append(np.full(nf, mids[i], dtype=np.int64))
+            out_frame.append(np.arange(nf, dtype=np.int64))
+            out_n.append(n_in.astype(np.int64))
+            out_ss.append(ss)
+            out_pk.append(pk)
+            out_zc.append(zc)
+        if not out_mid:
+            return pa.schema(
+                [("media_id", pa.int64()), ("frame", pa.int64()),
+                 ("n_in_frame", pa.int64()), ("sum_sq", pa.int64()),
+                 ("peak", pa.int64()), ("zero_crossings", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "media_id": pa.array(np.concatenate(out_mid)),
+                "frame": pa.array(np.concatenate(out_frame)),
+                "n_in_frame": pa.array(np.concatenate(out_n)),
+                "sum_sq": pa.array(np.concatenate(out_ss)),
+                "peak": pa.array(np.concatenate(out_pk)),
+                "zero_crossings": pa.array(np.concatenate(out_zc)),
+            }
+        )
+
+
+def audio_frames(
+    media: Dataset, frame: int = 256, concurrency: int = 4, batch_size: int = 64
+) -> Dataset:
+    """Actor-pool REAL-WAV frame-feature stage (see AudioFrameKernel)."""
+    return media.map_batches(
+        AudioFrameKernel,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"frame": frame},
+    )
+
+
+def synthetic_wav_media_table(doc_ids: "np.ndarray", seed: int = 0xA0D10) -> pa.Table:
+    """Deterministic REAL-WAV media fixture derived from doc ids: row i
+    holds media_id = doc_id, a PCM16-mono WAV whose samples are
+    s_j = (mix64(seed + doc_id * 2^20 + j) & 0xFFFF) - 32768 for
+    j < n_samples = doc_id % 769 + 256 — the shared splitmix64 mirror,
+    so the SQL oracle regenerates the identical waveform without
+    parsing WAV bytes."""
+    from raydedup.hashing import mix64
+    from raydedup.stages.wavcodec import encode_wav
+
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    payloads = []
+    for d in ids.tolist():
+        n = int(d % 769 + 256)
+        j = np.arange(n, dtype=np.uint64)
+        u = mix64(np.uint64(seed) + np.uint64(d) * np.uint64(1 << 20) + j)
+        s = ((u & np.uint64(0xFFFF)).astype(np.int64) - 32768).astype(np.int16)
+        payloads.append(encode_wav(s, 16000))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["audio"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "sample_rate": pa.array(np.full(len(ids), 16000, dtype=np.int64)),
+        }
+    )
 
 
 def decode_audio(
