@@ -249,15 +249,20 @@ def run_bench() -> dict:
 
         from raydedup.pipelines.embindex import build_emb_index, query_emb_index
 
-        shutil.rmtree("/tmp/raydedup_bench_embidx", ignore_errors=True)
-        emb = _rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
-        build_emb_index(emb, "/tmp/raydedup_bench_embidx")
-        qdf = emb.to_pandas().sort_values("vec_id").head(32)
-        Q = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
-        query_emb_index(
-            "/tmp/raydedup_bench_embidx", Q,
-            query_ids=qdf["vec_id"].to_numpy(), k=10, n_probe=4,
-        )
+        # pid-scoped: concurrent bench invocations (test_bench_smoke
+        # next to a driver run) must not rmtree each other's index
+        idx = f"/tmp/raydedup_bench_embidx_{os.getpid()}"
+        shutil.rmtree(idx, ignore_errors=True)
+        try:
+            emb = _rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+            build_emb_index(emb, idx)
+            qdf = emb.to_pandas().sort_values("vec_id").head(32)
+            Q = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+            query_emb_index(
+                idx, Q, query_ids=qdf["vec_id"].to_numpy(), k=10, n_probe=4
+            )
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
 
     timed("emb_index_build_query_sf", _embindex_bench)
     timed("semdedup_sf", lambda: q["semdedup"](SF_DIR))

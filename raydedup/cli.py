@@ -1129,6 +1129,9 @@ def cmd_embquery(args: argparse.Namespace) -> int:
     df = t.to_pandas().sort_values("vec_id")
     if args.limit:
         df = df.head(args.limit)
+    if not len(df):
+        print("q,vec_id,cosine,rank")
+        return 0
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
     out = query_emb_index(
         args.index,
