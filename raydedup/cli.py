@@ -1101,6 +1101,15 @@ def cmd_embadd(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_embdelete(args: argparse.Namespace) -> int:
+    """Remove vectors (by vec_id) from an embedding index."""
+    _init_ray()
+    from raydedup.pipelines.embindex import delete_from_emb_index
+
+    print(json.dumps(delete_from_emb_index(args.index, [int(v) for v in args.vec_ids])))
+    return 0
+
+
 def cmd_embcompact(args: argparse.Namespace) -> int:
     """Merge each embedding-index partition's accumulated fold parts
     back to one file (index maintenance)."""
@@ -1488,6 +1497,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("index")
     s.add_argument("embeddings")
     s.set_defaults(fn=cmd_embadd)
+
+    s = sub.add_parser("embdelete", help="remove vectors (by id) from an embedding index")
+    s.add_argument("index")
+    s.add_argument("vec_ids", nargs="+")
+    s.set_defaults(fn=cmd_embdelete)
 
     s = sub.add_parser("embcompact", help="merge an embedding index's fold parts")
     s.add_argument("index")

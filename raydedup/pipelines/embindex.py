@@ -325,6 +325,75 @@ def add_to_emb_index(
     return {"added": added, "skipped": skipped, "n_vectors": man["n_vectors"]}
 
 
+def delete_from_emb_index(index_dir: str, vec_ids) -> dict:
+    """Remove vectors by id — the reference's ``delete`` verb
+    (`cli/Delete.java`, index subtraction) on the embedding modality.
+    The deletion set broadcasts once (8 B/id); each partition task
+    anti-joins ITS parts against it and rewrites only parts that
+    actually shrank (content-named, atomic), so untouched partitions
+    keep their files byte-identical and a crashed delete simply
+    re-runs. Touched-bucket manifest counts re-derive from disk (the
+    fold's self-healing rule); returns {deleted, n_vectors}."""
+    man, _ = _load_centroids(index_dir)
+    id_col = man["id_col"]
+    vec_root = os.path.join(index_dir, "vectors")
+    ids = np.unique(np.asarray(list(vec_ids), dtype=np.int64))
+    if ids.shape[0] == 0:
+        return {"deleted": 0, "n_vectors": man["n_vectors"]}
+    ids_ref = ray.put(ids)
+
+    @ray.remote
+    def scrub_bucket(d: str) -> tuple[str, int, int]:
+        drop = ray.get(ids_ref)
+        deleted = 0
+        n_disk = 0
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            t = pq.read_table(f)
+            pids = t.column(id_col).to_numpy(zero_copy_only=False).astype(I64)
+            pos = np.minimum(np.searchsorted(drop, pids), drop.shape[0] - 1)
+            keep = drop[pos] != pids
+            n_del = int((~keep).sum())
+            if n_del == 0:
+                n_disk += t.num_rows
+                continue
+            deleted += n_del
+            if keep.any():
+                sub = t.filter(pa.array(keep))
+                sids = sub.column(id_col).to_numpy(zero_copy_only=False)
+                key = hashlib.sha256(sids.tobytes()).hexdigest()[:16]
+                path = os.path.join(d, f"part-{key}-{sub.num_rows}.parquet")
+                tmp = path + f".tmp{os.getpid()}"
+                pq.write_table(sub, tmp)
+                os.replace(tmp, path)
+                n_disk += sub.num_rows
+                if path != f:
+                    os.remove(f)
+            else:
+                os.remove(f)
+        return os.path.basename(d).split("=", 1)[1], deleted, n_disk
+
+    dirs = sorted(glob.glob(os.path.join(vec_root, "bucket=*")))
+    results = ray.get([scrub_bucket.remote(d) for d in dirs])
+    deleted = sum(r[1] for r in results)
+    bc = {}
+    for bk, _dele, n_disk in results:
+        if n_disk:
+            bc[bk] = int(n_disk)
+    for d in dirs:  # drop now-empty partition dirs
+        if not glob.glob(os.path.join(d, "*.parquet")):
+            for f in glob.glob(os.path.join(d, "*")):
+                os.remove(f)
+            os.rmdir(d)
+    man["bucket_counts"] = {k: v for k, v in sorted(bc.items())}
+    man["n_vectors"] = int(sum(bc.values()))
+    man_path = os.path.join(index_dir, MANIFEST)
+    tmp = man_path + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(man, f, sort_keys=True, indent=1)
+    os.replace(tmp, man_path)
+    return {"deleted": deleted, "n_vectors": man["n_vectors"]}
+
+
 def compact_emb_index(index_dir: str) -> dict:
     """Merge each bucket's accumulated parts (from repeated
     ``add_to_emb_index`` folds) back to ONE file per partition — the

