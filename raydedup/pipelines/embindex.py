@@ -46,6 +46,30 @@ I64 = np.int64
 MANIFEST = "manifest.json"
 
 
+def _write_part(d: str, table: pa.Table, id_col: str) -> str:
+    """Content-named atomic part write (the single naming scheme every
+    lifecycle function shares): part-<sha of ids>-<rows>.parquet via
+    tmp + os.replace."""
+    os.makedirs(d, exist_ok=True)
+    sids = table.column(id_col).to_numpy(zero_copy_only=False)
+    key = hashlib.sha256(sids.tobytes()).hexdigest()[:16]
+    path = os.path.join(d, f"part-{key}-{table.num_rows}.parquet")
+    tmp = path + f".tmp{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def _write_manifest(index_dir: str, man: dict) -> None:
+    """Atomic manifest replace — always the LAST write of a lifecycle
+    step (presence/content = consistency marker)."""
+    man_path = os.path.join(index_dir, MANIFEST)
+    tmp = man_path + f".tmp{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(man, fh, sort_keys=True, indent=1)
+    os.replace(tmp, man_path)
+
+
 def _make_assign(cents_ref, id_col: str, vec_col: str):
     """Shared centroid-assignment map kernel (build + fold): adds the
     ``bucket`` column from the broadcast centroid matrix."""
@@ -152,12 +176,7 @@ def build_emb_index(
             os.makedirs(d, exist_ok=True)
             for stale in glob.glob(os.path.join(d, "*.parquet")):
                 os.remove(stale)
-            sids = sub.column(id_col).to_numpy(zero_copy_only=False)
-            key = hashlib.sha256(sids.tobytes()).hexdigest()[:16]
-            path = os.path.join(d, f"part-{key}-{sub.num_rows}.parquet")
-            tmp = path + f".tmp{os.getpid()}"
-            pq.write_table(sub, tmp)
-            os.replace(tmp, path)
+            _write_part(d, sub, id_col)
             out_b.append(bk)
             out_n.append(int(sub.num_rows))
         return pa.table(
@@ -197,10 +216,7 @@ def build_emb_index(
         "vec_col": vec_col,
         "bucket_counts": {str(b): int(n) for b, n in sorted(bucket_counts.items())},
     }
-    tmp = man_path + f".tmp{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, sort_keys=True, indent=1)
-    os.replace(tmp, man_path)
+    _write_manifest(index_dir, manifest)
     return manifest
 
 
@@ -282,12 +298,7 @@ def add_to_emb_index(
                     sub = sub.filter(pa.array(keep))
                     sids = sids[keep]
             if sub.num_rows:
-                os.makedirs(d, exist_ok=True)
-                key = hashlib.sha256(sids.tobytes()).hexdigest()[:16]
-                path = os.path.join(d, f"part-{key}-{sub.num_rows}.parquet")
-                tmp = path + f".tmp{os.getpid()}"
-                pq.write_table(sub, tmp)
-                os.replace(tmp, path)
+                _write_part(d, sub, id_col)
             out.append(
                 (bk, n_disk_before + int(sub.num_rows), int(sub.num_rows), skipped)
             )
@@ -317,11 +328,7 @@ def add_to_emb_index(
             bc[str(int(b))] = int(n)
         man["bucket_counts"] = {k: v for k, v in sorted(bc.items())}
         man["n_vectors"] = int(sum(bc.values()))
-    man_path = os.path.join(index_dir, MANIFEST)
-    tmp = man_path + f".tmp{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(man, f, sort_keys=True, indent=1)
-    os.replace(tmp, man_path)
+    _write_manifest(index_dir, man)
     return {"added": added, "skipped": skipped, "n_vectors": man["n_vectors"]}
 
 
@@ -347,24 +354,34 @@ def delete_from_emb_index(index_dir: str, vec_ids) -> dict:
         drop = ray.get(ids_ref)
         deleted = 0
         n_disk = 0
+        # running survivor-id set across this bucket's parts: a crash
+        # between a part rewrite and its source unlink leaves BOTH
+        # files, so the re-run must also drop cross-part duplicate ids
+        # or survivors would double-count (review finding)
+        seen = np.empty(0, dtype=I64)
         for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
-            t = pq.read_table(f)
-            pids = t.column(id_col).to_numpy(zero_copy_only=False).astype(I64)
+            # id-column-first: the vast majority of parts hold none of
+            # the deleted ids — never read their vector bytes
+            pids = (
+                pq.read_table(f, columns=[id_col])
+                .column(id_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(I64)
+            )
             pos = np.minimum(np.searchsorted(drop, pids), drop.shape[0] - 1)
             keep = drop[pos] != pids
+            if seen.shape[0]:
+                sp = np.minimum(np.searchsorted(seen, pids), seen.shape[0] - 1)
+                keep &= seen[sp] != pids
             n_del = int((~keep).sum())
+            seen = np.unique(np.concatenate([seen, pids[keep]]))
             if n_del == 0:
-                n_disk += t.num_rows
+                n_disk += pids.shape[0]
                 continue
             deleted += n_del
             if keep.any():
-                sub = t.filter(pa.array(keep))
-                sids = sub.column(id_col).to_numpy(zero_copy_only=False)
-                key = hashlib.sha256(sids.tobytes()).hexdigest()[:16]
-                path = os.path.join(d, f"part-{key}-{sub.num_rows}.parquet")
-                tmp = path + f".tmp{os.getpid()}"
-                pq.write_table(sub, tmp)
-                os.replace(tmp, path)
+                sub = pq.read_table(f).filter(pa.array(keep))
+                path = _write_part(d, sub, id_col)
                 n_disk += sub.num_rows
                 if path != f:
                     os.remove(f)
@@ -386,11 +403,7 @@ def delete_from_emb_index(index_dir: str, vec_ids) -> dict:
             os.rmdir(d)
     man["bucket_counts"] = {k: v for k, v in sorted(bc.items())}
     man["n_vectors"] = int(sum(bc.values()))
-    man_path = os.path.join(index_dir, MANIFEST)
-    tmp = man_path + f".tmp{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(man, f, sort_keys=True, indent=1)
-    os.replace(tmp, man_path)
+    _write_manifest(index_dir, man)
     return {"deleted": deleted, "n_vectors": man["n_vectors"]}
 
 
@@ -421,12 +434,7 @@ def compact_emb_index(index_dir: str) -> dict:
         ids_s = ids[order]
         keep = np.r_[True, ids_s[1:] != ids_s[:-1]]
         t = t.take(pa.array(order[keep]))
-        sids = t.column(id_col).to_numpy(zero_copy_only=False)
-        key = hashlib.sha256(sids.tobytes()).hexdigest()[:16]
-        path = os.path.join(d, f"part-{key}-{t.num_rows}.parquet")
-        tmp = path + f".tmp{os.getpid()}"
-        pq.write_table(t, tmp)
-        os.replace(tmp, path)
+        path = _write_part(d, t, id_col)
         for f in parts:
             if f != path:
                 os.remove(f)
@@ -450,11 +458,7 @@ def compact_emb_index(index_dir: str) -> dict:
             bc[bk] = int(n)
     man["bucket_counts"] = {k: v for k, v in sorted(bc.items())}
     man["n_vectors"] = int(sum(bc.values()))
-    man_path = os.path.join(index_dir, MANIFEST)
-    tmp = man_path + f".tmp{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(man, f, sort_keys=True, indent=1)
-    os.replace(tmp, man_path)
+    _write_manifest(index_dir, man)
     return {
         "buckets": len(dirs),
         "buckets_compacted": compacted,

@@ -280,9 +280,14 @@ class AudioDecodeKernel:
             if self.is_wav:
                 s16, sr = self._decode_wav(payloads[i])
                 wave = (s16[: self.max_samples].astype(np.float32)) / 32768.0
-                if wave.shape[0] == 0:
-                    wave = np.zeros(1, dtype=np.float32)
                 sr = max(sr, 1)
+                if wave.shape[0] == 0:
+                    # a valid zero-length data chunk: all-zero features,
+                    # true zero duration (a 1-sample pad would fake
+                    # duration 1/sr and a NaN zcr — review finding)
+                    duration[i] = 0.0
+                    rms[i] = peak[i] = zcr[i] = 0.0
+                    continue
             else:
                 sr = max(int(rates[i]), 1)
                 # stub length: one "sample per payload byte", capped — keeps

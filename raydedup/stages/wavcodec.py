@@ -76,8 +76,14 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
                 raise WavError(f"{bits}-bit depth unsupported (16-bit only)")
             fmt = rate
         elif cid == b"data":
+            if data is not None:
+                raise WavError("multiple data chunks")
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if pos != n and pos != n + 1:
+        # pos == n + 1 is the final odd-sized chunk whose pad byte the
+        # writer omitted (spec-tolerated); anything else is junk
+        raise WavError(f"{n - pos} trailing bytes after the last chunk")
     if fmt is None:
         raise WavError("no fmt chunk")
     if data is None:

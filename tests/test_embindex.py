@@ -341,3 +341,37 @@ def test_delete_from_index(ray_session, tmp_path):
     assert again["n_vectors"] == info["n_vectors"]
     man = json.load(open(os.path.join(d, MANIFEST)))
     assert sum(man["bucket_counts"].values()) == info["n_vectors"]
+
+
+
+def test_delete_rerun_after_partial_crash_converges(ray_session, tmp_path):
+    """Simulated crash between part rewrite and source unlink (both
+    files on disk): a re-run dedups survivors instead of double-
+    counting them (review finding)."""
+    import glob as g
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from raydedup.pipelines.embindex import delete_from_emb_index
+
+    t, m, _ = _clustered(n_clusters=3, per=10, seed=71)
+    d, man0 = _build(tmp_path, t, n_centroids=3)
+    # pick a bucket with >= 3 rows, duplicate its part file (the crash
+    # artifact: rewritten part + original both present)
+    bdir = max(
+        g.glob(os.path.join(d, "vectors", "bucket=*")),
+        key=lambda p: pq.read_metadata(g.glob(os.path.join(p, "*.parquet"))[0]).num_rows,
+    )
+    src = g.glob(os.path.join(bdir, "*.parquet"))[0]
+    shutil.copy(src, src.replace("part-", "part-deadbeef"))
+    # delete one id from that bucket
+    victim = int(pq.read_table(src, columns=["vec_id"]).column("vec_id")[0].as_py())
+    info = delete_from_emb_index(d, [victim])
+    assert info["n_vectors"] == man0["n_vectors"] - 1
+    man = json.load(open(os.path.join(d, MANIFEST)))
+    # disk truth: every surviving id exactly once
+    ids = []
+    for f in g.glob(os.path.join(d, "vectors", "bucket=*", "*.parquet")):
+        ids += pq.read_table(f, columns=["vec_id"]).column("vec_id").to_pylist()
+    assert len(ids) == len(set(ids)) == man["n_vectors"] == man0["n_vectors"] - 1

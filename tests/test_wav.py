@@ -123,3 +123,32 @@ def test_fixture_payload_digest_pinned():
         "d062198ad31f77eb4bf332a704cf02dd90e139b4015eb1d3ceca9f7a27c8691e"
     )
     assert len(payload) == 44 + 2 * (42 % 769 + 256)
+
+
+def test_multiple_data_chunks_and_trailing_junk_loud():
+    payload = encode_wav(_sig(8), 16000)
+    data_chunk = payload[36:]
+    with pytest.raises(WavError, match="multiple data"):
+        decode_wav(payload + data_chunk)
+    with pytest.raises(WavError, match="trailing"):
+        decode_wav(payload + b"xyz")
+
+
+def test_empty_data_chunk_zero_features(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from raydedup.stages.multimodal import decode_audio
+    from raydedup.stages.wavcodec import encode_wav as enc
+
+    t = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "kind": pa.array(["audio"], pa.string()),
+            "payload": pa.array([enc(np.array([], dtype=np.int16), 16000)], pa.binary()),
+            "sample_rate": pa.array([16000], pa.int64()),
+        }
+    )
+    df = decode_audio(rd.from_arrow(t), decoder="wav", concurrency=1, batch_size=1).to_pandas()
+    assert float(df["duration_s"][0]) == 0.0
+    assert float(df["rms"][0]) == 0.0 and float(df["zero_crossing_rate"][0]) == 0.0
