@@ -571,6 +571,10 @@ def run_dedup_scale_resumable(
         num_buckets = _auto_buckets(n_docs)
     if n_shards is None:
         n_shards = _auto_shards(n_docs)
+    # stamp this run's input on every exchange stage: a checkpoint taken
+    # over a different corpus size (shards added since) is invalidated
+    # and re-run instead of silently dropping the new docs (advisory r4)
+    ckpt.input_fp = f"n_docs={n_docs}"
 
     from raydedup.stages.exchange import (
         _reduce_bucket,
@@ -617,7 +621,18 @@ def run_dedup_scale_resumable(
 
         sigs = signatures
         if sigs is None:
-            sigs = compute_signatures(docs, cfg, keep_shingles=False)
+            # thread the opt-in exact-member skip exactly like the
+            # non-resumable path (advisory r4: it was silently ignored
+            # here); with precomputed phase-1 signatures there is
+            # nothing to skip — the kernel already ran over all docs
+            exclude_ref = (
+                _sorted_member_array.remote(*exact_refs)
+                if cfg.sig_skip_exact_members
+                else None
+            )
+            sigs = compute_signatures(
+                docs, cfg, keep_shingles=False, exclude_ids_ref=exclude_ref
+            )
         postings = band_postings(sigs, cfg)
         return candidate_pair_refs(postings, cfg, num_buckets)
 

@@ -340,19 +340,23 @@ def delete_from_emb_index(index_dir: str, vec_ids) -> dict:
     actually shrank (content-named, atomic), so untouched partitions
     keep their files byte-identical and a crashed delete simply
     re-runs. Touched-bucket manifest counts re-derive from disk (the
-    fold's self-healing rule); returns {deleted, n_vectors}."""
+    fold's self-healing rule); returns {deleted, healed_duplicates,
+    n_vectors} where ``deleted`` counts only requested-id rows and
+    ``healed_duplicates`` counts cross-part duplicate survivors dropped
+    while re-running after a crashed delete."""
     man, _ = _load_centroids(index_dir)
     id_col = man["id_col"]
     vec_root = os.path.join(index_dir, "vectors")
     ids = np.unique(np.asarray(list(vec_ids), dtype=np.int64))
     if ids.shape[0] == 0:
-        return {"deleted": 0, "n_vectors": man["n_vectors"]}
+        return {"deleted": 0, "healed_duplicates": 0, "n_vectors": man["n_vectors"]}
     ids_ref = ray.put(ids)
 
     @ray.remote
-    def scrub_bucket(d: str) -> tuple[str, int, int]:
+    def scrub_bucket(d: str) -> tuple[str, int, int, int]:
         drop = ray.get(ids_ref)
         deleted = 0
+        healed = 0
         n_disk = 0
         # running survivor-id set across this bucket's parts: a crash
         # between a part rewrite and its source unlink leaves BOTH
@@ -370,15 +374,22 @@ def delete_from_emb_index(index_dir: str, vec_ids) -> dict:
             )
             pos = np.minimum(np.searchsorted(drop, pids), drop.shape[0] - 1)
             keep = drop[pos] != pids
+            # requested-id drops vs crash-recovery duplicate drops are
+            # separate metrics (advisory r4): a re-run after a crashed
+            # delete heals cross-part duplicate survivors, and counting
+            # those as "deleted" would inflate the caller's total
+            n_req = int((~keep).sum())
             if seen.shape[0]:
                 sp = np.minimum(np.searchsorted(seen, pids), seen.shape[0] - 1)
-                keep &= seen[sp] != pids
+                dup = keep & (seen[sp] == pids)
+                healed += int(dup.sum())
+                keep &= ~dup
             n_del = int((~keep).sum())
             seen = np.unique(np.concatenate([seen, pids[keep]]))
             if n_del == 0:
                 n_disk += pids.shape[0]
                 continue
-            deleted += n_del
+            deleted += n_req
             if keep.any():
                 sub = pq.read_table(f).filter(pa.array(keep))
                 path = _write_part(d, sub, id_col)
@@ -387,13 +398,14 @@ def delete_from_emb_index(index_dir: str, vec_ids) -> dict:
                     os.remove(f)
             else:
                 os.remove(f)
-        return os.path.basename(d).split("=", 1)[1], deleted, n_disk
+        return os.path.basename(d).split("=", 1)[1], deleted, n_disk, healed
 
     dirs = sorted(glob.glob(os.path.join(vec_root, "bucket=*")))
     results = ray.get([scrub_bucket.remote(d) for d in dirs])
     deleted = sum(r[1] for r in results)
+    healed = sum(r[3] for r in results)
     bc = {}
-    for bk, _dele, n_disk in results:
+    for bk, _dele, n_disk, _heal in results:
         if n_disk:
             bc[bk] = int(n_disk)
     for d in dirs:  # drop now-empty partition dirs
@@ -404,7 +416,11 @@ def delete_from_emb_index(index_dir: str, vec_ids) -> dict:
     man["bucket_counts"] = {k: v for k, v in sorted(bc.items())}
     man["n_vectors"] = int(sum(bc.values()))
     _write_manifest(index_dir, man)
-    return {"deleted": deleted, "n_vectors": man["n_vectors"]}
+    return {
+        "deleted": deleted,
+        "healed_duplicates": healed,
+        "n_vectors": man["n_vectors"],
+    }
 
 
 def compact_emb_index(index_dir: str) -> dict:

@@ -77,7 +77,15 @@ def read_csv_docs(path_or_paths, *, id_col: str = "doc_id") -> Dataset:
                 )
         return docs_identity_batch(t, id_col=id_col)
 
-    return rd.read_csv(files).map_batches(adapt, batch_format="pyarrow")
+    # "" is the ONLY null spelling: Arrow's default list also nulls
+    # "nan"/"NaN", which would round-trip the writer's repr() of float
+    # NaN (and keep "inf"/"-inf" from parsing as floats) to null
+    # (advisory r4). Non-finite floats now survive the CSV edge.
+    from pyarrow import csv as pacsv
+
+    return rd.read_csv(
+        files, convert_options=pacsv.ConvertOptions(null_values=[""])
+    ).map_batches(adapt, batch_format="pyarrow")
 
 
 def write_csv_docs(

@@ -158,6 +158,15 @@ class ExchangeCheckpoint:
         self.fail_after_stage: str | None = None
         # stages loaded from disk this run (observability / tests)
         self.loaded_stages: list[str] = []
+        # stages whose recorded input no longer matched (re-run this run)
+        self.invalidated_stages: list[str] = []
+        # input fingerprint for the CURRENT run (set by the pipeline,
+        # e.g. "n_docs=N"): a done stage whose recorded fingerprint
+        # differs was computed from a different corpus (shards added /
+        # removed since the checkpoint) and must NOT be reused — new
+        # docs would otherwise silently never enter candidates/verify/
+        # clustering (advisory r4). None disables the check.
+        self.input_fp: str | None = None
 
     def _entry(self, stage: str) -> dict[str, Any]:
         return self.mgr.manifest.setdefault("exchanges", {}).setdefault(stage, {})
@@ -178,9 +187,21 @@ class ExchangeCheckpoint:
         as each write lands, and committed to the manifest."""
         entry = self._entry(stage)
         if entry.get("status") == "done":
-            self.loaded_stages.append(stage)
-            n = int(entry["n_buckets"])
-            return [self._read(stage, i) for i in range(n)]
+            if self.input_fp is not None and entry.get("input_fp") != self.input_fp:
+                # stale: recorded input (or a pre-fingerprint legacy
+                # entry) doesn't match this run's corpus — drop the
+                # stage's buckets and recompute. All stages share one
+                # fingerprint, so invalidation cascades to every
+                # downstream stage of the changed input automatically.
+                self.invalidated_stages.append(stage)
+                import shutil
+
+                shutil.rmtree(os.path.join(self.dir, stage), ignore_errors=True)
+                entry.clear()
+            else:
+                self.loaded_stages.append(stage)
+                n = int(entry["n_buckets"])
+                return [self._read(stage, i) for i in range(n)]
         refs = thunk()
         os.makedirs(os.path.join(self.dir, stage), exist_ok=True)
         pend = {
@@ -198,6 +219,7 @@ class ExchangeCheckpoint:
             n_buckets=len(refs),
             n_rows=int(sum(buckets.values())),
             ts=time.time(),
+            input_fp=self.input_fp,
         )
         self.mgr.save()
         if self.fail_after_stage == stage:

@@ -193,6 +193,52 @@ def test_exchange_checkpoint_roundtrip(ray_session, tmp_path, cfg):
     assert not other.done("s1")
 
 
+def test_exchange_checkpoint_input_change_invalidates(ray_session, tmp_path, cfg):
+    """A done exchange stage is reused only while the run's input
+    fingerprint matches the recorded one: resuming after shards were
+    ADDED must re-run the stage instead of silently serving stale
+    buckets (advisory r4) — including over legacy pre-fingerprint
+    entries, which invalidate too."""
+    import pyarrow as pa
+    import ray
+
+    from raydedup.state.checkpoint import ExchangeCheckpoint
+
+    mgr = CheckpointManager(str(tmp_path / "fp"), cfg)
+    exch = ExchangeCheckpoint(mgr)
+    exch.input_fp = "n_docs=10"
+    calls = []
+
+    def thunk():
+        calls.append(1)
+        return [ray.put(pa.table({"a": pa.array([len(calls)], pa.int64())}))]
+
+    exch.run("s1", thunk)
+    assert calls == [1]
+
+    # same fingerprint -> loaded, not recomputed
+    e2 = ExchangeCheckpoint(CheckpointManager(str(tmp_path / "fp"), cfg))
+    e2.input_fp = "n_docs=10"
+    refs = e2.run("s1", thunk)
+    assert calls == [1] and e2.loaded_stages == ["s1"]
+    assert ray.get(refs[0]).column("a").to_pylist() == [1]
+
+    # grown corpus -> invalidated + recomputed, new result persisted
+    e3 = ExchangeCheckpoint(CheckpointManager(str(tmp_path / "fp"), cfg))
+    e3.input_fp = "n_docs=12"
+    refs = e3.run("s1", thunk)
+    assert calls == [1, 1] and e3.invalidated_stages == ["s1"]
+    assert ray.get(refs[0]).column("a").to_pylist() == [2]
+    assert e3.stage_rows("s1") == 1
+
+    # legacy entry with NO recorded fingerprint also invalidates
+    legacy = ExchangeCheckpoint(CheckpointManager(str(tmp_path / "fp"), cfg))
+    del legacy.mgr.manifest["exchanges"]["s1"]["input_fp"]
+    legacy.input_fp = "n_docs=12"
+    legacy.run("s1", thunk)
+    assert calls == [1, 1, 1] and legacy.invalidated_stages == ["s1"]
+
+
 def test_scale_resume_skips_finished_exchanges(
     ray_session, small_corpus, tmp_path, cfg, monkeypatch
 ):

@@ -157,3 +157,32 @@ def test_write_without_doc_id_keeps_all_blocks(ray_session, tmp_path):
     rows_on_disk = sum(len(open(p).read().splitlines()) - 1 for p in files)
     assert n == 40
     assert rows_on_disk == 40, f"{len(files)} files, {rows_on_disk} rows"
+
+
+def test_nonfinite_floats_roundtrip(ray_session, tmp_path):
+    """NaN / +-inf in float columns survive the CSV edge: the reader
+    restricts Arrow's null spellings to "" so the writer's repr()
+    output parses back as floats, not null (advisory r4)."""
+    import math
+
+    import numpy as np
+
+    from raydedup.stages.extract import docs_identity_batch
+
+    vals = [float("nan"), float("inf"), float("-inf"), 1.25, None]
+    src = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(vals))), pa.int64()),
+                "text": pa.array([f"doc {i}" for i in range(len(vals))]),
+                "score": pa.array(vals, pa.float64()),
+            }
+        )
+    ).map_batches(docs_identity_batch, batch_format="pyarrow")
+    out = str(tmp_path / "nf")
+    assert write_csv_docs(src, out, columns=["doc_id", "text", "score"]) == len(vals)
+    back = read_csv_docs(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    s = back["score"].tolist()
+    assert math.isnan(s[0])
+    assert s[1] == math.inf and s[2] == -math.inf and s[3] == 1.25
+    assert back["score"].isna().tolist()[4] or np.isnan(s[4])
