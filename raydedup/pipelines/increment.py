@@ -390,8 +390,12 @@ def dedup_increment(
     if not new_doc_files:
         return out
 
-    new_docs = rd.read_parquet(new_doc_files).materialize()
-    new_sigs = rd.read_parquet(new_sig_files)
+    # prune at the read: the fold consumes only identity + content
+    # columns (run_dedup / cross verify) and (doc_id, bands) postings
+    new_docs = rd.read_parquet(
+        new_doc_files, columns=["doc_id", "text", "text_sha256"]
+    ).materialize()
+    new_sigs = rd.read_parquet(new_sig_files, columns=["doc_id", "bands"])
     have_old = bool(before_docs)
 
     # new-vs-new edges: the standard pipeline on the increment only
@@ -406,8 +410,10 @@ def dedup_increment(
     cross = _EMPTY_CROSS.empty_table()
     old_assign = pd.DataFrame({"doc_id": [], "cluster_id": []})
     if have_old:
-        old_docs = rd.read_parquet(sorted(before_docs))
-        old_sigs = rd.read_parquet(sorted(before_sigs))
+        old_docs = rd.read_parquet(
+            sorted(before_docs), columns=["doc_id", "text", "text_sha256"]
+        )
+        old_sigs = rd.read_parquet(sorted(before_sigs), columns=["doc_id", "bands"])
         cross = cross_verified_pairs(old_sigs, new_sigs, old_docs, new_docs, cfg)
         if cross.num_rows:
             matched_old = np.unique(cross.column("b").to_numpy(zero_copy_only=False))
@@ -419,8 +425,7 @@ def dedup_increment(
                 return t.filter(pa.array(np.isin(ids, wanted)))
 
             old_assign = (
-                rd.read_parquet(clusters_path)
-                .select_columns(["doc_id", "cluster_id"])
+                rd.read_parquet(clusters_path, columns=["doc_id", "cluster_id"])
                 .map_batches(keep, batch_format="pyarrow")
                 .to_pandas()
             )

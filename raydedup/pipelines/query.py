@@ -152,7 +152,11 @@ def query_index(
     cfg = cfg or DedupConfig()
     tau = cfg.jaccard_tau if min_jaccard is None else min_jaccard
 
-    idx_sigs = rd.read_parquet(os.path.join(index_dir, "signatures"))
+    # prune at the read: band_postings consumes only (doc_id, bands) —
+    # the simhash column never leaves storage (the 100-TB habit)
+    idx_sigs = rd.read_parquet(
+        os.path.join(index_dir, "signatures"), columns=["doc_id", "bands"]
+    )
     q_sigs = compute_signatures(query_docs, cfg, keep_shingles=False)
 
     def tag(side: int):
@@ -188,7 +192,10 @@ def query_index(
     m_ids = np.unique(cand.column("b").to_numpy(zero_copy_only=False))
     q_ids = np.unique(cand.column("a").to_numpy(zero_copy_only=False))
     pair_docs = np.union1d(m_ids, q_ids)
-    idx_docs = rd.read_parquet(os.path.join(index_dir, "docs"))
+    # only (doc_id, text, url) are consumed below (verify + url attach)
+    idx_docs = rd.read_parquet(
+        os.path.join(index_dir, "docs"), columns=["doc_id", "text", "url"]
+    )
     ids_ref = ray.put(np.sort(m_ids))
 
     def keep(t: pa.Table) -> pa.Table:
@@ -318,7 +325,9 @@ def monitor_text(
         }
     )
 
-    idx_docs = rd.read_parquet(os.path.join(index_dir, "docs"))
+    idx_docs = rd.read_parquet(
+        os.path.join(index_dir, "docs"), columns=["doc_id", "text", "url"]
+    )
     idx_post = fingerprint_postings(
         idx_docs.select_columns(["doc_id", "text"]), cfg
     ).select_columns(["fp_key", "doc_id"])

@@ -60,21 +60,27 @@ class UnionFind:
 
 
 def cluster_pairs_driver(pairs: Dataset | pd.DataFrame) -> dict[int, int]:
-    """Streaming union-find: consumes (a, b) batches, returns
-    {doc_id -> cluster_id(min member)} for every doc appearing in a pair."""
-    uf = UnionFind()
+    """Driver-backend connected components: consumes (a, b) batches,
+    returns {doc_id -> cluster_id(min member)} for every doc appearing
+    in a pair. Shares the vectorized min-label kernel with the actor
+    shards (VERDICT r4 #7 — the per-edge dict union-find this replaced
+    was the only per-row Python loop left in a cluster backend);
+    ``UnionFind`` remains as the property-test reference."""
     if isinstance(pairs, pd.DataFrame):
         batches = [pairs]
     else:
         batches = pairs.select_columns(["a", "b"]).iter_batches(
             batch_size=65536, batch_format="pandas"
         )
+    ea: list[np.ndarray] = []
+    eb: list[np.ndarray] = []
     for b in batches:
-        av = b["a"].to_numpy()
-        bv = b["b"].to_numpy()
-        for i in range(len(av)):
-            uf.union(int(av[i]), int(bv[i]))
-    return uf.components()
+        ea.append(b["a"].to_numpy(dtype=np.int64, copy=False))
+        eb.append(b["b"].to_numpy(dtype=np.int64, copy=False))
+    if not ea or not sum(x.shape[0] for x in ea):
+        return {}
+    members, roots = cluster_edges_arrays(np.concatenate(ea), np.concatenate(eb))
+    return dict(zip(members.tolist(), roots.tolist()))
 
 
 @ray.remote

@@ -363,7 +363,7 @@ def run_dedup_checkpointed(
     import ray.data as rd
 
     from raydedup.stages.candidates import band_postings, postings_to_pairs
-    from raydedup.stages.cluster import UnionFind, assignments_table
+    from raydedup.stages.cluster import assignments_table
     from raydedup.stages.containment import containment_pairs
     from raydedup.stages.verify import verify_pairs_exchange
     from raydedup.util import to_arrow_table
@@ -478,16 +478,18 @@ def run_dedup_checkpointed(
     comp_path = mgr.path("components.parquet")
     if not mgr.stage_done("components"):
         edges = pq.read_table(pairs_path)
-        uf = UnionFind()
-        a = edges.column("a").to_numpy(zero_copy_only=False)
-        b = edges.column("b").to_numpy(zero_copy_only=False)
-        for i in range(a.shape[0]):
-            uf.union(int(a[i]), int(b[i]))
-        comp = uf.components()
+        from raydedup.stages.cluster import cluster_edges_arrays
+
+        a = edges.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = edges.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        if a.shape[0]:
+            members, roots = cluster_edges_arrays(a, b)
+        else:
+            members = roots = np.empty(0, dtype=np.int64)
         comp_tbl = pa.table(
             {
-                "doc_id": pa.array(list(comp.keys()), type=pa.int64()),
-                "cluster_id": pa.array(list(comp.values()), type=pa.int64()),
+                "doc_id": pa.array(members, type=pa.int64()),
+                "cluster_id": pa.array(roots, type=pa.int64()),
             }
         )
         _atomic_write_table(comp_tbl, comp_path)
