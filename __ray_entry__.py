@@ -207,6 +207,68 @@ def _q_dedup_agreement(sf_dir: str):
     return t.to_pandas()
 
 
+def _q_engine_agreement(sf_dir: str):
+    """Cross-ENGINE agreement gate (VERDICT r4 #5): run the base
+    driver-assisted engine, the refs-only scale engine, and the
+    checkpointed scale engine KILLED after the verified-edges exchange
+    and RESUMED, all on the same corpus/config — then emit the exact
+    Rand components of every engine pair. The oracle computes the pair
+    mass of the SQL-mirrored flagship assignment independently, so this
+    row hash-matches ONLY if all three engines reproduce the mirrored
+    clustering exactly (the 'frame-identical' pytests promoted to a
+    driver-checked invariant)."""
+    import shutil
+    import tempfile
+
+    from raydedup.config import DedupConfig
+    from raydedup.pipelines.dedup import run_dedup
+    from raydedup.pipelines.dedup_scale import (
+        run_dedup_scale,
+        run_dedup_scale_resumable,
+    )
+    from raydedup.stages.agreement import assignment_agreement
+    from raydedup.state.checkpoint import (
+        CheckpointKilled,
+        CheckpointManager,
+        ExchangeCheckpoint,
+    )
+
+    cfg = DedupConfig(batch_size=1024)
+    docs = _docs(sf_dir).materialize()
+    base = run_dedup(docs, cfg, containment=True).clusters
+    scale = run_dedup_scale(docs, cfg, containment=True).clusters
+    d = tempfile.mkdtemp(prefix="engine_agreement_", dir="/tmp")
+    try:
+        exch = ExchangeCheckpoint(CheckpointManager(d, cfg))
+        exch.fail_after_stage = "verified"
+        try:
+            run_dedup_scale_resumable(docs, cfg, ckpt=exch, containment=True)
+            raise AssertionError("injected kill did not fire")
+        except CheckpointKilled:
+            pass
+        exch2 = ExchangeCheckpoint(CheckpointManager(d, cfg))
+        ck = run_dedup_scale_resumable(
+            docs, cfg, ckpt=exch2, containment=True
+        ).clusters
+        if "verified" not in exch2.loaded_stages:
+            raise AssertionError("resume re-ran the finished exchange")
+        pairs = [
+            ("base_vs_ckpt_resume", base, ck),
+            ("base_vs_scale", base, scale),
+            ("scale_vs_ckpt_resume", scale, ck),
+        ]
+        rows = []
+        for name, x, y in pairs:
+            t = assignment_agreement(x, y).to_pandas()
+            t.insert(0, "comparison", name)
+            rows.append(t)
+        return pd.concat(rows, ignore_index=True).sort_values(
+            "comparison"
+        ).reset_index(drop=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_dedup_increment(sf_dir: str):
     """Incremental dedup (pipelines/increment.py): docs with doc_id <
     4n/5 form the frozen base (standard dedup, containment off); the
@@ -2461,6 +2523,134 @@ def _q_ccnet_buckets(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_trigram_surprisal(sf_dir: str):
+    """Per-doc conditional surprisal under the corpus TRIGRAM model in
+    exact whole-bit arithmetic (stages/lm.py trigram_surprisal) — the
+    next backoff order of the n-gram ladder toward CCNet's KenLM
+    scorer. Token 1 scores bl(N)-bl(cnt1); token 2 bl(cnt1)-bl(cnt2);
+    token i>=3 bl(cnt2(prev2,prev))-bl(cnt3(prev2,prev,w)). Uni/bi/tri
+    counts ride ONE shared exchange; scoring is a broadcast
+    ordered-token pass with three searchsorted lookups."""
+    from raydedup.stages.lm import trigram_surprisal
+
+    df = trigram_surprisal(_read(sf_dir, "documents")).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_ccnet_buckets_tri(sf_dir: str):
+    """CCNet perplexity partition re-based on the TRIGRAM scorer
+    (perplexity_buckets(model='trigram'), VERDICT r4 #4): exact
+    NTILE(3) per language over the trigram mean_bits."""
+    from raydedup.stages.lm import perplexity_buckets
+
+    df = perplexity_buckets(
+        _read(sf_dir, "documents"), n_buckets=3, model="trigram"
+    ).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+# shared trigram whole-bit stats CTE: documents -> agg(doc_id,
+# n_tokens, bits_sum); mirrors stages/lm.py trigram_surprisal
+_TRIGRAM_STATS_CTE = """
+tokl AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+raw AS (
+  SELECT doc_id, w, i FROM (
+    SELECT doc_id, unnest(toks) AS w,
+           unnest(range(1, len(toks) + 1)) AS i
+    FROM tokl
+  ) WHERE w != ''
+),
+seq AS (
+  SELECT doc_id, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+  FROM raw
+),
+big AS (
+  SELECT a.doc_id, a.j, a.w AS w1, b.w AS w2
+  FROM seq a JOIN seq b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+),
+tri AS (
+  SELECT a.doc_id, a.j, a.w AS w1, b.w AS w2, c.w AS w3
+  FROM seq a
+  JOIN seq b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+  JOIN seq c ON c.doc_id = a.doc_id AND c.j = a.j + 2
+),
+c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM seq GROUP BY w),
+n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seq),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+       FROM big GROUP BY w1, w2),
+c3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c
+       FROM tri GROUP BY w1, w2, w3),
+firsts AS (
+  SELECT t.doc_id,
+         (SELECT length(format('{:b}', n)) - 1 FROM n1)
+         - (length(format('{:b}', c.c)) - 1) AS s
+  FROM seq t JOIN c1 c ON c.w = t.w WHERE t.j = 1
+),
+seconds AS (
+  SELECT b.doc_id,
+         (length(format('{:b}', u.c)) - 1)
+         - (length(format('{:b}', p.c)) - 1) AS s
+  FROM big b
+  JOIN c1 u ON u.w = b.w1
+  JOIN c2 p ON p.w1 = b.w1 AND p.w2 = b.w2
+  WHERE b.j = 1
+),
+deeps AS (
+  SELECT t.doc_id,
+         (length(format('{:b}', p.c)) - 1)
+         - (length(format('{:b}', q.c)) - 1) AS s
+  FROM tri t
+  JOIN c2 p ON p.w1 = t.w1 AND p.w2 = t.w2
+  JOIN c3 q ON q.w1 = t.w1 AND q.w2 = t.w2 AND q.w3 = t.w3
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(s) AS BIGINT) AS bits_sum
+  FROM (SELECT doc_id, s FROM firsts
+        UNION ALL SELECT doc_id, s FROM seconds
+        UNION ALL SELECT doc_id, s FROM deeps)
+  GROUP BY doc_id
+)"""
+
+
+def q_trigram_surprisal_sql():
+    return (
+        "WITH " + _TRIGRAM_STATS_CTE + """
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.bits_sum, 0) AS bits_sum,
+       CASE WHEN a.n_tokens IS NULL OR a.n_tokens = 0 THEN 0.0
+            ELSE CAST(a.bits_sum AS DOUBLE) / a.n_tokens
+       END AS mean_bits
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
+"""
+    )
+
+
+def q_ccnet_buckets_tri_sql():
+    return (
+        "WITH " + _TRIGRAM_STATS_CTE + """,
+stats AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN a.n_tokens IS NULL OR a.n_tokens = 0 THEN 0.0
+              ELSE CAST(a.bits_sum AS DOUBLE) / a.n_tokens
+         END AS mean_bits
+  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+)
+SELECT doc_id, lang, mean_bits,
+       CAST(NTILE(3) OVER (
+         PARTITION BY lang ORDER BY mean_bits, doc_id
+       ) AS BIGINT) AS ppl_bucket
+FROM stats ORDER BY doc_id
+"""
+    )
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR importance-resampling weights (Xie et al. 2023,
     arXiv:2302.03169; stages/dsir.py): per-doc whole-bit log-likelihood
@@ -3335,6 +3525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": _q_dup_rate_by_source,
         "cluster_diversity": _q_cluster_diversity,
         "dedup_agreement": _q_dedup_agreement,
+        "engine_agreement": _q_engine_agreement,
         "best_representatives": _q_best_representatives,
         "largest_clusters": _q_largest_clusters,
         "dedup_weights": _q_dedup_weights,
@@ -3415,7 +3606,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_plan": _q_lsh_plan,
         "unigram_surprisal": _q_unigram_surprisal,
         "bigram_surprisal": _q_bigram_surprisal,
+        "trigram_surprisal": _q_trigram_surprisal,
         "ccnet_buckets": _q_ccnet_buckets,
+        "ccnet_buckets_tri": _q_ccnet_buckets_tri,
         "dsir_weights": _q_dsir_weights,
         "nb_classify": _q_nb_classify,
         "top_terms": _q_top_terms,
@@ -6148,6 +6341,9 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         ORDER BY d.doc_id
         """,
+        # trigram whole-bit backoff surprisal + its CCNet partition
+        "trigram_surprisal": q_trigram_surprisal_sql(),
+        "ccnet_buckets_tri": q_ccnet_buckets_tri_sql(),
         # CCNet partition: the bigram stats CTE + NTILE(3) per lang
         "ccnet_buckets": """
         WITH tokl AS (
@@ -6763,6 +6959,29 @@ FROM s ORDER BY shard, pos
                ) = 1 AS is_representative
         FROM asn a JOIN documents d ON d.doc_id = a.doc_id
         ORDER BY a.doc_id
+        """,
+        # cross-engine agreement: the oracle derives the pair mass of
+        # the SQL-mirrored flagship assignment; the Ray side only
+        # matches if base == scale == killed-and-resumed checkpointed
+        "engine_agreement": f"""
+        WITH a AS ({q_dedup_pipeline_sql()}),
+        cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS c
+               FROM a GROUP BY cluster_id),
+        s AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                     CAST(COALESCE(sum(c*(c-1)//2), 0) AS BIGINT) AS sp
+              FROM cs)
+        SELECT t.comparison,
+               s.n AS n_docs,
+               CAST(s.n*(s.n-1)//2 AS BIGINT) AS pairs_total,
+               s.sp AS pairs_same_a,
+               s.sp AS pairs_same_b,
+               s.sp AS pairs_same_both,
+               1.0 AS rand_index
+        FROM s CROSS JOIN (
+          SELECT unnest(['base_vs_ckpt_resume', 'base_vs_scale',
+                         'scale_vs_ckpt_resume']) AS comparison
+        ) t
+        ORDER BY t.comparison
         """,
         # exact pair-agreement (Rand components) flagship vs exact-only;
         # per-group C(n,2) sums, inclusion-exclusion, ONE division
