@@ -998,7 +998,7 @@ def cmd_pplbucket(args: argparse.Namespace) -> int:
 
     files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
     out = perplexity_buckets(
-        pages_to_docs(read_pages(files)), n_buckets=args.buckets
+        pages_to_docs(read_pages(files)), n_buckets=args.buckets, model=args.model
     )
     if args.out:
         print(json.dumps({"docs": _write_parquet_counted(out, args.out), "out": args.out}))
@@ -1006,6 +1006,38 @@ def cmd_pplbucket(args: argparse.Namespace) -> int:
     df = out.to_pandas()
     sizes = df.groupby("ppl_bucket").size().to_dict()
     print(json.dumps({"docs": len(df), "buckets": {str(k): int(v) for k, v in sorted(sizes.items())}}))
+    return 0
+
+
+def cmd_embed(args: argparse.Namespace) -> int:
+    """Text -> embedding production (stages/embed.py EmbedKernel): the
+    frozen hashed-BoW random-projection model over a pages dir; --out
+    writes the canonical (vec_id, embedding) parquet consumable by
+    semdedup/embstore/protoprune, else summary stats print."""
+    _init_ray()
+    from raydedup.sources.pages import pages_to_docs, read_pages
+    from raydedup.stages.embed import embed_docs
+
+    files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
+    out = embed_docs(
+        pages_to_docs(read_pages(files)), dim=args.dim, n_buckets=args.buckets
+    )
+    if args.out:
+        print(json.dumps({"vectors": _write_parquet_counted(out, args.out), "out": args.out}))
+        return 0
+    df = out.to_pandas()
+    import numpy as np
+
+    mat = np.stack(df["embedding"].to_numpy()) if len(df) else np.zeros((0, args.dim))
+    print(
+        json.dumps(
+            {
+                "vectors": len(df),
+                "dim": int(mat.shape[1]) if len(df) else args.dim,
+                "zero_vectors": int((~mat.any(axis=1)).sum()) if len(df) else 0,
+            }
+        )
+    )
     return 0
 
 
@@ -1471,8 +1503,21 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("pplbucket", help="CCNet per-lang perplexity head/middle/tail")
     s.add_argument("pages")
     s.add_argument("--buckets", type=int, default=3)
+    s.add_argument(
+        "--model", choices=("bigram", "trigram"), default="bigram",
+        help="whole-bit LM order for the score",
+    )
     s.add_argument("--out", default=None, help="write per-doc buckets here")
     s.set_defaults(fn=cmd_pplbucket)
+
+    s = sub.add_parser(
+        "embed", help="produce the embeddings table from pages (hashed-BoW projection)"
+    )
+    s.add_argument("pages")
+    s.add_argument("--out", default=None, help="write (vec_id, embedding) parquet here")
+    s.add_argument("--dim", type=int, default=64)
+    s.add_argument("--buckets", type=int, default=256, help="hashed vocabulary size")
+    s.set_defaults(fn=cmd_embed)
 
     s = sub.add_parser("semdedup", help="semantic dedup over an embeddings parquet")
     s.add_argument("embeddings")

@@ -113,6 +113,19 @@ class DedupConfig:
     # the only variant whose driver memory is corpus-independent.
     scale_min_docs: int = 10_000
 
+    # --- streaming phase-1 (VERDICT r4 #3): at or above this doc count
+    # run_dedup_auto asks run_dedup_scale to cache the corpus ONCE as
+    # disk-backed parquet under ``stream_spill_dir`` (a streaming
+    # write — blocks land on disk as their tasks finish) and consume it
+    # lazily per stage, instead of pinning a full materialized copy in
+    # the object store for the whole run. Peak object-store usage then
+    # tracks the largest exchange, not the corpus (measured in
+    # BASELINE.md). Requires ``stream_spill_dir``; with the dir unset
+    # (default) the engine materializes as before — re-reading from
+    # disk is the right trade only when the corpus outgrows the store.
+    scale_stream_min_docs: int = 5_000_000
+    stream_spill_dir: str | None = None
+
     # --- exact-dup-aware signature skip (scale path only, opt-in):
     # barrier the (cheap) sha exchange, broadcast the sorted member-id
     # array, and drop exact-dup MEMBERS inside the signature kernel —

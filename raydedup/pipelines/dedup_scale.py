@@ -210,6 +210,35 @@ def _auto_shards(n_docs: int) -> int:
     return int(min(8, max(2, n_docs // 25_000 + 1)))
 
 
+def _spill_docs_to_parquet(docs: Dataset, spill_dir: str) -> Dataset:
+    """Streaming phase-1 input cache (VERDICT r4 #3): write the
+    (doc_id, text, text_sha256) projection of ``docs`` to parquet under
+    ``spill_dir`` ONCE — ``write_parquet`` is a streaming sink, so each
+    block lands on disk as its task finishes and the corpus is never
+    pinned in the object store — then return a LAZY disk-backed Dataset
+    over it. Every downstream pass re-reads the pruned columns it needs
+    (text ships from disk per consuming stage instead of living in the
+    store for the whole run); ``count()`` is parquet-metadata-only. A
+    complete cache (marker file) is reused as-is, which also makes the
+    ad-hoc streaming path restartable at the phase-1 level."""
+    import glob as _glob
+    import shutil
+
+    import ray.data as rd
+
+    marker = os.path.join(spill_dir, "_SPILL_COMPLETE")
+    if not os.path.exists(marker):
+        tmp = spill_dir.rstrip("/") + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        docs.select_columns(["doc_id", "text", "text_sha256"]).write_parquet(tmp)
+        shutil.rmtree(spill_dir, ignore_errors=True)
+        os.replace(tmp, spill_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    files = sorted(_glob.glob(os.path.join(spill_dir, "*.parquet")))
+    return rd.read_parquet(files)
+
+
 def run_dedup_scale(
     docs: Dataset,
     cfg: DedupConfig | None = None,
@@ -218,6 +247,7 @@ def run_dedup_scale(
     substring: bool = False,
     num_buckets: int | None = None,
     n_shards: int | None = None,
+    stream_spill_dir: str | None = None,
 ) -> DedupScaleResult:
     cfg = cfg or DedupConfig()
     t0 = time.perf_counter()
@@ -246,7 +276,16 @@ def run_dedup_scale(
         from raydedup.stages.textnorm import normalized_docs
 
         docs = normalized_docs(docs)
-    docs = docs.materialize()
+    if stream_spill_dir is not None:
+        # streaming phase-1: one pass to disk, lazy pruned re-reads —
+        # peak object-store usage tracks the largest exchange, not the
+        # corpus (the extraction/normalize lineage also runs exactly
+        # once, into the cache)
+        docs = _spill_docs_to_parquet(docs, stream_spill_dir)
+        metrics["phase1_mode"] = "stream"
+    else:
+        docs = docs.materialize()
+        metrics["phase1_mode"] = "materialize"
 
     from raydedup.stages.exchange import (
         reduce_join_resplit,
@@ -538,8 +577,15 @@ def run_dedup_scale_resumable(
     num_buckets: int | None = None,
     n_shards: int | None = None,
     signatures: Dataset | None = None,
+    stream_docs: bool = False,
 ) -> DedupScaleResult:
     """run_dedup_scale with per-exchange checkpoint barriers.
+
+    ``stream_docs=True`` skips the docs materialize: the caller asserts
+    ``docs`` is already cheap to re-read per stage (a disk-backed
+    parquet Dataset — the checkpointed wrapper's phase-1 output), so
+    each consuming stage streams its pruned columns from disk and the
+    corpus is never pinned in the object store (VERDICT r4 #3).
 
     Same stage kernels and cluster-identical output as run_dedup_scale,
     but each exchange stage (sha edges, LSH candidate pairs, verified
@@ -565,8 +611,9 @@ def run_dedup_scale_resumable(
         from raydedup.stages.textnorm import normalized_docs
 
         docs = normalized_docs(docs)
-    docs = docs.materialize()
-    n_docs = docs.count()  # materialized: metadata-only
+    if not stream_docs:
+        docs = docs.materialize()
+    n_docs = docs.count()  # materialized or parquet-backed: metadata-only
     if num_buckets is None:
         num_buckets = _auto_buckets(n_docs)
     if n_shards is None:
@@ -788,6 +835,14 @@ def run_dedup_auto(
     cfg = cfg or DedupConfig()
     n_docs = docs.count()  # parquet-backed inputs: metadata-only
     if n_docs >= cfg.scale_min_docs:
+        if (
+            cfg.stream_spill_dir is not None
+            and n_docs >= cfg.scale_stream_min_docs
+            and "stream_spill_dir" not in scale_kw
+        ):
+            # streaming phase-1 above the threshold (VERDICT r4 #3):
+            # corpus cached once to disk, never pinned in the store
+            scale_kw = {**scale_kw, "stream_spill_dir": cfg.stream_spill_dir}
         res = run_dedup_scale(
             docs, cfg, containment=containment, substring=substring, **scale_kw
         )

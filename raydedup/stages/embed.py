@@ -159,13 +159,19 @@ def embed_docs(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_id_col: str = "vec_id",
-    concurrency: int = 4,
+    concurrency: int | tuple[int, int] = (1, 8),
     batch_size: int = 4096,
 ) -> Dataset:
     """docs -> canonical embeddings table (vec_id, embedding) as a
     streaming Dataset. Columns are pruned before the kernel so only
     (id, text) ships; output composes directly with ``semdedup``,
-    ``stages/ann.py`` and ``pipelines/embindex.py``."""
+    ``stages/ann.py`` and ``pipelines/embindex.py``.
+
+    ``concurrency`` defaults to an AUTOSCALING (min, max) actor pool: a
+    fixed pool sized at-or-above the session's CPU count starves the
+    upstream read of CPUs and deadlocks the streaming executor
+    (reproduced at concurrency=4 / num_cpus=4); the (1, 8) pool grows
+    only while free slots exist."""
     return docs.select_columns([id_col, text_col]).map_batches(
         EmbedKernel,
         fn_constructor_kwargs={

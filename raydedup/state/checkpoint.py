@@ -565,6 +565,9 @@ def _phase2_scale(
             containment=containment,
             substring=substring,
             signatures=rd.read_parquet(mgr.path("signatures")),
+            # docs IS the phase-1 parquet: stream pruned columns per
+            # stage instead of pinning the corpus in the object store
+            stream_docs=True,
         )
         tmp_dir = clusters_dir + ".tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)

@@ -615,3 +615,38 @@ def test_embedding_verbs(ray_session, tmp_path, capsys, monkeypatch):
     assert cli.main(["protoprune", emb]) == 0
     pp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert pp["vectors"] == 50 and pp["kept"] + pp["pruned"] == 50
+
+
+def test_embed_verb_writes_canonical_table(
+    ray_session, small_corpus, tmp_path, capsys
+):
+    """`embed` produces the canonical (vec_id, embedding) parquet that
+    `semdedup` then consumes — the text -> embedding -> semantic-dedup
+    chain end to end through the CLI."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    spec, paths = small_corpus
+    pages_dir = os.path.dirname(
+        sorted(_glob.glob(os.path.join(paths["pages"], "*.parquet")))[0]
+    ) if os.path.isdir(paths["pages"]) else paths["pages"]
+    out = str(tmp_path / "emb")
+    assert main(["embed", pages_dir, "--out", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["vectors"] > 0
+    t = pq.read_table(sorted(_glob.glob(os.path.join(out, "*.parquet"))))
+    assert t.column_names == ["vec_id", "embedding"]
+    assert t.num_rows == rep["vectors"]
+
+    assert main(["semdedup", out, "--threshold", "0.95", "--bits", "2"]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["vectors"] == rep["vectors"]
+    assert rep2["pruned"] > 0  # the planted-dup corpus has semantic copies
+
+
+def test_pplbucket_trigram_model_flag(ray_session, small_corpus, capsys):
+    spec, paths = small_corpus
+    assert main(["pplbucket", paths["pages"], "--model", "trigram"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs"] > 0 and "buckets" in rep
