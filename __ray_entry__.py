@@ -2743,6 +2743,60 @@ def _q_emb_index_query(sf_dir: str):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_embed_index_query(sf_dir: str):
+    """Composed derived-embedding index lifecycle: docs -> EmbedKernel
+    -> build_emb_index (IVF-partitioned parquet) -> full-probe top-k
+    query with the first 20 derived vectors — the text -> embedding ->
+    persisted-ANN chain end to end with no pre-existing embeddings
+    table anywhere in the lineage."""
+    import shutil
+    import tempfile
+
+    from raydedup.pipelines.embindex import build_emb_index, query_emb_index
+    from raydedup.stages.embed import embed_docs
+
+    emb = embed_docs(_docs(sf_dir)).materialize()
+    qdf = emb.to_pandas().sort_values("vec_id").head(20)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    qids = qdf["vec_id"].to_numpy()
+    d = tempfile.mkdtemp(prefix="raydedup_embidx_drv_")
+    try:
+        build_emb_index(emb, d)
+        return query_emb_index(d, Q, query_ids=qids, k=5, n_probe=None)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q_embed_index_query_sql():
+    """Mirror: the derived-embedding CTE -> per-doc DOUBLE lists ->
+    exact top-5 cosine cross join (full probe == exact search)."""
+    return (
+        "WITH "
+        + _embed_cte()
+        + """,
+el AS MATERIALIZED (
+  SELECT doc_id AS vec_id, list(CAST(v AS DOUBLE) ORDER BY j) AS e
+  FROM emb GROUP BY doc_id
+),
+q AS (SELECT vec_id AS q, e AS qe FROM el ORDER BY vec_id LIMIT 20),
+s AS (
+  SELECT q.q, b.vec_id,
+         list_cosine_similarity(q.qe, b.e) AS cosine
+  FROM q CROSS JOIN el b
+),
+r AS (
+  SELECT q, vec_id, cosine,
+         row_number() OVER (
+           PARTITION BY q ORDER BY cosine DESC, vec_id ASC
+         ) AS rn
+  FROM s
+)
+SELECT q, vec_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 5 ORDER BY q, rn
+"""
+    )
+
+
 def _q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs >= 0.4 (exact all-pairs baseline)."""
     from raydedup.stages.ann import embedding_neardup_bruteforce
@@ -3636,6 +3690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_docs": _q_embed_docs,
         "embed_semdedup": _q_embed_semdedup,
         "emb_index_query": _q_emb_index_query,
+        "embed_index_query": _q_embed_index_query,
         "embedding_neardup_hamming": _q_embedding_neardup_hamming,
         "embedding_cluster": _q_embedding_cluster,
         "events_hourly": _q_events_hourly,
@@ -6804,6 +6859,7 @@ FROM s ORDER BY shard, pos
         SELECT q, vec_id, cosine, CAST(rn AS BIGINT) AS rank
         FROM r WHERE rn <= 5 ORDER BY q, rn
         """,
+        "embed_index_query": q_embed_index_query_sql(),
         "embedding_neardup_hamming": q_embedding_neardup_hamming_sql(),
         # connected components over the cosine edge set: min-label
         # reachability == union-by-min (the flagship convention)
