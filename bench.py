@@ -207,6 +207,14 @@ def run_bench() -> dict:
         ).materialize()
         queries[f"signatures_{scheme}_bench"] = time.perf_counter() - t
 
+    # text -> embedding production at bench scale (round 5): the
+    # hashed-BoW projection kernel over the 50k bench corpus
+    t = time.perf_counter()
+    from raydedup.stages.embed import embed_docs
+
+    embed_docs(docs).materialize()
+    queries["embed_docs_bench"] = time.perf_counter() - t
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as E
 
@@ -266,6 +274,8 @@ def run_bench() -> dict:
 
     timed("emb_index_build_query_sf", _embindex_bench)
     timed("semdedup_sf", lambda: q["semdedup"](SF_DIR))
+    timed("embed_semdedup_sf", lambda: q["embed_semdedup"](SF_DIR))
+    timed("trigram_surprisal_sf", lambda: q["trigram_surprisal"](SF_DIR))
     timed("dsir_weights_sf", lambda: q["dsir_weights"](SF_DIR))
     timed("nb_classify_sf", lambda: q["nb_classify"](SF_DIR))
     timed("prototype_prune_sf", lambda: q["prototype_prune"](SF_DIR))
