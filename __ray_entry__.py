@@ -2193,6 +2193,7 @@ def _embed_cte() -> str:
     SELECT doc_id,
            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
     FROM documents WHERE length(trim(text)) > 0)
+  WHERE w != ''
 ), ewords AS MATERIALIZED (
   SELECT w, {fnv_chars('w')} AS h FROM (SELECT DISTINCT w FROM toks)
 ), bc AS (

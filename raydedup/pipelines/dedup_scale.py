@@ -224,9 +224,25 @@ def _spill_docs_to_parquet(docs: Dataset, spill_dir: str) -> Dataset:
     import glob as _glob
     import shutil
 
+    import pyarrow.parquet as _pq
+
     import ray.data as rd
 
     marker = os.path.join(spill_dir, "_SPILL_COMPLETE")
+    if os.path.exists(marker):
+        # reuse gate (review finding): a complete cache is only served
+        # if its row count matches THIS input — otherwise a standing
+        # spill dir pointed at a new corpus would silently dedup the
+        # old one. The count costs one streaming pass of the input
+        # lineage on the reuse path only; an equal-count content swap
+        # is not caught here (use a fresh dir per corpus — the
+        # checkpointed wrapper's shard-set digest covers that regime).
+        cached = sum(
+            _pq.ParquetFile(p).metadata.num_rows
+            for p in _glob.glob(os.path.join(spill_dir, "*.parquet"))
+        )
+        if cached != docs.count():
+            os.remove(marker)
     if not os.path.exists(marker):
         tmp = spill_dir.rstrip("/") + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -620,8 +636,13 @@ def run_dedup_scale_resumable(
         n_shards = _auto_shards(n_docs)
     # stamp this run's input on every exchange stage: a checkpoint taken
     # over a different corpus size (shards added since) is invalidated
-    # and re-run instead of silently dropping the new docs (advisory r4)
-    ckpt.input_fp = f"n_docs={n_docs}"
+    # and re-run instead of silently dropping the new docs (advisory
+    # r4). The checkpointed wrapper passes a stronger shard-set digest
+    # already — keep it; the doc-count stamp is the direct-caller belt
+    # (equal-count content swaps are caught by the wrapper's digest,
+    # not this default).
+    if ckpt.input_fp is None:
+        ckpt.input_fp = f"n_docs={n_docs}"
 
     from raydedup.stages.exchange import (
         _reduce_bucket,

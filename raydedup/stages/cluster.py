@@ -59,13 +59,23 @@ class UnionFind:
         return {x: self.find(x) for x in list(self.parent)}
 
 
-def cluster_pairs_driver(pairs: Dataset | pd.DataFrame) -> dict[int, int]:
+def cluster_pairs_driver(
+    pairs: Dataset | pd.DataFrame, *, contract_edges: int = 1 << 22
+) -> dict[int, int]:
     """Driver-backend connected components: consumes (a, b) batches,
     returns {doc_id -> cluster_id(min member)} for every doc appearing
     in a pair. Shares the vectorized min-label kernel with the actor
     shards (VERDICT r4 #7 — the per-edge dict union-find this replaced
     was the only per-row Python loop left in a cluster backend);
-    ``UnionFind`` remains as the property-test reference."""
+    ``UnionFind`` remains as the property-test reference.
+
+    Streaming bound (review finding): buffered edges are CONTRACTED to
+    spanning (root, member) edges whenever they exceed
+    ``contract_edges``, so peak driver memory is O(distinct nodes +
+    contract_edges) — a near-clique pair explosion no longer buffers
+    the whole edge list the way the old streaming union-find didn't.
+    Components of (spanning edges of prefix) U (new edges) equal
+    components of the full union, so the fold is exact."""
     if isinstance(pairs, pd.DataFrame):
         batches = [pairs]
     else:
@@ -74,10 +84,17 @@ def cluster_pairs_driver(pairs: Dataset | pd.DataFrame) -> dict[int, int]:
         )
     ea: list[np.ndarray] = []
     eb: list[np.ndarray] = []
+    buffered = 0
     for b in batches:
-        ea.append(b["a"].to_numpy(dtype=np.int64, copy=False))
-        eb.append(b["b"].to_numpy(dtype=np.int64, copy=False))
-    if not ea or not sum(x.shape[0] for x in ea):
+        av = b["a"].to_numpy(dtype=np.int64, copy=False)
+        bv = b["b"].to_numpy(dtype=np.int64, copy=False)
+        ea.append(av)
+        eb.append(bv)
+        buffered += av.shape[0]
+        if buffered >= contract_edges:
+            m, r = cluster_edges_arrays(np.concatenate(ea), np.concatenate(eb))
+            ea, eb, buffered = [m], [r], m.shape[0]
+    if buffered == 0:
         return {}
     members, roots = cluster_edges_arrays(np.concatenate(ea), np.concatenate(eb))
     return dict(zip(members.tolist(), roots.tolist()))

@@ -102,7 +102,11 @@ class EmbedKernel:
             return counts.reshape(n, B)
         # mixed batch: ASCII fast path on the mask, per-doc fallback for
         # the rest — values identical to the fast path by the shared
-        # FNV core (batch-layout independence is pinned in tests)
+        # FNV core (batch-layout independence is pinned in tests).
+        # Fallback cost is O(tokens): per-doc flat indices accumulate
+        # and ONE bincount lands them (a per-doc n*B bincount was
+        # O(batch * buckets) per doc — review finding); only the
+        # non-ASCII texts are ever converted to Python strings.
         if ascii_mask.any():
             fast_idx = np.flatnonzero(ascii_mask)
             flat, offs = batch_word_hashes(texts.filter(pa.array(ascii_mask)))
@@ -111,14 +115,17 @@ class EmbedKernel:
             ]
             idx = rows * B + (flat % U64(B)).astype(np.int64)
             counts += np.bincount(idx, minlength=n * B)
-        texts_py = texts.to_pylist()
-        for d in np.flatnonzero(~ascii_mask):
-            words = tokenize(texts_py[d])
+        slow_idx = np.flatnonzero(~ascii_mask)
+        slow_texts = texts.take(pa.array(slow_idx)).to_pylist()
+        parts = []
+        for d, text in zip(slow_idx, slow_texts):
+            words = tokenize(text)
             if not words:
                 continue
             h = hash_strings_u64(words, mixed=False)
-            idx = d * B + (h % U64(B)).astype(np.int64)
-            counts += np.bincount(idx, minlength=n * B)
+            parts.append(d * B + (h % U64(B)).astype(np.int64))
+        if parts:
+            counts += np.bincount(np.concatenate(parts), minlength=n * B)
         return counts.reshape(n, B)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

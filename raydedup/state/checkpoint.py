@@ -109,6 +109,31 @@ class CheckpointManager:
     def path(self, *parts: str) -> str:
         return os.path.join(self.dir, *parts)
 
+    def shard_set_fingerprint(self) -> str:
+        """Digest of the DONE shard-key set (basename:size tags) — the
+        phase-2 input identity. Any shard added/removed/replaced since
+        phase 2 last ran changes this."""
+        keys = sorted(self.manifest["shards"])
+        return hashlib.sha256("\n".join(keys).encode()).hexdigest()[:16]
+
+    def invalidate_phase2(self) -> None:
+        """Drop ALL phase-2 state (both modes): stage entries, exchange
+        entries, and their on-disk artifacts. Phase-1 shard extracts
+        stay — they are per-shard and remain valid."""
+        import shutil
+
+        for stage in ("pairs", "components", "clusters", "scale_clusters"):
+            self.manifest["stages"].pop(stage, None)
+        self.manifest.pop("exchanges", None)
+        for f in ("pairs.parquet", "components.parquet"):
+            p = self.path(f)
+            if os.path.exists(p):
+                os.remove(p)
+        shutil.rmtree(self.path("exchanges"), ignore_errors=True)
+        shutil.rmtree(self.path("clusters"), ignore_errors=True)
+        os.makedirs(self.path("clusters"), exist_ok=True)
+        self.save()
+
 
 class CheckpointKilled(RuntimeError):
     """Raised by the test fail-injection hook to simulate a worker/driver
@@ -387,10 +412,24 @@ def run_dedup_checkpointed(
     if budget < len(pending):
         return None  # interrupted (kill-point for tests)
 
+    # --- phase-2 input gate (review finding on the r4 advisory fix) -----
+    # The exchange-level fingerprint alone never fires once a run has
+    # COMPLETED (phase 2 is skipped on its done stages before any
+    # exchange is consulted), so a shard added to a finished checkpoint
+    # would silently keep the old clusters. Gate ALL phase-2 state on
+    # the done-shard-set digest: changed input -> drop phase-2
+    # artifacts (both modes) and recompute; phase-1 extracts stay.
+    fp = mgr.shard_set_fingerprint()
+    if mgr.manifest.get("phase2_input_fp") != fp:
+        mgr.invalidate_phase2()
+        mgr.manifest["phase2_input_fp"] = fp
+        mgr.save()
+
     # --- phase 2: global stages ------------------------------------------
     docs = rd.read_parquet(mgr.path("docs"))
     if mode == "scale" or (mode == "auto" and docs.count() >= cfg.scale_min_docs):
         exch = ExchangeCheckpoint(mgr)
+        exch.input_fp = f"shards={fp}"
         exch.fail_after_stage = fail_after_stage
         return _phase2_scale(
             mgr, docs, cfg, containment, substring, metrics, exch_ckpt=exch

@@ -352,3 +352,38 @@ def test_scale_resume_after_late_stage_kill(
 
     ref = run_dedup_checkpointed(files, str(tmp_path / "ref"), cfg, mode="scale")
     pd.testing.assert_frame_equal(_clusters_df(resumed), _clusters_df(ref))
+
+
+def test_completed_checkpoint_reclusters_after_new_shard(
+    ray_session, small_corpus, tmp_path, cfg
+):
+    """Review finding on the r4 advisory fix: the exchange fingerprint
+    never fires once a run COMPLETED (phase 2 skips on its done
+    stages), so a shard added to a finished checkpoint kept the old
+    clusters. The phase-2 shard-set gate must re-cluster with the new
+    docs included — in BOTH modes."""
+    import shutil
+
+    spec, paths = small_corpus
+    files = _pages_files(paths)
+    for mode in ("base", "scale"):
+        work = tmp_path / f"in_{mode}"
+        work.mkdir()
+        for f in files[:-1]:
+            shutil.copy(f, work / os.path.basename(f))
+        d = str(tmp_path / f"ck_{mode}")
+        cur = sorted(glob.glob(str(work / "*.parquet")))
+        out1 = run_dedup_checkpointed(cur, d, cfg, mode=mode)
+        n1 = len(_clusters_df(out1))
+
+        shutil.copy(files[-1], work / os.path.basename(files[-1]))
+        cur = sorted(glob.glob(str(work / "*.parquet")))
+        out2 = run_dedup_checkpointed(cur, d, cfg, mode=mode)
+        cl2 = _clusters_df(out2)
+        added = pq.read_table(files[-1]).num_rows
+        assert len(cl2) == n1 + added, mode
+        # the added shard's docs must actually participate: re-running
+        # from scratch over the full set must agree exactly
+        d3 = str(tmp_path / f"ck3_{mode}")
+        out3 = run_dedup_checkpointed(cur, d3, cfg, mode=mode)
+        pd.testing.assert_frame_equal(cl2, _clusters_df(out3))

@@ -359,3 +359,16 @@ def test_cluster_diversity(ray_session):
     # partition invariance
     out2 = cluster_diversity(docs.repartition(1), clusters.repartition(1)).to_pydict()
     assert out2 == out
+
+
+def test_driver_contraction_bound_matches_bruteforce(ray_session):
+    """The streaming pre-contraction (review finding: bound driver
+    memory on near-clique pair explosions) must not change components:
+    a tiny contract_edges forces many contraction rounds through the
+    Dataset batch path."""
+    import ray.data as rd
+
+    df = _rand_edges(n_nodes=500, n_edges=4000, seed=3)
+    ds = rd.from_pandas(df).repartition(8)
+    got = cluster_pairs_driver(ds, contract_edges=256)
+    assert _canon(got) == _canon(_brute_components(df))
