@@ -35,6 +35,11 @@ def main() -> int:
     p.add_argument("--mode", choices=("auto", "base", "scale"), default="auto",
                    help="phase-2 engine (auto routes by doc count vs scale_min_docs)")
     p.add_argument("--num-cpus", type=int, default=None, help="local-mode CPU override")
+    p.add_argument(
+        "--set", action="append", default=None, dest="set", metavar="KEY=VALUE",
+        help="DedupConfig override (repeatable), e.g. --set jaccard_tau=0.7 "
+             "--set stream_spill_dir=/data/spill — same surface as the CLI",
+    )
     args = p.parse_args()
 
     import ray
@@ -49,12 +54,12 @@ def main() -> int:
     DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
-    from raydedup.config import DedupConfig
+    from raydedup.cli import _cfg_from_args
     from raydedup.state.checkpoint import run_dedup_checkpointed
 
     files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
     out = run_dedup_checkpointed(
-        files, args.checkpoint, DedupConfig(),
+        files, args.checkpoint, _cfg_from_args(args),
         containment=not args.no_containment, mode=args.mode,
     )
     print(json.dumps({"clusters_dir": out["clusters_path"], **out["metrics"]}, default=str))
