@@ -88,6 +88,15 @@ class DedupConfig:
     containment_window: int = 40  # chars per rolling-hash window
     containment_stride: int = 32  # winnowing stride on the probe side
     containment_min_coverage: float = 0.20  # analog of percentOfSecondsWithMatches >= 0.2 (Key.java:205)
+    # absolute floor on SHARED winnowed fingerprints per containment
+    # link. Default 1 = the pure ratio gate (the reference's rule, and
+    # what every SQL oracle mirrors). Short-doc corpora need 2: a
+    # ~200-char doc carries only ~5 windows, so ONE chance window
+    # collision already clears the 0.2 ratio — measured at 25M docs
+    # (BASELINE.md round 5: ~430 spurious cross-corpus links per 1.5M
+    # singletons at min_shared=1, 0 at 2; real contained fragments
+    # share every window of the fragment and are unaffected).
+    containment_min_shared: int = 1
     containment_max_postings: int = 10  # fp keys shared by more docs are site-wide boilerplate -> dropped
     substring_min_len: int = 64  # exact full-substring pass: min inner-doc bytes
 

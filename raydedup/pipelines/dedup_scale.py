@@ -177,9 +177,11 @@ def drop_forest_member_rows(left: pa.Table, right: pa.Table) -> pa.Table:
     return left
 
 
-def make_combine_containment(min_cov: float):
+def make_combine_containment(min_cov: float, min_shared: int = 1):
     """Containment pair combiner: aggregate shared-fingerprint partials
-    and keep pairs with coverage >= ``min_cov``."""
+    and keep pairs with coverage >= ``min_cov`` AND shared >=
+    ``min_shared`` (the short-doc chance-collision floor,
+    cfg.containment_min_shared — same gate as stages/containment.py)."""
 
     def combine_containment(t: pa.Table) -> pa.Table:
         agg = reduce_pair_table(
@@ -189,7 +191,8 @@ def make_combine_containment(min_cov: float):
         na = agg.column("n_fp_a").to_numpy(zero_copy_only=False).astype(np.float64)
         nb = agg.column("n_fp_b").to_numpy(zero_copy_only=False).astype(np.float64)
         cov = shared / np.maximum(np.minimum(na, nb), 1.0)
-        return agg.select(["a", "b"]).filter(pa.array(cov >= min_cov))
+        keep = (cov >= min_cov) & (shared >= min_shared)
+        return agg.select(["a", "b"]).filter(pa.array(keep))
 
     return combine_containment
 
@@ -509,7 +512,9 @@ def run_dedup_scale(
             num_buckets,
             num_buckets,
         )
-        combine_containment = make_combine_containment(cfg.containment_min_coverage)
+        combine_containment = make_combine_containment(
+            cfg.containment_min_coverage, cfg.containment_min_shared
+        )
         cont_refs = [
             _reduce_bucket.remote(combine_containment, *[w[j] for w in cont_wave])
             for j in range(num_buckets)
@@ -771,7 +776,9 @@ def run_dedup_scale_resumable(
                 num_buckets,
                 num_buckets,
             )
-            combine = make_combine_containment(cfg.containment_min_coverage)
+            combine = make_combine_containment(
+                cfg.containment_min_coverage, cfg.containment_min_shared
+            )
             return [
                 _reduce_bucket.remote(combine, *[w[j] for w in cont_wave])
                 for j in range(num_buckets)

@@ -236,6 +236,7 @@ def containment_pairs_from_postings(
         num_buckets = default_buckets()
     cap = cfg.containment_max_postings
     min_cov = cfg.containment_min_coverage
+    min_shared = cfg.containment_min_shared
 
     def combine_and_score(t: pa.Table) -> pa.Table:
         agg = reduce_pair_table(
@@ -252,7 +253,7 @@ def containment_pairs_from_postings(
                 "shared": agg.column("shared"),
                 "coverage": pa.array(cov, type=pa.float64()),
             }
-        ).filter(pa.array(cov >= min_cov))
+        ).filter(pa.array((cov >= min_cov) & (shared >= min_shared)))
 
     # exchange 1 co-locates fp_key groups and emits partial pairs; its
     # reduce tasks RE-SPLIT the output on `a` in-task (fused), so

@@ -181,12 +181,62 @@ def cmd_phase2() -> int:
     return 0
 
 
+def cmd_phase2b() -> int:
+    """Phase 2 re-run with ``containment_min_shared=2`` (the short-doc
+    chance-collision floor, round-5 finding) over the SAME phase-1
+    parquet — fresh exchange-checkpoint dir, fresh cfg, no
+    re-extraction; clusters land beside the first run's."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        logging_level="ERROR", object_store_memory=STORE_BYTES,
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from raydedup.pipelines.dedup_scale import run_dedup_scale_resumable
+    from raydedup.state.checkpoint import CheckpointManager, ExchangeCheckpoint
+
+    cfg = _cfg().with_overrides(containment_min_shared=2)
+    mgr = CheckpointManager(os.path.join(ROOT, "ckpt2"), cfg)
+    docs = rd.read_parquet(
+        sorted(glob.glob(os.path.join(CKPT, "docs", "*.parquet")))
+    )
+    sigs = rd.read_parquet(
+        sorted(glob.glob(os.path.join(CKPT, "signatures", "*.parquet")))
+    )
+    t0 = time.perf_counter()
+    res = run_dedup_scale_resumable(
+        docs, cfg, ckpt=ExchangeCheckpoint(mgr), containment=True,
+        signatures=sigs, stream_docs=True,
+    )
+    out_dir = os.path.join(ROOT, "clusters_minshared2")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    res.clusters.write_parquet(out_dir)
+    print(
+        json.dumps(
+            {
+                "phase2b_wall_sec": round(time.perf_counter() - t0, 1),
+                "clusters_path": out_dir,
+                **{k: v for k, v in res.metrics.items() if isinstance(v, (int, float))},
+            }
+        ),
+        flush=True,
+    )
+    ray.shutdown()
+    return 0
+
+
 def cmd_eval() -> int:
     import pyarrow.parquet as pq
 
     from raydedup.metrics import evaluate_against_oracle
 
-    cl_files = sorted(glob.glob(os.path.join(CKPT, "clusters", "*.parquet")))
+    cl_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(CKPT, "clusters")
+    cl_files = sorted(glob.glob(os.path.join(cl_dir, "*.parquet")))
     cl = pq.read_table(cl_files).to_pandas()
     print(json.dumps({"assigned_docs": int(len(cl))}), flush=True)
     for i in range(N_WAVES):
@@ -216,6 +266,8 @@ def main() -> int:
         return cmd_wave(int(sys.argv[2]))
     if mode == "phase2":
         return cmd_phase2()
+    if mode == "phase2b":
+        return cmd_phase2b()
     if mode == "eval":
         return cmd_eval()
     raise SystemExit(f"unknown mode {mode!r}")

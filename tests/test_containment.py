@@ -73,3 +73,38 @@ def test_containment_pipeline_recall(ray_session, small_corpus):
         cmap[url2id[a]] == cmap[url2id[b]] for a, b in zip(incl.a_url, incl.b_url)
     )
     assert hits / len(incl) >= 0.99
+
+
+def test_min_shared_floor_drops_single_collision_links(ray_session):
+    """cfg.containment_min_shared=2 (round 5): a pair sharing exactly
+    ONE winnowed window must not link (a ~200-char doc has ~5 windows,
+    so one chance collision already clears the 0.2 ratio gate —
+    measured at 25M docs), while a real contained fragment (which
+    shares every one of its windows) must survive the floor."""
+    import ray.data as rd
+
+    from raydedup.stages.containment import containment_pairs
+
+    w = 40
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 6
+    # one shared window exactly: short doc = ONE window's worth of base
+    frag1 = "xx yy " + base[10 : 10 + w + 16 - 1] + " zz qq"
+    # real fragment: a third of the base verbatim (many shared windows)
+    frag_real = base[: len(base) // 3]
+    import pyarrow as pa
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([base, frag1, frag_real]),
+            }
+        )
+    )
+    loose = containment_pairs(docs, DedupConfig(containment_min_shared=1)).to_pandas()
+    strict = containment_pairs(docs, DedupConfig(containment_min_shared=2)).to_pandas()
+    loose_pairs = set(zip(loose.a, loose.b))
+    strict_pairs = set(zip(strict.a, strict.b))
+    assert (1, 2) in loose_pairs  # single collision passes the ratio gate
+    assert (1, 2) not in strict_pairs  # ...but not the absolute floor
+    assert (1, 3) in strict_pairs  # the real fragment survives
