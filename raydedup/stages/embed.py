@@ -157,6 +157,23 @@ class EmbedKernel:
         )
 
 
+# per-process kernel cache for the task path: the frozen model is
+# 16 KiB at the defaults, so a stateless-task stage with a
+# process-cached kernel beats an actor pool (actor spawn, ~0.5 s each,
+# dominated the 50k bench; the semdedup sketch matrix uses the same
+# pattern). A REAL model (GBs, GPU) would flip this trade — that is
+# what the EmbedKernel actor-pool form above remains for.
+_KERNEL_CACHE: dict[tuple, EmbedKernel] = {}
+
+
+def _cached_kernel(**kw) -> EmbedKernel:
+    key = tuple(sorted(kw.items()))
+    k = _KERNEL_CACHE.get(key)
+    if k is None:
+        k = _KERNEL_CACHE[key] = EmbedKernel(**kw)
+    return k
+
+
 def embed_docs(
     docs: Dataset,
     *,
@@ -166,7 +183,7 @@ def embed_docs(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_id_col: str = "vec_id",
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 4096,
 ) -> Dataset:
     """docs -> canonical embeddings table (vec_id, embedding) as a
@@ -174,21 +191,31 @@ def embed_docs(
     (id, text) ships; output composes directly with ``semdedup``,
     ``stages/ann.py`` and ``pipelines/embindex.py``.
 
-    ``concurrency`` defaults to an AUTOSCALING (min, max) actor pool: a
-    fixed pool sized at-or-above the session's CPU count starves the
-    upstream read of CPUs and deadlocks the streaming executor
-    (reproduced at concurrency=4 / num_cpus=4); the (1, 8) pool grows
-    only while free slots exist."""
-    return docs.select_columns([id_col, text_col]).map_batches(
+    ``concurrency=None`` (default) runs as STATELESS TASKS with a
+    per-process cached kernel — right for the 16 KiB frozen model
+    (actor spawn dominated short jobs; measured in BASELINE.md). Pass
+    a concurrency to get the actor-pool form for heavyweight models;
+    use an AUTOSCALING (min, max) tuple — a fixed pool sized at-or-
+    above the session's CPU count starves the upstream read of CPUs
+    and deadlocks the streaming executor (reproduced at 4/4)."""
+    kw = {
+        "n_buckets": n_buckets,
+        "dim": dim,
+        "seed": seed,
+        "id_col": id_col,
+        "text_col": text_col,
+        "out_id_col": out_id_col,
+    }
+    pruned = docs.select_columns([id_col, text_col])
+    if concurrency is None:
+        return pruned.map_batches(
+            lambda t, _kw=kw: _cached_kernel(**_kw)(t),
+            batch_size=batch_size,
+            batch_format="pyarrow",
+        )
+    return pruned.map_batches(
         EmbedKernel,
-        fn_constructor_kwargs={
-            "n_buckets": n_buckets,
-            "dim": dim,
-            "seed": seed,
-            "id_col": id_col,
-            "text_col": text_col,
-            "out_id_col": out_id_col,
-        },
+        fn_constructor_kwargs=kw,
         batch_size=batch_size,
         batch_format="pyarrow",
         concurrency=concurrency,
