@@ -2279,6 +2279,104 @@ ORDER BY b.vec_id
     )
 
 
+def _q_embed_lexical_agreement(sf_dir: str):
+    """Semantic-vs-lexical dedup agreement: exact Rand components
+    between the flagship MinHash-LSH cluster assignment and the
+    connected components of the docs -> EmbedKernel -> SemDeDup star
+    edges — the analysis a curation owner runs to see how much pair
+    mass the semantic modality adds over (or agrees with) the lexical
+    one. Composes three round-5 pieces in one registry row, fully
+    SQL-mirrored on both sides."""
+    import ray.data as rd
+
+    from raydedup.stages.agreement import assignment_agreement
+    from raydedup.stages.cluster import cluster_pairs_driver
+    from raydedup.stages.embed import embed_docs
+    from raydedup.stages.semdedup import semdedup
+
+    docs, res = _flagship(sf_dir)
+    sd = semdedup(embed_docs(docs), threshold=0.95, n_bucket_bits=2).to_pandas()
+    pruned = sd[sd.keep == 0]
+    comp = cluster_pairs_driver(
+        pruned[["dup_of", "vec_id"]].rename(columns={"dup_of": "a", "vec_id": "b"})
+    )
+    sem = pd.DataFrame(
+        {
+            "doc_id": sd.vec_id.astype("int64"),
+            "cluster_id": sd.vec_id.map(lambda v: comp.get(int(v), int(v))).astype(
+                "int64"
+            ),
+        }
+    )
+    return assignment_agreement(res.clusters, rd.from_pandas(sem)).to_pandas()
+
+
+def q_embed_lexical_agreement_sql():
+    """Mirror: the derived-embedding SemDeDup mirror -> star edges ->
+    recursive min-label components; the flagship recursive mirror; the
+    dedup_agreement pair-group sums over the doc_id join."""
+    derived = (
+        _embed_cte()
+        + """, comp AS (
+  SELECT doc_id AS vec_id, j, CAST(v AS DOUBLE) AS v FROM emb
+), base AS (SELECT * FROM comp)"""
+    )
+    return (
+        _emb_sketch_sql(derived)
+        + f""",
+el AS MATERIALIZED (
+  SELECT vec_id, list(v ORDER BY j) AS e FROM comp GROUP BY vec_id
+),
+buck AS (
+  SELECT vec_id, CAST(sk_u & 3::UBIGINT AS BIGINT) AS bucket FROM sk
+),
+cand AS (
+  SELECT y.vec_id AS v, min(x.vec_id) AS dup_of
+  FROM buck x
+  JOIN buck y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  JOIN el ex ON ex.vec_id = x.vec_id
+  JOIN el ey ON ey.vec_id = y.vec_id
+  WHERE list_cosine_similarity(ex.e, ey.e) >= 0.95
+  GROUP BY y.vec_id
+),
+sym AS (
+  SELECT dup_of AS x, v AS y FROM cand
+  UNION SELECT v, dup_of FROM cand
+),
+walk AS (
+  WITH RECURSIVE rw(v, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT s.y, rw.r FROM rw JOIN sym s ON s.x = rw.v
+  )
+  SELECT v, min(r) AS root FROM rw GROUP BY v
+),
+flag AS ({q_dedup_pipeline_sql()}),
+j AS (
+  SELECT f.doc_id, f.cluster_id AS ca, walk.root AS cb
+  FROM flag f JOIN walk ON walk.v = f.doc_id
+),
+s AS (
+  SELECT (SELECT count(*) FROM j) AS n_docs,
+         (SELECT COALESCE(sum(n*(n-1)//2), 0)
+            FROM (SELECT count(*) AS n FROM j GROUP BY ca)) AS sa,
+         (SELECT COALESCE(sum(n*(n-1)//2), 0)
+            FROM (SELECT count(*) AS n FROM j GROUP BY cb)) AS sb,
+         (SELECT COALESCE(sum(n*(n-1)//2), 0)
+            FROM (SELECT count(*) AS n FROM j GROUP BY ca, cb)) AS sab
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_docs*(n_docs-1)//2 AS BIGINT) AS pairs_total,
+       CAST(sa AS BIGINT) AS pairs_same_a,
+       CAST(sb AS BIGINT) AS pairs_same_b,
+       CAST(sab AS BIGINT) AS pairs_same_both,
+       CAST(sab + (n_docs*(n_docs-1)//2 - sa - sb + sab) AS DOUBLE)
+           / (n_docs*(n_docs-1)//2) AS rand_index
+FROM s
+"""
+    )
+
+
 def _q_webtext_funnel(sf_dir: str):
     """Composed curation chain: C4 line clean -> drop flagged docs ->
     Gopher gates on the CLEANED text -> survivors. Both operators are
@@ -3690,6 +3788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prototype_prune": _q_prototype_prune,
         "embed_docs": _q_embed_docs,
         "embed_semdedup": _q_embed_semdedup,
+        "embed_lexical_agreement": _q_embed_lexical_agreement,
         "emb_index_query": _q_emb_index_query,
         "embed_index_query": _q_embed_index_query,
         "embedding_neardup_hamming": _q_embedding_neardup_hamming,
@@ -6846,6 +6945,7 @@ FROM s ORDER BY shard, pos
         "prototype_prune": q_prototype_prune_sql(),
         "embed_docs": q_embed_docs_sql(),
         "embed_semdedup": q_embed_semdedup_sql(),
+        "embed_lexical_agreement": q_embed_lexical_agreement_sql(),
         # full-probe IVF == exact: the oracle is the plain cross join
         # with the engine's (cosine DESC, vec_id ASC) rank convention
         "emb_index_query": """
