@@ -2242,10 +2242,12 @@ def _q_embed_semdedup(sf_dir: str):
     return df.sort_values("vec_id").reset_index(drop=True)
 
 
-def q_embed_semdedup_sql():
-    """Mirror: derived-embedding CTE -> the shared embedding-sketch
-    prelude (bucket = low 2 sketch bits) -> within-bucket earlier-
-    neighbor cosine test over the derived DOUBLE vectors."""
+
+def _embed_semdedup_mirror(tau: str = "0.95", mask: str = "3") -> str:
+    """Shared derived-embedding SemDeDup mirror chain (review finding:
+    one copy for every registry row that consumes it): the derived comp
+    CTE wired into the sketch prelude, plus el/buck/cand — ``cand``
+    yields (v, dup_of) with the min-earlier-id convention."""
     derived = (
         _embed_cte()
         + """, comp AS (
@@ -2254,12 +2256,12 @@ def q_embed_semdedup_sql():
     )
     return (
         _emb_sketch_sql(derived)
-        + """,
+        + f""",
 el AS MATERIALIZED (
   SELECT vec_id, list(v ORDER BY j) AS e FROM comp GROUP BY vec_id
 ),
 buck AS (
-  SELECT vec_id, CAST(sk_u & 3::UBIGINT AS BIGINT) AS bucket FROM sk
+  SELECT vec_id, CAST(sk_u & {mask}::UBIGINT AS BIGINT) AS bucket FROM sk
 ),
 cand AS (
   SELECT y.vec_id AS v, min(x.vec_id) AS dup_of
@@ -2267,9 +2269,19 @@ cand AS (
   JOIN buck y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
   JOIN el ex ON ex.vec_id = x.vec_id
   JOIN el ey ON ey.vec_id = y.vec_id
-  WHERE list_cosine_similarity(ex.e, ey.e) >= 0.95
+  WHERE list_cosine_similarity(ex.e, ey.e) >= {tau}
   GROUP BY y.vec_id
-)
+)"""
+    )
+
+
+def q_embed_semdedup_sql():
+    """Mirror: derived-embedding CTE -> the shared embedding-sketch
+    prelude (bucket = low 2 sketch bits) -> within-bucket earlier-
+    neighbor cosine test over the derived DOUBLE vectors."""
+    return (
+        _embed_semdedup_mirror()
+        + """
 SELECT b.vec_id, b.bucket,
        CAST(CASE WHEN c.v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
        CAST(coalesce(c.dup_of, -1) AS BIGINT) AS dup_of
@@ -2300,45 +2312,25 @@ def _q_embed_lexical_agreement(sf_dir: str):
     comp = cluster_pairs_driver(
         pruned[["dup_of", "vec_id"]].rename(columns={"dup_of": "a", "vec_id": "b"})
     )
+    ids = sd.vec_id.astype("int64")
     sem = pd.DataFrame(
         {
-            "doc_id": sd.vec_id.astype("int64"),
-            "cluster_id": sd.vec_id.map(lambda v: comp.get(int(v), int(v))).astype(
-                "int64"
-            ),
+            "doc_id": ids,
+            # vectorized lookup (no per-row Python): unmapped ids root
+            # at themselves, the singleton convention
+            "cluster_id": ids.map(comp).fillna(ids).astype("int64"),
         }
     )
     return assignment_agreement(res.clusters, rd.from_pandas(sem)).to_pandas()
 
 
 def q_embed_lexical_agreement_sql():
-    """Mirror: the derived-embedding SemDeDup mirror -> star edges ->
-    recursive min-label components; the flagship recursive mirror; the
-    dedup_agreement pair-group sums over the doc_id join."""
-    derived = (
-        _embed_cte()
-        + """, comp AS (
-  SELECT doc_id AS vec_id, j, CAST(v AS DOUBLE) AS v FROM emb
-), base AS (SELECT * FROM comp)"""
-    )
+    """Mirror: the shared derived-embedding SemDeDup chain -> star
+    edges -> recursive min-label components; the flagship recursive
+    mirror; the dedup_agreement pair-group sums over the doc_id join."""
     return (
-        _emb_sketch_sql(derived)
+        _embed_semdedup_mirror()
         + f""",
-el AS MATERIALIZED (
-  SELECT vec_id, list(v ORDER BY j) AS e FROM comp GROUP BY vec_id
-),
-buck AS (
-  SELECT vec_id, CAST(sk_u & 3::UBIGINT AS BIGINT) AS bucket FROM sk
-),
-cand AS (
-  SELECT y.vec_id AS v, min(x.vec_id) AS dup_of
-  FROM buck x
-  JOIN buck y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-  JOIN el ex ON ex.vec_id = x.vec_id
-  JOIN el ey ON ey.vec_id = y.vec_id
-  WHERE list_cosine_similarity(ex.e, ey.e) >= 0.95
-  GROUP BY y.vec_id
-),
 sym AS (
   SELECT dup_of AS x, v AS y FROM cand
   UNION SELECT v, dup_of FROM cand

@@ -183,16 +183,10 @@ def make_combine_containment(min_cov: float, min_shared: int = 1):
     ``min_shared`` (the short-doc chance-collision floor,
     cfg.containment_min_shared — same gate as stages/containment.py)."""
 
+    from raydedup.stages.containment import score_containment_agg
+
     def combine_containment(t: pa.Table) -> pa.Table:
-        agg = reduce_pair_table(
-            t, sum_cols=["shared_partial"], min_cols=["n_fp_a", "n_fp_b"]
-        ).rename_columns(["a", "b", "shared", "n_fp_a", "n_fp_b"])
-        shared = agg.column("shared").to_numpy(zero_copy_only=False).astype(np.float64)
-        na = agg.column("n_fp_a").to_numpy(zero_copy_only=False).astype(np.float64)
-        nb = agg.column("n_fp_b").to_numpy(zero_copy_only=False).astype(np.float64)
-        cov = shared / np.maximum(np.minimum(na, nb), 1.0)
-        keep = (cov >= min_cov) & (shared >= min_shared)
-        return agg.select(["a", "b"]).filter(pa.array(keep))
+        return score_containment_agg(t, min_cov, min_shared).select(["a", "b"])
 
     return combine_containment
 

@@ -199,6 +199,33 @@ def _emit_fp_pairs(t: pa.Table, max_postings: int) -> pa.Table:
     )
 
 
+def score_containment_agg(
+    t: "pa.Table", min_cov: float, min_shared: int
+) -> "pa.Table":
+    """Shared containment-pair scorer (ONE implementation for the base
+    and scale combiners — review finding): aggregate shared-fingerprint
+    partials, compute coverage = shared / min(|fp_a|, |fp_b|), and keep
+    pairs clearing BOTH the ratio gate and the absolute min-shared
+    floor. Returns (a, b, shared, coverage)."""
+    from raydedup.stages.pair_agg import reduce_pair_table
+
+    agg = reduce_pair_table(
+        t, sum_cols=["shared_partial"], min_cols=["n_fp_a", "n_fp_b"]
+    ).rename_columns(["a", "b", "shared", "n_fp_a", "n_fp_b"])
+    shared = agg.column("shared").to_numpy(zero_copy_only=False).astype(np.float64)
+    na = agg.column("n_fp_a").to_numpy(zero_copy_only=False).astype(np.float64)
+    nb = agg.column("n_fp_b").to_numpy(zero_copy_only=False).astype(np.float64)
+    cov = shared / np.maximum(np.minimum(na, nb), 1.0)
+    return pa.table(
+        {
+            "a": agg.column("a"),
+            "b": agg.column("b"),
+            "shared": agg.column("shared"),
+            "coverage": pa.array(cov, type=pa.float64()),
+        }
+    ).filter(pa.array((cov >= min_cov) & (shared >= min_shared)))
+
+
 def containment_pairs(
     docs: Dataset, cfg: DedupConfig, num_buckets: int | None = None
 ) -> Dataset:
@@ -239,21 +266,7 @@ def containment_pairs_from_postings(
     min_shared = cfg.containment_min_shared
 
     def combine_and_score(t: pa.Table) -> pa.Table:
-        agg = reduce_pair_table(
-            t, sum_cols=["shared_partial"], min_cols=["n_fp_a", "n_fp_b"]
-        ).rename_columns(["a", "b", "shared", "n_fp_a", "n_fp_b"])
-        shared = agg.column("shared").to_numpy(zero_copy_only=False).astype(np.float64)
-        na = agg.column("n_fp_a").to_numpy(zero_copy_only=False).astype(np.float64)
-        nb = agg.column("n_fp_b").to_numpy(zero_copy_only=False).astype(np.float64)
-        cov = shared / np.maximum(np.minimum(na, nb), 1.0)
-        return pa.table(
-            {
-                "a": agg.column("a"),
-                "b": agg.column("b"),
-                "shared": agg.column("shared"),
-                "coverage": pa.array(cov, type=pa.float64()),
-            }
-        ).filter(pa.array((cov >= min_cov) & (shared >= min_shared)))
+        return score_containment_agg(t, min_cov, min_shared)
 
     # exchange 1 co-locates fp_key groups and emits partial pairs; its
     # reduce tasks RE-SPLIT the output on `a` in-task (fused), so

@@ -13,9 +13,15 @@ the accumulated phase-1 parquet with a constrained object store; the
 per-corpus oracles survive the page deletion and gate recall.
 
 Modes (each a fresh process; the driver shell sequences them):
-    python scripts/run_25m.py wave <i>     # gen corpus i + phase 1 + delete pages
-    python scripts/run_25m.py phase2       # the big checkpointed run
-    python scripts/run_25m.py eval         # recall vs every wave's oracle
+    python scripts/run_25m.py wave <i>       # gen corpus i + phase 1 + delete pages
+    python scripts/run_25m.py phase2         # the big checkpointed run
+    python scripts/run_25m.py phase2b        # re-run phase 2 with
+                                             # containment_min_shared=2 over the
+                                             # SAME phase-1 parquet (fresh ckpt
+                                             # dir; the BASELINE.md comparison)
+    python scripts/run_25m.py eval [cl_dir]  # recall vs every wave's oracle
+                                             # (default: the phase2 clusters;
+                                             # pass the phase2b dir to score it)
 """
 
 from __future__ import annotations
